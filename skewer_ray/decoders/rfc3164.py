@@ -1,0 +1,163 @@
+"""RFC3164 decoder — faithful port of the reference fallback ladder.
+
+Semantics: decoders/rfc3164_format.go:28-194 (p3164 / parseTag /
+isHostname). p3164 never fails: every branch degrades to a message-only
+record. Quirks mirrored deliberately:
+
+- ``<999>x`` is accepted: priority is NOT range-checked (fac = pri//8 may
+  exceed 23), matching ``strconv.Atoi`` + unchecked assignment
+  (rfc3164_format.go:50-56).
+- the two-token branch where ``s[1]`` contains ``[]:`` parses the tag from
+  ``s[0]`` (not ``s[1]``), reproducing the reference bug at
+  rfc3164_format.go:147-152.
+- the old-timestamp year fixup adds the current year; we use the year of
+  the transcript ``ts`` column instead of ``time.Now()``
+  (rfc3164_format.go:104 — ``t.AddDate(time.Now().Year(), 0, 0)``).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+
+from .base import RecordBuilder
+
+_STAMP_RE = re.compile(r"^([A-Z][a-z]{2}) +(\d{1,2}) (\d{2}):(\d{2}):(\d{2})$")
+_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+     "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"])}
+_TAG_CHARS = ("[", "]", ":")
+
+_HOSTNAME_OK = re.compile(r"^[\w.:\-]*$", re.UNICODE)
+
+
+_EPOCH0 = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+def _parse_rfc3339_ns(s: str):
+    """time.Parse(RFC3339Nano / RFC3339) → UnixNano, or None."""
+    try:
+        x = s
+        if x.endswith(("Z", "z")):
+            x = x[:-1] + "+00:00"
+        dt = datetime.fromisoformat(x)
+        if dt.tzinfo is None:
+            return None  # RFC3339 requires an offset
+        delta = dt - _EPOCH0
+        return (delta.days * 86400 + delta.seconds) * 1_000_000_000 \
+            + delta.microseconds * 1000
+    except ValueError:
+        return None
+
+
+def parse_tag(tag: str):
+    """decoders/rfc3164_format.go:168-186."""
+    tag = tag.strip(":")
+    appname, procid = "", ""
+    i = tag.find("[")
+    if i >= 0 and len(tag) > i + 1:
+        j = tag.find("]")
+        procid = tag[i + 1:j] if j > i else tag[i + 1:]
+        if i > 0:
+            appname = tag[:i]
+    else:
+        appname = tag
+    return appname, procid
+
+
+def is_hostname(s: str) -> bool:
+    """decoders/rfc3164_format.go:188-194 (letters/digits/.:-_)."""
+    return bool(_HOSTNAME_OK.match(s))
+
+
+def _old_stamp_ns(parts3: list[str], year: int):
+    m = _STAMP_RE.match(" ".join(parts3))
+    if not m:
+        return None
+    mon = _MONTHS.get(m.group(1))
+    if mon is None:
+        return None
+    try:
+        dt = datetime(year, mon, int(m.group(2)), int(m.group(3)),
+                      int(m.group(4)), int(m.group(5)), tzinfo=timezone.utc)
+    except ValueError:
+        return None
+    return int(dt.timestamp()) * 1_000_000_000
+
+
+def decode_one(line: str, ts_ns: int, out: RecordBuilder, row: int, sub: int = 0):
+    m = line.strip()
+    n = ts_ns  # the reproducible now()
+
+    def default_msg():
+        out.add(row, sub=sub, tr=n, tg=n, msg=m)
+
+    if not m.startswith("<"):
+        return default_msg()
+    pri_end = m.find(">")
+    if pri_end <= 1:
+        return default_msg()
+    try:
+        pri = int(m[1:pri_end])
+    except ValueError:
+        return default_msg()
+    fac, sev = pri // 8, pri % 8
+
+    def emit(tr=0, host="", app="", proc="", msg=""):
+        out.add(row, sub=sub, pri=pri, fac=fac, sev=sev, tr=tr, tg=n,
+                host=host, app=app, proc=proc, msg=msg)
+
+    rest = m[pri_end + 1:].strip()
+    if not rest:
+        return emit(tr=0)
+
+    s = rest.split(" ")
+    if "0" <= rest[0] <= "9":
+        tr = _parse_rfc3339_ns(s[0])
+        if tr is None:
+            return emit(tr=n, msg=rest)
+        if len(s) == 1:
+            return emit(tr=tr)
+        s = s[1:]
+    else:
+        if len(s) < 3:
+            return emit(tr=n, msg=rest)
+        year = datetime.fromtimestamp(n / 1e9, tz=timezone.utc).year
+        tr = _old_stamp_ns(s[0:3], year)
+        if tr is None:
+            return emit(tr=n, msg=rest)
+        if len(s) == 3:
+            return emit(tr=tr)
+        s = s[3:]
+
+    if len(s) == 1:
+        return emit(tr=tr, msg=s[0])
+
+    if len(s) == 2:
+        if s[0].count(":") == 7 or s[0].count(".") == 3:
+            # looks like an IPv6/IPv4 address
+            if any(c in s[1] for c in _TAG_CHARS):
+                app, proc = parse_tag(s[1])
+                return emit(tr=tr, host=s[0], app=app, proc=proc)
+            return emit(tr=tr, host=s[0], msg=s[1])
+        if any(c in s[0] for c in _TAG_CHARS):
+            app, proc = parse_tag(s[0])
+            return emit(tr=tr, app=app, proc=proc, msg=s[1])
+        if any(c in s[1] for c in _TAG_CHARS):
+            # reference bug kept: tag parsed from s[0] (rfc3164_format.go:147-152)
+            app, proc = parse_tag(s[0])
+            return emit(tr=tr, host=s[0], app=app, proc=proc)
+        return emit(tr=tr, app=s[0], msg=s[1])
+
+    if any(c in s[0] for c in _TAG_CHARS) or not is_hostname(s[0]):
+        app, proc = parse_tag(s[0])
+        return emit(tr=tr, app=app, proc=proc, msg=" ".join(s[1:]))
+    app, proc = parse_tag(s[1])
+    return emit(tr=tr, host=s[0], app=app, proc=proc, msg=" ".join(s[2:]))
+
+
+def decode_block(texts, ts_ns, out: RecordBuilder, cfg=None):
+    for row, (line, n) in enumerate(zip(texts, ts_ns)):
+        if line is None or line == "":
+            continue  # ParsersEnv.Parse: empty input → no message (decode.go:104-106)
+        decode_one(line, n, out, row)

@@ -1,0 +1,191 @@
+"""Encoders — sink serialization formats (registry: encoders/encoder.go:57-69).
+
+Each encoder is ``encode(rec: dict) -> str | None``; ``None`` means the
+record cannot be serialized in that format → PermError, mirroring
+baseDestination.ForEach mapping encoding errors to permanent errors
+(store/dests/base.go:207-265).
+
+Canonicalization decisions (SURVEY.md §7 "what's hard" #1): the reference
+iterates Go maps (random order) when writing structured data / properties
+and formats times in the local zone via ``time.Unix``; we define sorted
+key order and UTC everywhere, on both engine and oracle sides.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta, timezone
+
+from ..constants import FACILITIES
+from ..schema import props_loads
+
+_EPOCH0 = datetime(1970, 1, 1, tzinfo=timezone.utc)
+_MONTH = ["", "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+          "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+
+def _dt_from_ns(ns: int) -> datetime:
+    return _EPOCH0 + timedelta(microseconds=ns // 1000)
+
+
+def rfc3339_from_ns(ns: int) -> str:
+    """Go time.Format(time.RFC3339) for a UTC time, whole seconds."""
+    dt = _EPOCH0 + timedelta(seconds=ns // 1_000_000_000)
+    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def rfc3339nano_from_ns(ns: int) -> str:
+    """Go time.Format(time.RFC3339Nano): trailing zeros trimmed."""
+    sec, rem = divmod(ns, 1_000_000_000)
+    base = (_EPOCH0 + timedelta(seconds=sec)).strftime("%Y-%m-%dT%H:%M:%S")
+    if rem:
+        frac = f"{rem:09d}".rstrip("0")
+        return f"{base}.{frac}Z"
+    return base + "Z"
+
+
+def stamp_from_ns(ns: int) -> str:
+    """Go time.Format("Jan _2 15:04:05") — space-padded day."""
+    dt = _EPOCH0 + timedelta(seconds=ns // 1_000_000_000)
+    return f"{_MONTH[dt.month]} {dt.day:2d} {dt:%H:%M:%S}"
+
+
+def _printable_ascii(s: str) -> bool:
+    return all(33 <= ord(c) <= 126 for c in s)
+
+
+def _valid_sd_name(s: str) -> bool:
+    return all(33 <= ord(c) <= 126 and c not in '=]"' for c in s)
+
+
+def _escape_sd(s: str) -> str:
+    """encoders/rfc5424.go:84-110 — escape \\ " ]."""
+    out = []
+    for c in s:
+        if c in ('\\', '"', ']'):
+            out.append("\\")
+        out.append(c)
+    return "".join(out)
+
+
+def _nilify(x: str) -> str:
+    return x if x else "-"
+
+
+def encode_rfc5424(rec: dict) -> str | None:
+    """encoders/rfc5424.go:124-184 (validation at 35-75)."""
+    host, app = rec["hostname"], rec["appname"]
+    proc, msgid = rec["procid"], rec["msgid"]
+    if not _printable_ascii(host) or len(host) > 255:
+        return None
+    if not _printable_ascii(app) or len(app) > 48:
+        return None
+    if not _printable_ascii(proc) or len(proc) > 128:
+        return None
+    if not _printable_ascii(msgid) or len(msgid) > 32:
+        return None
+    props = props_loads(rec["properties"])
+    for sid, kv in props.items():
+        if not _valid_sd_name(sid):
+            return None
+        for name in kv:
+            if not _valid_sd_name(name):
+                return None
+    parts = [
+        f"<{rec['priority']}>1 {rfc3339_from_ns(rec['time_reported'])} "
+        f"{_nilify(host)} {_nilify(app)} {_nilify(proc)} {_nilify(msgid)} "
+    ]
+    if not props:
+        parts.append("-")
+    for sid in sorted(props):
+        parts.append(f"[{sid}")
+        for name in sorted(props[sid]):
+            parts.append(f' {name[:32]}="{_escape_sd(props[sid][name])}"')
+        parts.append("]")
+    if rec["message"]:
+        parts.append(" ")
+        parts.append(rec["message"])
+    return "".join(parts)
+
+
+def encode_rfc3164(rec: dict) -> str | None:
+    """encoders/rfc3164.go:26-45. Deviation: empty hostname falls back to
+    the constant "localhost" instead of os.Hostname() (determinism)."""
+    proc = rec["procid"].strip()
+    procpart = f"[{proc}]" if proc else ""
+    host = rec["hostname"].strip() or "localhost"
+    return (f"<{rec['priority']}>{stamp_from_ns(rec['time_reported'])} "
+            f"{host} {rec['appname']}{procpart}: {rec['message']}")
+
+
+def encode_json(rec: dict) -> str | None:
+    """RegularSyslog JSON (encoders/json.go:31-44, model/types.go:244-261).
+
+    ffjson field order kept; omitempty honored; times canonicalized to UTC
+    RFC3339Nano (the reference marshals local times — non-deterministic)."""
+    sev = rec["severity"]
+    fac = rec["facility"]
+    d = {
+        "facility": FACILITIES[fac] if 0 <= fac < 24 else "info",
+        "severity": ("emerg", "alert", "crit", "err", "warning", "notice",
+                     "info", "debug")[sev] if 0 <= sev < 8 else "info",
+        "timereported": rfc3339nano_from_ns(rec["time_reported"]),
+        "timegenerated": rfc3339nano_from_ns(rec["time_generated"]),
+    }
+    for key, col in (("hostname", "hostname"), ("appname", "appname"),
+                     ("procid", "procid"), ("msgid", "msgid"),
+                     ("message", "message")):
+        if rec[col]:
+            d[key] = rec[col]
+    props = props_loads(rec["properties"])
+    if props:
+        d["properties"] = {k: dict(sorted(v.items())) for k, v in sorted(props.items())}
+    return json.dumps(d, separators=(",", ":"), ensure_ascii=False)
+
+
+def encode_file(rec: dict) -> str | None:
+    """encoders/file.go:11-37: "TS host app msg" with '-' placeholders."""
+    return (f"{rfc3339_from_ns(rec['time_reported'])} "
+            f"{rec['hostname'] or '-'} {rec['appname'] or '-'} {rec['message']}")
+
+
+def encode_gelf(rec: dict) -> str | None:
+    """encoders/gelf.go:15-44: GELF 1.1 JSON; properties domains become
+    nested extra objects, plus facility/appname/procid/msgid extras
+    (note: written WITHOUT the GELF ``_`` prefix, as the reference does).
+    Extras emitted in sorted key order (canonical)."""
+    fac = rec["facility"]
+    extra = {k: dict(sorted(v.items())) for k, v in props_loads(rec["properties"]).items()}
+    extra["facility"] = FACILITIES[fac] if 0 <= fac < 24 else "info"
+    if rec["appname"]:
+        extra["appname"] = rec["appname"]
+    if rec["procid"]:
+        extra["procid"] = rec["procid"]
+    if rec["msgid"]:
+        extra["msgid"] = rec["msgid"]
+    d = {
+        "version": "1.1",
+        "host": rec["hostname"],
+        "short_message": rec["message"],
+        "timestamp": rec["time_reported"] / 1_000_000_000,
+        "level": rec["severity"],
+    }
+    for k in sorted(extra):
+        d[k] = extra[k]
+    return json.dumps(d, separators=(",", ":"), ensure_ascii=False)
+
+
+ENCODERS = {
+    "rfc5424": encode_rfc5424,
+    "rfc3164": encode_rfc3164,
+    "json": encode_json,
+    "file": encode_file,
+    "gelf": encode_gelf,
+}
+
+
+def get_encoder(name: str):
+    try:
+        return ENCODERS[name]
+    except KeyError:
+        raise ValueError(f"unknown encoder: {name}") from None

@@ -1,0 +1,136 @@
+"""The flagship pipeline: read → parse → enrich → route → fan-out → write
+→ aggregate, on Ray Data's streaming executor.
+
+Ray lifecycle equivalent of `skewer serve` (SURVEY.md §3.4): transcripts
+Parquet stands in for the socket sources, the parse stage for the NumCPU
+parser goroutines, the router actor pool for the per-dest Forwarder, the
+partitioned Parquet write for Kafka/file/stderr destinations, and the
+final groupby for the Prometheus counters gather
+(metrics/metrics.go:38-75).
+
+Scale notes:
+- reads prune to the six transcript columns;
+- parse/route/fanout are map_batches (streaming, no materialization);
+- the only shuffle is the final small groupby over (sink, status, route)
+  count partials;
+- sink writes are hive-partitioned by (sink, status, route) so reruns
+  can skip finished partitions (state/manifest.py).
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from ..config import PipelineConfig, default_config
+from ..gen import ensure_transcripts
+from ..stages import EnrichStage, FanoutEncodeStage, ParseStage, RouterStage
+
+PARSE_BATCH = 8192  # mirrors store batch 5000..8k (conf/defaults.go:320)
+
+
+def _auto_concurrency():
+    """Autoscaling actor-pool size (1, ncpus): the streaming executor
+    balances the pools against read/write stages via backpressure, so no
+    single pool can reserve every CPU (runtime.NumCPU() goroutines per
+    source in the reference, services/network/tcp.go:87-98)."""
+    import ray
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        ncpu = 4
+    return (1, max(2, ncpu))
+
+
+def read_transcripts(path_or_sfdir: str):
+    """Accepts either a testdata sf-dir (→ deterministic synthetic
+    transcripts for that scale) or a path to transcript parquet."""
+    import os
+    base = os.path.basename(os.path.normpath(path_or_sfdir))
+    if base.startswith("sf"):
+        path = ensure_transcripts(path_or_sfdir)
+    else:
+        path = path_or_sfdir
+    return rd.read_parquet(
+        path,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+    )
+
+
+def build_parsed(ds, config: PipelineConfig | None = None,
+                 concurrency=None):
+    config = config or default_config()
+    return ds.map_batches(
+        ParseStage,
+        fn_constructor_kwargs={"decoder_for_family": config.decoder_for_family,
+                               "custom_parsers": config.custom_parsers},
+        batch_format="pyarrow",
+        batch_size=PARSE_BATCH,
+        concurrency=concurrency or _auto_concurrency(),
+    )
+
+
+def build_routed(ds, config: PipelineConfig | None = None, concurrency=None):
+    config = config or default_config()
+    parsed = build_parsed(ds, config, concurrency=concurrency)
+    enriched = parsed.map_batches(
+        EnrichStage,
+        fn_constructor_kwargs={"role_lookup": config.role_lookup,
+                               "tool_lookup": config.tool_lookup},
+        batch_format="pyarrow",
+        batch_size=PARSE_BATCH,
+        concurrency=concurrency or _auto_concurrency(),
+    )
+    return enriched.map_batches(
+        RouterStage,
+        fn_constructor_kwargs={"hooks": config.hooks},
+        batch_format="pyarrow",
+        batch_size=PARSE_BATCH,
+        concurrency=concurrency or _auto_concurrency(),
+    )
+
+
+def build_fanout(ds, config: PipelineConfig | None = None, concurrency=None):
+    config = config or default_config()
+    routed = build_routed(ds, config, concurrency=concurrency)
+    return routed.map_batches(
+        FanoutEncodeStage,
+        fn_constructor_kwargs={"sinks": config.sinks},
+        batch_format="pyarrow",
+        batch_size=PARSE_BATCH,
+        concurrency=concurrency or _auto_concurrency(),
+    )
+
+
+def sink_counts(fanout_ds):
+    """Per-(sink,status,route) counts — the per-sink aggregate artifact the
+    north star compares (replaces store/store.go:77-123 counters)."""
+    return fanout_ds.groupby(["sink", "status", "route"]).count()
+
+
+def run_flagship(input_path: str, out_dir: str,
+                 config: PipelineConfig | None = None):
+    """Execute the full job: fan-out write + metrics artifact.
+
+    Returns the metrics as a pandas DataFrame (small), having written
+    partitioned parquet under ``out_dir/data`` and ``out_dir/metrics``.
+    """
+    import json
+    import os
+
+    config = config or default_config()
+    ds = read_transcripts(input_path)
+    fan = build_fanout(ds, config)
+    fan.write_parquet(os.path.join(out_dir, "data"),
+                      partition_cols=["sink", "status", "route"])
+    # metrics from the written output (cheap column scan; no recompute of
+    # the parse/route stages)
+    written = rd.read_parquet(os.path.join(out_dir, "data"),
+                              columns=["sink", "status", "route"])
+    counts = written.groupby(["sink", "status", "route"]).count().to_pandas()
+    counts = counts.sort_values(["sink", "status", "route"]).reset_index(drop=True)
+    os.makedirs(os.path.join(out_dir, "metrics"), exist_ok=True)
+    counts.to_json(os.path.join(out_dir, "metrics", "sink_counts.json"),
+                   orient="records")
+    with open(os.path.join(out_dir, "metrics", "summary.json"), "w") as fh:
+        json.dump({"total_rows": int(counts["count()"].sum())}, fh)
+    return counts

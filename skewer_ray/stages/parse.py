@@ -1,0 +1,107 @@
+"""Parse stage: transcript batch → parsed syslog records (Arrow in/out).
+
+The Ray-side equivalent of skewer's per-source parser goroutines
+(services/network/tcp.go:145-196: frame → ParsersEnv.Parse → FullMessage
+with ULID + ConfId). Decoder selection: family = conv_index % 12 (the
+generator's per-conv round-robin, standing in for per-source ConfId
+config). 1→N decoders (W3C multi-line payloads) expand rows with
+``sub_idx``; the deterministic ``uid = conv_id:turn_idx:sub_idx`` replaces
+the random ULID (utils/ulid.go:16-177).
+
+Used as ``map_batches(ParseStage(cfg), batch_format="pyarrow")`` — a
+callable class so decoder construction (registry lookup, custom-parser
+compilation) happens once per actor, not once per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..decoders import DecoderConfig, RecordBuilder, get_decoder
+from ..gen import N_FAMILIES
+from ..schema import RECORD_SCHEMA
+
+
+def family_array(conv_ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized conv_index % N_FAMILIES from 'conv-NNNNNNNN' strings."""
+    idx = pc.cast(pc.utf8_slice_codeunits(conv_ids, 5, 99), pa.int64())
+    return (idx.to_numpy(zero_copy_only=False) % N_FAMILIES).astype(np.int64)
+
+
+class ParseStage:
+    def __init__(self, decoder_for_family: dict[int, DecoderConfig] | None = None,
+                 single: DecoderConfig | None = None,
+                 custom_parsers: dict | None = None):
+        # user parsers are registered HERE (once per actor/process) — the
+        # equivalent of compiling JS parser funcs per VM-pool entry
+        # (decoders/decode.go:85-99); cloudpickle ships the callables.
+        if custom_parsers:
+            from ..decoders import register_custom_parser
+            for name, fn in custom_parsers.items():
+                register_custom_parser(name, fn)
+        if single is not None:
+            self.cfgs = {f: single for f in range(N_FAMILIES)}
+        else:
+            self.cfgs = dict(decoder_for_family or {})
+        self.decoders = {f: (get_decoder(c), c) for f, c in self.cfgs.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fam = family_array(batch["conv_id"])
+        texts = batch["text"].to_pylist()
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        ts_ns_all = ts_us * 1000
+
+        out_parts = []
+        for f in np.unique(fam):
+            dec, cfg = self.decoders[int(f)]
+            rows = np.nonzero(fam == f)[0]
+            sub_texts = [texts[i] for i in rows]
+            sub_ns = ts_ns_all[rows]
+            b = RecordBuilder()
+            dec(sub_texts, sub_ns.tolist(), b, cfg)
+            if not len(b):
+                continue
+            src = rows[np.asarray(b.row_idx, dtype=np.int64)]
+            out_parts.append(self._assemble(batch, src, b))
+        if not out_parts:
+            return RECORD_SCHEMA.empty_table()
+        return pa.concat_tables(out_parts)
+
+    @staticmethod
+    def _assemble(batch: pa.Table, src: np.ndarray, b: RecordBuilder) -> pa.Table:
+        take = pa.array(src)
+        conv = pc.take(batch["conv_id"], take)
+        turn = pc.take(batch["turn_idx"], take)
+        sub = pa.array(b.sub_idx, pa.int32())
+        uid = pc.binary_join_element_wise(
+            pc.cast(conv, pa.string()),
+            pc.cast(pc.cast(turn, pa.int64()), pa.string()),
+            pc.cast(pc.cast(sub, pa.int64()), pa.string()),
+            ":",
+        )
+        cols = {
+            "conv_id": conv,
+            "turn_idx": turn,
+            "sub_idx": sub,
+            "uid": uid,
+            "role": pc.take(batch["role"], take),
+            "tool": pc.take(batch["tool"], take),
+            "ts": pc.take(batch["ts"], take),
+            "parse_ok": pa.array(b.parse_ok, pa.bool_()),
+            "priority": pa.array(b.priority, pa.int32()),
+            "facility": pa.array(b.facility, pa.int32()),
+            "severity": pa.array(b.severity, pa.int32()),
+            "version": pa.array(b.version, pa.int32()),
+            "time_reported": pa.array(b.time_reported, pa.int64()),
+            "time_generated": pa.array(b.time_generated, pa.int64()),
+            "hostname": pa.array(b.hostname, pa.string()),
+            "appname": pa.array(b.appname, pa.string()),
+            "procid": pa.array(b.procid, pa.string()),
+            "msgid": pa.array(b.msgid, pa.string()),
+            "structured": pa.array(b.structured, pa.string()),
+            "message": pa.array(b.message, pa.string()),
+            "properties": pa.array(b.properties, pa.string()),
+        }
+        return pa.table(cols, schema=RECORD_SCHEMA)

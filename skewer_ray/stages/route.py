@@ -1,0 +1,89 @@
+"""Routing stage — the Forwarder re-expressed as an actor-pool map_batches.
+
+Mirrors store/forwarder.go:126-219: per message compute topic /
+partition key / partition number (kafka-like dests only), then run the
+filter hook: DROPPED → acked-but-not-delivered, REJECTED → retry later,
+PASS → deliver (with hook mutations written back,
+javascript/vm.go:427-436), anything else → PermError. Hook environments
+are compiled once per actor per ConfId (forwarder.go:133-156) — here the
+HookSet arrives pre-built in ``__init__`` and is cached per conf key.
+
+Generic hooks are arbitrary Python callables ⇒ a per-row loop over just
+the columns the hooks read; the stage pulls only those columns out of the
+Arrow batch and writes back whole replacement columns (the batch stays
+zero-copy for every untouched column).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import HookSet
+from ..constants import FILTER_NAMES, FILTER_PASS
+
+# columns exposed to hooks (a superset of what templates/filters touch)
+_HOOK_COLS = [
+    "conv_id", "turn_idx", "role", "tool", "priority", "facility",
+    "severity", "version", "hostname", "appname", "procid", "msgid",
+    "message", "time_reported",
+]
+_MUTABLE = ["hostname", "appname", "procid", "msgid", "message"]
+
+
+class RouterStage:
+    def __init__(self, hooks: HookSet | dict[str, HookSet]):
+        # single HookSet or per-conf_id dict (the per-ConfId env cache)
+        if isinstance(hooks, HookSet):
+            self.hooks_for = {None: hooks}
+        else:
+            self.hooks_for = dict(hooks)
+        self.default = self.hooks_for.get(None) or next(iter(self.hooks_for.values()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: batch[c].to_pylist() for c in _HOOK_COLS if c in batch.column_names}
+        parse_ok = batch["parse_ok"].to_pylist() if "parse_ok" in batch.column_names \
+            else [True] * n
+
+        topics = [""] * n
+        pkeys = [""] * n
+        pnums = [0] * n
+        fres = [FILTER_PASS] * n
+        fstatus = ["passing"] * n
+        mutated: dict[str, list] = {}
+
+        hook = self.default
+        names = list(cols.keys())
+        col_lists = [cols[c] for c in names]
+        for i in range(n):
+            if not parse_ok[i]:
+                fres[i] = -1
+                fstatus[i] = "parse_error"
+                continue
+            rec = {name: col[i] for name, col in zip(names, col_lists)}
+            # date helper for filename templates (model/types.go Date())
+            topics[i] = hook.topic(rec)
+            pkeys[i] = hook.partition_key(rec)
+            pnums[i] = hook.partition_number(rec)
+            code, mut = hook.filter(rec)
+            fres[i] = code
+            fstatus[i] = FILTER_NAMES.get(code, "error")
+            if code == FILTER_PASS and mut:
+                for k, v in mut.items():
+                    if k not in mutated:
+                        if k not in cols:
+                            continue
+                        mutated[k] = list(cols[k])
+                    mutated[k][i] = v
+
+        for k, vals in mutated.items():
+            if k in _MUTABLE:
+                idx = batch.column_names.index(k)
+                batch = batch.set_column(idx, k, pa.array(vals, pa.string()))
+
+        return (batch
+                .append_column("topic", pa.array(topics, pa.string()))
+                .append_column("partition_key", pa.array(pkeys, pa.string()))
+                .append_column("partition_number", pa.array(pnums, pa.int32()))
+                .append_column("filter_result", pa.array(fres, pa.int32()))
+                .append_column("filter_status", pa.array(fstatus, pa.string())))
