@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in skewer_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The transcript corpus (BASELINE.json.input_hint schema) is synthesized
+deterministically per scale factor under /tmp/skewer_ray_testdata/<sf>/
+by skewer_ray.gen.ensure_transcripts — both the Ray queries and the
+DuckDB oracle SQL read the exact same parquet files.
 """
 
 from __future__ import annotations
@@ -18,27 +14,62 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+ORACLE_SF = "sf0.01"  # the driver's correctness scale
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: parse → enrich → route → fan-out →
+    per-sink aggregate counts."""
+    from skewer_ray.pipelines.flagship import build_fanout, read_transcripts, sink_counts
+    ds = read_transcripts("/root/testdata/sf0.001")
+    return sink_counts(build_fanout(ds))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from skewer_ray.pipelines import queries as q
+    out: dict[str, Callable[[str], Any]] = {
+        # decoder family queries (SURVEY.md §2.2)
+        "parse_rfc5424": q.q_parse_rfc5424,
+        "parse_rfc3164": q.q_parse_rfc3164,
+        "parse_degenerate": q.q_parse_degenerate,
+        "parse_json": q.q_parse_json,
+        "parse_rsyslogjson": q.q_parse_rsyslogjson,
+        "parse_gelf": q.q_parse_gelf,
+        "parse_influx": q.q_parse_influx,
+        "parse_w3c": q.q_parse_w3c,
+        "parse_ltsv": q.q_parse_ltsv,
+        "parse_custom": q.q_parse_custom,
+        # routing / filter / sinks (§2.3, §2.5)
+        "route_topics": q.q_route_topics,
+        "route_partition_keys": q.q_route_partition_keys,
+        "filter_results": q.q_filter_results,
+        "sink_counts": q.q_sink_counts,
+        "file_sink_routes": q.q_file_sink_routes,
+        "routed_rows_kafka": q.q_routed_rows_kafka,
+        # encoders (§2.4) — byte-equality surfaces
+        "encode_rfc5424": q.q_encode_rfc5424,
+        "encode_rfc3164": q.q_encode_rfc3164,
+        # enrichment + metrics (§2.3, §2.6)
+        "enrich_groups": q.q_enrich_groups,
+        "metrics_incoming": q.q_metrics_incoming,
+    }
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB equivalents at the driver's correctness scale (sf0.01).
+
+    Generating the transcripts here guarantees the absolute paths inside
+    the SQL exist regardless of Ray/oracle execution order."""
+    from skewer_ray.gen import ensure_transcripts
+    from skewer_ray.pipelines.oracles import oracle_sql_for
+    ensure_transcripts(f"/root/testdata/{ORACLE_SF}")
+    return oracle_sql_for(ORACLE_SF)
+
+
+def oracle_sql_for_sf(sf_name: str) -> dict[str, str]:
+    """Non-driver helper: oracles for another scale (tools/check_correctness)."""
+    from skewer_ray.gen import ensure_transcripts
+    from skewer_ray.pipelines.oracles import oracle_sql_for
+    ensure_transcripts(f"/root/testdata/{sf_name}")
+    return oracle_sql_for(sf_name)

@@ -1,0 +1,286 @@
+"""DuckDB oracle SQL for every SQL-expressible query in queries.py.
+
+The SQL re-derives every field from the transcript ``text`` column alone
+(regexp/json/split), independently of the engine's decoders — an
+independent second implementation of the same wire-format semantics over
+the generated corpus. Family = conv_index % 12 mirrors the generator's
+per-conv decoder assignment.
+
+Transcripts are referenced by absolute path (the driver's DuckDB session
+pre-registers only the testdata views); ``ensure_transcripts`` guarantees
+the files exist before any SQL runs.
+"""
+
+from __future__ import annotations
+
+from ..constants import FACILITIES, SEVERITIES
+from ..gen import DATA_ROOT, FAMILY_NAMES
+
+
+def _tpath(sf_name: str) -> str:
+    return f"{DATA_ROOT}/{sf_name}/transcripts.parquet/part-*.parquet"
+
+
+def _lit(v) -> str:
+    return str(v) if isinstance(v, int) else "'" + str(v).replace("'", "''") + "'"
+
+
+def _case(col_expr: str, mapping: dict, default) -> str:
+    whens = " ".join(f"WHEN {_lit(k)} THEN {_lit(v)}" for k, v in mapping.items())
+    return f"CASE {col_expr} {whens} ELSE {_lit(default)} END"
+
+
+_FAC_CASE = _case("json_extract_string(jtext,'$.facility')",
+                  {name: i for i, name in enumerate(FACILITIES)}, 1)
+_SEV_CASE = _case("json_extract_string(jtext,'$.severity')",
+                  {name: i for i, name in enumerate(SEVERITIES)}, 6)
+
+_T3339 = "'%Y-%m-%dT%H:%M:%SZ'"
+
+# --- per-family field expressions over the generated corpus ---------------
+
+_PRI = f"""CASE
+  WHEN fam IN (0,1) THEN CAST(regexp_extract(text,'^<(\\d+)>',1) AS INTEGER)
+  WHEN fam IN (2,3) THEN CAST(regexp_extract(text,'^<(\\d+)>',1) AS INTEGER)
+  WHEN fam = 4 THEN CASE WHEN regexp_matches(text,'^<\\d+>$')
+        THEN CAST(regexp_extract(text,'^<(\\d+)>$',1) AS INTEGER) ELSE 0 END
+  WHEN fam = 5 THEN ({_FAC_CASE})*8 + ({_SEV_CASE})
+  WHEN fam = 6 THEN CAST(json_extract_string(jtext,'$.pri') AS INTEGER)
+  WHEN fam = 7 THEN 8 + CAST(json_extract(jtext,'$.level') AS INTEGER)
+  WHEN fam = 8 THEN 134
+  WHEN fam = 9 THEN 0
+  WHEN fam = 10 THEN 14
+  ELSE 133 END"""
+
+_HOST = """CASE
+  WHEN fam IN (0,1) THEN CASE WHEN split_part(text,' ',3)='-' THEN '' ELSE split_part(text,' ',3) END
+  WHEN fam = 2 THEN split_part(text,' ',4)
+  WHEN fam = 3 THEN split_part(text,' ',2)
+  WHEN fam = 4 THEN ''
+  WHEN fam = 5 THEN json_extract_string(jtext,'$.hostname')
+  WHEN fam = 6 THEN json_extract_string(jtext,'$.hostname')
+  WHEN fam = 7 THEN json_extract_string(jtext,'$.host')
+  WHEN fam = 8 THEN regexp_extract(text,'host=([^,]+),',1)
+  WHEN fam = 9 THEN ''
+  WHEN fam = 10 THEN regexp_extract(text,'host:([^\t]*)',1)
+  ELSE '' END"""
+
+_APP = """CASE
+  WHEN fam IN (0,1) THEN CASE WHEN split_part(text,' ',4)='-' THEN '' ELSE split_part(text,' ',4) END
+  WHEN fam = 2 THEN regexp_extract(split_part(text,' ',5),'^([^\\[]*)\\[',1)
+  WHEN fam = 3 THEN rtrim(split_part(text,' ',3), ':')
+  WHEN fam = 4 THEN ''
+  WHEN fam = 5 THEN json_extract_string(jtext,'$.appname')
+  WHEN fam = 6 THEN json_extract_string(jtext,'$."app-name"')
+  WHEN fam = 7 THEN ''
+  WHEN fam = 8 THEN 'influxdb'
+  WHEN fam = 9 THEN ''
+  WHEN fam = 10 THEN regexp_extract(text,'app:([^\t]*)',1)
+  ELSE split_part(text,'|',2) END"""
+
+_PROC = """CASE
+  WHEN fam IN (0,1) THEN CASE WHEN split_part(text,' ',5)='-' THEN '' ELSE split_part(text,' ',5) END
+  WHEN fam = 2 THEN regexp_extract(split_part(text,' ',5),'\\[(\\d+)\\]',1)
+  WHEN fam = 5 THEN json_extract_string(jtext,'$.procid')
+  WHEN fam = 6 THEN json_extract_string(jtext,'$.procid')
+  ELSE '' END"""
+
+_MSGID = """CASE
+  WHEN fam IN (0,1) THEN CASE WHEN split_part(text,' ',6)='-' THEN '' ELSE split_part(text,' ',6) END
+  WHEN fam = 5 THEN json_extract_string(jtext,'$.msgid')
+  WHEN fam = 6 THEN json_extract_string(jtext,'$.msgid')
+  ELSE '' END"""
+
+_MSG = """CASE
+  WHEN fam = 0 THEN regexp_extract(text,'\\] (.*)$',1)
+  WHEN fam = 1 THEN regexp_extract(text,'^<\\d+>1 \\S+ \\S+ \\S+ - - - (.*)$',1)
+  WHEN fam = 2 THEN regexp_extract(text,'\\]: (.*)$',1)
+  WHEN fam = 3 THEN regexp_extract(text,'^\\S+ \\S+ \\S+ (.*)$',1)
+  WHEN fam = 4 THEN CASE WHEN regexp_matches(text,'^<\\d+>$') THEN '' ELSE text END
+  WHEN fam = 5 THEN json_extract_string(jtext,'$.message')
+  WHEN fam = 6 THEN trim(json_extract_string(jtext,'$.msg'))
+  WHEN fam = 7 THEN json_extract_string(jtext,'$.short_message')
+  WHEN fam = 8 THEN regexp_extract(text,'^([^,]+),',1)
+  WHEN fam = 9 THEN ''
+  WHEN fam = 10 THEN regexp_extract(text,'msg:([^\t]*)',1)
+  ELSE split_part(text,'|',3) END"""
+
+_TR = f"""CASE
+  WHEN fam IN (0,1) THEN CASE WHEN split_part(text,' ',2)='-' THEN ts
+       ELSE strptime(split_part(text,' ',2), {_T3339}) END
+  WHEN fam = 2 THEN make_timestamp(
+       CAST(strftime(ts,'%Y') AS BIGINT), 1, CAST(split_part(text,' ',2) AS BIGINT),
+       CAST(split_part(split_part(text,' ',3),':',1) AS BIGINT),
+       CAST(split_part(split_part(text,' ',3),':',2) AS BIGINT),
+       CAST(split_part(split_part(text,' ',3),':',3) AS DOUBLE))
+  WHEN fam = 3 THEN strptime(regexp_extract(text,'^<\\d+>(\\S+)',1), {_T3339})
+  WHEN fam = 4 THEN CASE WHEN regexp_matches(text,'^<\\d+>$')
+       THEN TIMESTAMP '1970-01-01 00:00:00' ELSE ts END
+  WHEN fam = 5 THEN strptime(json_extract_string(jtext,'$.timereported'), {_T3339})
+  WHEN fam = 6 THEN strptime(json_extract_string(jtext,'$.timereported'), {_T3339})
+  WHEN fam = 7 THEN make_timestamp(CAST(json_extract(jtext,'$.timestamp') AS BIGINT)*1000000)
+  WHEN fam = 8 THEN make_timestamp(CAST(regexp_extract(text,' (\\d+)$',1) AS BIGINT)//1000)
+  WHEN fam = 9 THEN TIMESTAMP '1970-01-01 00:00:00'
+  WHEN fam = 10 THEN strptime(regexp_extract(text,'time:([^\t]*)',1), {_T3339})
+  ELSE ts END"""
+
+_VER = """CASE WHEN fam IN (0,1,5,6,7,8) THEN 1 ELSE 0 END"""
+
+
+def parsed_cte(sf_name: str) -> str:
+    """Shared CTE: the SQL mirror of parse+route over the generated corpus."""
+    return f"""
+WITH raw0 AS (
+  SELECT conv_id, turn_idx, role, tool, text, ts,
+         CAST(substr(conv_id,6) AS INTEGER)%12 AS fam
+  FROM read_parquet('{_tpath(sf_name)}')
+),
+raw AS (
+  -- jtext: NULL for malformed JSON so json_extract never raises
+  SELECT *, CASE WHEN fam IN (5,6,7) AND json_valid(text) THEN text END AS jtext
+  FROM raw0
+),
+parsed AS (
+  SELECT conv_id, turn_idx, role, tool, text, ts, fam,
+    (fam = 5 AND NOT json_valid(text)) AS parse_error,
+    CAST({_PRI} AS INTEGER) AS priority,
+    CAST(({_PRI})//8 AS INTEGER) AS facility,
+    CAST(({_PRI})%8 AS INTEGER) AS severity,
+    CAST({_VER} AS INTEGER) AS version,
+    {_HOST} AS hostname,
+    {_APP} AS appname,
+    {_PROC} AS procid,
+    {_MSGID} AS msgid,
+    {_MSG} AS message,
+    {_TR} AS time_reported
+  FROM raw
+),
+routed AS (
+  SELECT *,
+    CASE WHEN parse_error THEN 'parse_error'
+         WHEN severity = 7 THEN 'dropped'
+         WHEN appname = 'reject-me' THEN 'rejected'
+         ELSE 'passing' END AS filter_status,
+    CASE WHEN appname <> '' THEN 'syslog-' || appname
+         ELSE 'default-topic' END AS topic,
+    'pk-' || hostname AS partition_key
+  FROM parsed
+)
+"""
+
+
+def oracle_sql_for(sf_name: str) -> dict[str, str]:
+    C = parsed_cte(sf_name)
+    syslog_cols = ("priority, facility, severity, version, hostname, "
+                   "appname, procid, msgid, message")
+    q: dict[str, str] = {}
+
+    q["parse_rfc5424"] = C + f"""
+SELECT conv_id, turn_idx, {syslog_cols}, time_reported
+FROM parsed WHERE fam IN (0,1)"""
+
+    q["parse_rfc3164"] = C + """
+SELECT conv_id, turn_idx, priority, facility, severity, hostname,
+       appname, procid, message, time_reported
+FROM parsed WHERE fam IN (2,3)"""
+
+    q["parse_degenerate"] = C + """
+SELECT conv_id, turn_idx, priority, facility, severity, hostname,
+       appname, message
+FROM parsed WHERE fam = 4"""
+
+    q["parse_json"] = C + f"""
+SELECT conv_id, turn_idx, {syslog_cols}, time_reported
+FROM parsed WHERE fam = 5 AND NOT parse_error"""
+
+    q["parse_rsyslogjson"] = C + f"""
+SELECT conv_id, turn_idx, {syslog_cols}, time_reported
+FROM parsed WHERE fam = 6"""
+
+    q["parse_gelf"] = C + f"""
+SELECT conv_id, turn_idx, {syslog_cols}, time_reported
+FROM parsed WHERE fam = 7"""
+
+    q["parse_influx"] = C + """
+SELECT conv_id, turn_idx, hostname, appname, facility, severity, version,
+       message, time_reported,
+       CAST(regexp_extract(text,'usage_idle=([0-9.]+)',1) AS DOUBLE) AS usage_idle,
+       CAST(regexp_extract(text,'count=(\\d+)i',1) AS BIGINT) AS count_val,
+       regexp_extract(text,'region=([^ ]+) ',1) AS region
+FROM parsed WHERE fam = 8"""
+
+    q["parse_w3c"] = C + """
+SELECT conv_id, turn_idx,
+       split_part(text,' ',3) AS cs_method,
+       split_part(text,' ',4) AS cs_uri,
+       split_part(text,' ',5) AS sc_status
+FROM parsed WHERE fam = 9"""
+
+    q["parse_ltsv"] = C + """
+SELECT conv_id, turn_idx, hostname, appname, message, time_reported
+FROM parsed WHERE fam = 10"""
+
+    q["parse_custom"] = C + """
+SELECT conv_id, turn_idx, priority, facility, severity, appname, message
+FROM parsed WHERE fam = 11"""
+
+    q["route_topics"] = C + """
+SELECT topic, COUNT(*) AS n FROM routed WHERE NOT parse_error GROUP BY topic"""
+
+    q["route_partition_keys"] = C + """
+SELECT partition_key, COUNT(*) AS n FROM routed WHERE NOT parse_error
+GROUP BY partition_key"""
+
+    q["filter_results"] = C + """
+SELECT filter_status, COUNT(*) AS n FROM routed GROUP BY filter_status"""
+
+    q["sink_counts"] = C + """
+SELECT s.sink, r.filter_status AS status, COUNT(*) AS n
+FROM routed r
+CROSS JOIN (VALUES ('kafka'), ('file'), ('stderr')) AS s(sink)
+WHERE NOT r.parse_error
+GROUP BY s.sink, r.filter_status
+UNION ALL
+SELECT '_parse' AS sink, 'error' AS status, COUNT(*) AS n
+FROM routed WHERE parse_error"""
+
+    q["file_sink_routes"] = C + """
+SELECT appname || '_' || strftime(time_reported, '%Y-%m-%d') AS route,
+       COUNT(*) AS n
+FROM routed WHERE filter_status = 'passing'
+GROUP BY 1"""
+
+    q["encode_rfc5424"] = C + """
+SELECT conv_id, turn_idx,
+       regexp_replace(text, ' id(\\d\\d) ', ' ID\\1 ') AS text_out
+FROM routed WHERE fam = 0 AND filter_status = 'passing'"""
+
+    q["encode_rfc3164"] = C + """
+SELECT conv_id, turn_idx, text AS text_out
+FROM routed WHERE fam = 2 AND filter_status = 'passing'"""
+
+    role_case = _case("role", {"user": "human", "assistant": "model",
+                               "system": "control", "tool": "tool"}, "unknown")
+    tool_case = _case("tool", {
+        "": "none", "grep": "search", "bash": "exec", "search": "search",
+        "browser": "web", "python": "exec", "sql": "data", "editor": "edit",
+        "calc": "data", "map": "data", "fetch": "web", "test": "exec",
+        "plan": "control", "git": "vcs", "docker": "infra", "k8s": "infra",
+    }, "unknown")
+    q["enrich_groups"] = C + f"""
+SELECT {role_case} AS role_class, {tool_case} AS tool_category,
+       COUNT(*) AS n
+FROM routed GROUP BY 1, 2"""
+
+    fam_name_case = _case("fam", dict(enumerate(FAMILY_NAMES)), "?")
+    q["metrics_incoming"] = C + f"""
+SELECT {fam_name_case} AS format, NOT parse_error AS parse_ok,
+       COUNT(*) AS n
+FROM routed GROUP BY 1, 2"""
+
+    q["routed_rows_kafka"] = C + """
+SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':0' AS uid,
+       topic, partition_key
+FROM routed WHERE filter_status = 'passing'"""
+
+    return q

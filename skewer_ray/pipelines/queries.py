@@ -1,0 +1,284 @@
+"""Driver-facing query implementations (one per SURVEY.md §2 operator).
+
+Each ``q_*(sf_dir)`` returns a ray.data.Dataset / pandas.DataFrame /
+pyarrow.Table. Column names and types are contractually shared with
+``skewer_ray.pipelines.oracles`` (the DuckDB oracle SQL) — name every
+computed column identically on both sides.
+
+Transcript queries run the real pipeline stages (parse/route/fanout) over
+the deterministic synthetic transcripts for the requested scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..config import default_config
+from ..stages.parse import family_array
+from .flagship import (build_fanout, build_parsed, build_routed,
+                       read_transcripts)
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _tr_us(col):
+    """time_reported UnixNano int64 → timestamp[us]."""
+    return pc.cast(pc.divide(col, 1000), pa.timestamp("us"))
+
+
+def _fam_mask(batch: pa.Table, fams) -> np.ndarray:
+    return np.isin(family_array(batch["conv_id"]), fams)
+
+
+def _keep_families(fams, require_ok=True):
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = _fam_mask(batch, fams)
+        if require_ok:
+            mask &= np.asarray(batch["parse_ok"].to_pylist(), dtype=bool)
+        return batch.filter(pa.array(mask))
+    return fn
+
+
+_BASE_COLS = ["conv_id", "turn_idx"]
+_SYSLOG_COLS = ["priority", "facility", "severity", "version",
+                "hostname", "appname", "procid", "msgid", "message"]
+
+
+def _std_projection(batch: pa.Table, cols) -> pa.Table:
+    out = {}
+    for c in _BASE_COLS:
+        out[c] = batch[c]
+    for c in cols:
+        out[c] = _tr_us(batch[c]) if c == "time_reported" else batch[c]
+    return pa.table(out)
+
+
+def _make_parse_query(fams, cols):
+    def q(sf_dir: str):
+        ds = build_parsed(read_transcripts(sf_dir))
+        keep = _keep_families(fams)
+
+        def proj(batch: pa.Table) -> pa.Table:
+            return _std_projection(keep(batch), cols)
+        return ds.map_batches(proj, batch_format="pyarrow")
+    return q
+
+
+# ---------------------------------------------------------------------------
+# transcript parse queries (per decoder family)
+# ---------------------------------------------------------------------------
+
+q_parse_rfc5424 = _make_parse_query(
+    [0, 1], _SYSLOG_COLS + ["time_reported"])
+q_parse_rfc3164 = _make_parse_query(
+    [2, 3], ["priority", "facility", "severity", "hostname", "appname",
+             "procid", "message", "time_reported"])
+q_parse_degenerate = _make_parse_query(
+    [4], ["priority", "facility", "severity", "hostname", "appname",
+          "message"])
+q_parse_json = _make_parse_query(
+    [5], _SYSLOG_COLS + ["time_reported"])
+q_parse_rsyslogjson = _make_parse_query(
+    [6], _SYSLOG_COLS + ["time_reported"])
+q_parse_gelf = _make_parse_query(
+    [7], _SYSLOG_COLS + ["time_reported"])
+q_parse_ltsv = _make_parse_query(
+    [10], ["hostname", "appname", "message", "time_reported"])
+q_parse_custom = _make_parse_query(
+    [11], ["priority", "facility", "severity", "appname", "message"])
+
+
+def q_parse_influx(sf_dir: str):
+    """Influx line protocol fields surfaced as typed columns (the decoder
+    stores them in properties influxdb_tags/influxdb_fields)."""
+    ds = build_parsed(read_transcripts(sf_dir))
+    keep = _keep_families([8])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        batch = keep(batch)
+        props = [json.loads(p) for p in batch["properties"].to_pylist()]
+        usage = [float(p.get("influxdb_fields", {}).get("usage_idle_float", "nan"))
+                 for p in props]
+        cnt = [int(p.get("influxdb_fields", {}).get("count_integer", "0"))
+               for p in props]
+        region = [p.get("influxdb_tags", {}).get("region", "") for p in props]
+        out = _std_projection(
+            batch, ["hostname", "appname", "facility", "severity", "version",
+                    "message", "time_reported"])
+        return (out.append_column("usage_idle", pa.array(usage, pa.float64()))
+                   .append_column("count_val", pa.array(cnt, pa.int64()))
+                   .append_column("region", pa.array(region, pa.string())))
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def q_parse_w3c(sf_dir: str):
+    ds = build_parsed(read_transcripts(sf_dir))
+    keep = _keep_families([9])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        batch = keep(batch)
+        props = [json.loads(p).get("w3c", {})
+                 for p in batch["properties"].to_pylist()]
+        out = {c: batch[c] for c in _BASE_COLS}
+        for name, key in (("cs_method", "cs-method"), ("cs_uri", "cs-uri"),
+                          ("sc_status", "sc-status")):
+            out[name] = pa.array([p.get(key, "") for p in props], pa.string())
+        return pa.table(out)
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# routing / filter / sink queries
+# ---------------------------------------------------------------------------
+
+
+def q_route_topics(sf_dir: str):
+    """Topic per parsed message (forwarder's routing decision) → counts."""
+    ds = build_routed(read_transcripts(sf_dir))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        mask = pa.array(np.asarray(batch["parse_ok"].to_pylist(), dtype=bool))
+        return batch.filter(mask).select(["topic"])
+    out = ds.map_batches(proj, batch_format="pyarrow")
+    agg = out.groupby("topic").count()
+    return agg.map_batches(
+        lambda b: pa.table({"topic": b["topic"],
+                            "n": pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_route_partition_keys(sf_dir: str):
+    ds = build_routed(read_transcripts(sf_dir))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        mask = pa.array(np.asarray(batch["parse_ok"].to_pylist(), dtype=bool))
+        return batch.filter(mask).select(["partition_key"])
+    out = ds.map_batches(proj, batch_format="pyarrow")
+    agg = out.groupby("partition_key").count()
+    return agg.map_batches(
+        lambda b: pa.table({"partition_key": b["partition_key"],
+                            "n": pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_filter_results(sf_dir: str):
+    """Per-message filter outcome counts (store/forwarder.go:192-208)."""
+    ds = build_routed(read_transcripts(sf_dir))
+    agg = ds.groupby("filter_status").count()
+    return agg.map_batches(
+        lambda b: pa.table({"filter_status": b["filter_status"],
+                            "n": pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_sink_counts(sf_dir: str):
+    """Per-(sink,status) counts after destination fan-out."""
+    ds = build_fanout(read_transcripts(sf_dir))
+    agg = ds.groupby(["sink", "status"]).count()
+    return agg.map_batches(
+        lambda b: pa.table({"sink": b["sink"], "status": b["status"],
+                            "n": pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_file_sink_routes(sf_dir: str):
+    """File-dest filename-template partitions (filedest.go:218-235) → counts."""
+    ds = build_fanout(read_transcripts(sf_dir))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(batch["sink"], "file"),
+                       pc.equal(batch["status"], "passing"))
+        return batch.filter(mask).select(["route"])
+    out = ds.map_batches(proj, batch_format="pyarrow")
+    agg = out.groupby("route").count()
+    return agg.map_batches(
+        lambda b: pa.table({"route": b["route"],
+                            "n": pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_encode_rfc5424(sf_dir: str):
+    """Byte-equality surface: canonical RFC5424 re-encode of family-0 rows
+    (their generated text is already canonical, so encode(decode(x)) == x
+    modulo the filter hook's msgid uppercase mutation)."""
+    ds = build_fanout(read_transcripts(sf_dir))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        fam = family_array(batch["conv_id"])
+        mask = (fam == 0) & np.asarray(
+            pc.and_(pc.equal(batch["sink"], "kafka"),
+                    pc.equal(batch["status"], "passing")).to_pylist(), dtype=bool)
+        batch = batch.filter(pa.array(mask))
+        return pa.table({"conv_id": batch["conv_id"],
+                         "turn_idx": batch["turn_idx"],
+                         "text_out": batch["encoded"]})
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def q_encode_rfc3164(sf_dir: str):
+    """Same byte-equality surface for the rfc3164 encoder on family-2 rows."""
+    from ..encoders import encode_rfc3164
+    ds = build_routed(read_transcripts(sf_dir))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        fam = family_array(batch["conv_id"])
+        mask = (fam == 2) & np.asarray(
+            pc.equal(batch["filter_status"], "passing").to_pylist(), dtype=bool)
+        batch = batch.filter(pa.array(mask))
+        recs = batch.select(["priority", "time_reported", "hostname",
+                             "appname", "procid", "message"]).to_pylist()
+        enc = [encode_rfc3164(r) for r in recs]
+        return pa.table({"conv_id": batch["conv_id"],
+                         "turn_idx": batch["turn_idx"],
+                         "text_out": pa.array(enc, pa.string())})
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def q_enrich_groups(sf_dir: str):
+    """Lookup-enrichment join → per-(role_class, tool_category) counts."""
+    ds = build_routed(read_transcripts(sf_dir))
+    agg = ds.groupby(["role_class", "tool_category"]).count()
+    return agg.map_batches(
+        lambda b: pa.table({"role_class": b["role_class"],
+                            "tool_category": b["tool_category"],
+                            "n": pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_metrics_incoming(sf_dir: str):
+    """Incoming/parse-error counters per format family
+    (services/base/metrics.go:16-47)."""
+    from ..gen import FAMILY_NAMES
+    ds = build_parsed(read_transcripts(sf_dir))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        fam = family_array(batch["conv_id"])
+        names = [FAMILY_NAMES[f] for f in fam]
+        ok = batch["parse_ok"]
+        return pa.table({"format": pa.array(names, pa.string()),
+                         "ok": ok})
+    out = ds.map_batches(proj, batch_format="pyarrow")
+    agg = out.groupby(["format", "ok"]).count()
+    return agg.map_batches(
+        lambda b: pa.table({"format": b["format"],
+                            "parse_ok": b["ok"],
+                            "n": pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_routed_rows_kafka(sf_dir: str):
+    """Routed-row set equality surface: uids delivered to the kafka sink."""
+    ds = build_fanout(read_transcripts(sf_dir))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(batch["sink"], "kafka"),
+                       pc.equal(batch["status"], "passing"))
+        return batch.filter(mask).select(["uid", "topic", "partition_key"])
+    return ds.map_batches(proj, batch_format="pyarrow")
