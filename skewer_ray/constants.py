@@ -22,12 +22,9 @@ S_INFO = 6
 
 
 def facility_from_string(name: str) -> int:
-    """model.FacilityFromString — unknown names fall back to 'user'(1)?
-
-    Reference: model/types.go — FacilityFromString returns RFacilities[name]
-    or the zero value; the Go map lookup yields 0 (kern) for unknown keys.
-    """
-    return R_FACILITIES.get(name, 0)
+    """model.FacilityFromString — unknown names → user(1)
+    (model/types.go:189-194)."""
+    return R_FACILITIES.get(name, F_USER)
 
 
 def severity_from_string(name: str) -> int:

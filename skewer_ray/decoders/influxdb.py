@@ -1,4 +1,4 @@
-"""InfluxDB line-protocol decoder (1 message per point).
+r"""InfluxDB line-protocol decoder (1 message per point).
 
 Semantics: decoders/influxdb.go:13-95 — appname="influxdb", Message =
 measurement, facility 16 / severity 6 / version 1, tags → properties

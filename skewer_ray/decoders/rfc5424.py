@@ -1,4 +1,4 @@
-"""RFC5424 decoder.
+r"""RFC5424 decoder.
 
 Semantics: the reference parses with a generated ANTLR grammar
 (grammars/rfc5424/RFC5424.g4:1-43, listener at

@@ -10,7 +10,9 @@ final groupby for the Prometheus counters gather
 
 Scale notes:
 - reads prune to the six transcript columns;
-- parse/route/fanout are map_batches (streaming, no materialization);
+- the whole per-record path (parse+enrich+route[+fanout]) is ONE fused
+  actor-pool map_batches: one pass, no inter-stage object-store hops,
+  and only one pool reserving CPUs (see stages/fused.py);
 - the only shuffle is the final small groupby over (sink, status, route)
   count partials;
 - sink writes are hive-partitioned by (sink, status, route) so reruns
@@ -24,21 +26,20 @@ import ray.data as rd
 from ..config import PipelineConfig, default_config
 from ..gen import ensure_transcripts
 from ..stages import EnrichStage, FanoutEncodeStage, ParseStage, RouterStage
+from ..stages.fused import FusedStage
 
 PARSE_BATCH = 8192  # mirrors store batch 5000..8k (conf/defaults.go:320)
 
 
 def _auto_concurrency():
-    """Autoscaling actor-pool size (1, ncpus): the streaming executor
-    balances the pools against read/write stages via backpressure, so no
-    single pool can reserve every CPU (runtime.NumCPU() goroutines per
-    source in the reference, services/network/tcp.go:87-98)."""
+    """Autoscaling (1, ncpus-1) pool: leaves headroom for read/write tasks
+    so a minimum-size pool can never starve the pipeline."""
     import ray
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         ncpu = 4
-    return (1, max(2, ncpu))
+    return (1, max(2, ncpu - 1))
 
 
 def read_transcripts(path_or_sfdir: str):
@@ -56,49 +57,44 @@ def read_transcripts(path_or_sfdir: str):
     )
 
 
-def build_parsed(ds, config: PipelineConfig | None = None,
-                 concurrency=None):
-    config = config or default_config()
+def _fused(ds, specs, concurrency):
     return ds.map_batches(
-        ParseStage,
-        fn_constructor_kwargs={"decoder_for_family": config.decoder_for_family,
-                               "custom_parsers": config.custom_parsers},
+        FusedStage,
+        fn_constructor_kwargs={"specs": specs},
         batch_format="pyarrow",
         batch_size=PARSE_BATCH,
         concurrency=concurrency or _auto_concurrency(),
     )
+
+
+def _parse_spec(config: PipelineConfig):
+    return (ParseStage, {"decoder_for_family": config.decoder_for_family,
+                         "custom_parsers": config.custom_parsers})
+
+
+def _enrich_spec(config: PipelineConfig):
+    return (EnrichStage, {"role_lookup": config.role_lookup,
+                          "tool_lookup": config.tool_lookup})
+
+
+def build_parsed(ds, config: PipelineConfig | None = None, concurrency=None):
+    config = config or default_config()
+    return _fused(ds, [_parse_spec(config)], concurrency)
 
 
 def build_routed(ds, config: PipelineConfig | None = None, concurrency=None):
     config = config or default_config()
-    parsed = build_parsed(ds, config, concurrency=concurrency)
-    enriched = parsed.map_batches(
-        EnrichStage,
-        fn_constructor_kwargs={"role_lookup": config.role_lookup,
-                               "tool_lookup": config.tool_lookup},
-        batch_format="pyarrow",
-        batch_size=PARSE_BATCH,
-        concurrency=concurrency or _auto_concurrency(),
-    )
-    return enriched.map_batches(
-        RouterStage,
-        fn_constructor_kwargs={"hooks": config.hooks},
-        batch_format="pyarrow",
-        batch_size=PARSE_BATCH,
-        concurrency=concurrency or _auto_concurrency(),
-    )
+    specs = [_parse_spec(config), _enrich_spec(config),
+             (RouterStage, {"hooks": config.hooks})]
+    return _fused(ds, specs, concurrency)
 
 
 def build_fanout(ds, config: PipelineConfig | None = None, concurrency=None):
     config = config or default_config()
-    routed = build_routed(ds, config, concurrency=concurrency)
-    return routed.map_batches(
-        FanoutEncodeStage,
-        fn_constructor_kwargs={"sinks": config.sinks},
-        batch_format="pyarrow",
-        batch_size=PARSE_BATCH,
-        concurrency=concurrency or _auto_concurrency(),
-    )
+    specs = [_parse_spec(config), _enrich_spec(config),
+             (RouterStage, {"hooks": config.hooks}),
+             (FanoutEncodeStage, {"sinks": config.sinks})]
+    return _fused(ds, specs, concurrency)
 
 
 def sink_counts(fanout_ds):
@@ -113,6 +109,8 @@ def run_flagship(input_path: str, out_dir: str,
 
     Returns the metrics as a pandas DataFrame (small), having written
     partitioned parquet under ``out_dir/data`` and ``out_dir/metrics``.
+    For resumable, per-partition execution with lineage records use
+    skewer_ray.state.run_partitioned instead.
     """
     import json
     import os

@@ -1,0 +1,99 @@
+"""Encoder unit tests (encoders/rfc5424.go, rfc3164.go, json.go, file.go,
+gelf.go) — validation ladders + canonical formatting."""
+
+import json
+
+from skewer_ray.encoders import (encode_file, encode_gelf, encode_json,
+                                 encode_rfc3164, encode_rfc5424,
+                                 rfc3339_from_ns, rfc3339nano_from_ns,
+                                 stamp_from_ns)
+from skewer_ray.schema import props_dumps
+
+TS = 1768435200 * 10**9 + (5 * 3600 + 10 * 60 + 2) * 10**9  # 2026-01-15T05:10:02Z
+
+
+def rec(**kw):
+    base = dict(priority=34, facility=4, severity=2, version=1,
+                time_reported=TS, time_generated=TS, hostname="host01",
+                appname="app01", procid="4321", msgid="ID47",
+                structured="", message="body", properties="{}")
+    base.update(kw)
+    return base
+
+
+def test_time_formats():
+    assert rfc3339_from_ns(TS) == "2026-01-15T05:10:02Z"
+    assert rfc3339nano_from_ns(TS + 120_000_000) == "2026-01-15T05:10:02.12Z"
+    assert stamp_from_ns(TS) == "Jan 15 05:10:02"
+    # Go "Jan _2" space padding for single-digit days
+    jan2 = (1767312000 + 2 * 86400) * 10**9  # 2026-01-04
+    assert stamp_from_ns(jan2).startswith("Jan  4")
+
+
+def test_5424_basic():
+    assert encode_rfc5424(rec()) == \
+        "<34>1 2026-01-15T05:10:02Z host01 app01 4321 ID47 - body"
+
+
+def test_5424_nilify_and_no_msg():
+    assert encode_rfc5424(rec(hostname="", appname="", procid="", msgid="",
+                              message="")) == \
+        "<34>1 2026-01-15T05:10:02Z - - - - -"
+
+
+def test_5424_sd_sorted_and_escaped():
+    p = props_dumps({"b": {"z": "1", "a": 'x"y]z\\'}, "a": {"k": "v"}})
+    out = encode_rfc5424(rec(properties=p, message=""))
+    assert out.endswith('[a k="v"][b a="x\\"y\\]z\\\\" z="1"]')
+
+
+def test_5424_validation():
+    assert encode_rfc5424(rec(hostname="h é")) is None      # non-ASCII
+    assert encode_rfc5424(rec(appname="x" * 49)) is None     # >48
+    assert encode_rfc5424(rec(msgid="x" * 33)) is None       # >32
+    p = props_dumps({"bad sid": {"k": "v"}})
+    assert encode_rfc5424(rec(properties=p)) is None         # space in sid
+    p = props_dumps({"s": {'a"b': "v"}})
+    assert encode_rfc5424(rec(properties=p)) is None         # quote in name
+
+
+def test_5424_param_name_truncated():
+    p = props_dumps({"s": {"n" * 40: "v"}})
+    out = encode_rfc5424(rec(properties=p))
+    assert '[s ' + "n" * 32 + '="v"]' in out
+
+
+def test_3164():
+    assert encode_rfc3164(rec()) == \
+        "<34>Jan 15 05:10:02 host01 app01[4321]: body"
+    assert encode_rfc3164(rec(procid="", hostname=" ")) == \
+        "<34>Jan 15 05:10:02 localhost app01: body"
+
+
+def test_file():
+    assert encode_file(rec()) == "2026-01-15T05:10:02Z host01 app01 body"
+    assert encode_file(rec(hostname="", appname="")) == \
+        "2026-01-15T05:10:02Z - - body"
+
+
+def test_json_roundtrippable():
+    out = json.loads(encode_json(rec(properties=props_dumps({"d": {"k": "v"}}))))
+    assert out == {"facility": "auth", "severity": "crit",
+                   "timereported": "2026-01-15T05:10:02Z",
+                   "timegenerated": "2026-01-15T05:10:02Z",
+                   "hostname": "host01", "appname": "app01", "procid": "4321",
+                   "msgid": "ID47", "message": "body",
+                   "properties": {"d": {"k": "v"}}}
+    # omitempty: empty strings dropped (model/types.go:210-221 json tags)
+    out = json.loads(encode_json(rec(hostname="", message="")))
+    assert "hostname" not in out and "message" not in out
+
+
+def test_gelf():
+    out = json.loads(encode_gelf(rec(properties=props_dumps({"d": {"k": "v"}}))))
+    assert out["version"] == "1.1" and out["host"] == "host01"
+    assert out["short_message"] == "body" and out["level"] == 2
+    assert out["timestamp"] == TS / 1e9
+    # reference writes extras WITHOUT the GELF underscore prefix
+    assert out["facility"] == "auth" and out["appname"] == "app01"
+    assert out["d"] == {"k": "v"}
