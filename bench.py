@@ -1,0 +1,167 @@
+"""Benchmark harness for the skewer_ray pipeline (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+--scaling: run the flagship pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and report both
+throughputs plus scaling efficiency = (thr32/thr8)/4 — the sandbox
+evidence for the north rule's N→4N-node criterion (no real cluster
+here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _consume(ds) -> int:
+    """Drain a Dataset through the streaming executor; return row count."""
+    total = 0
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=32768):
+        total += b.num_rows
+    return total
+
+
+def _count_turns(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+    from skewer_ray.gen import ensure_transcripts
+    path = ensure_transcripts(sf_dir)
+    total = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+    return total
+
+
+def bench_flagship(sf_dir: str) -> tuple[float, int]:
+    """Headline: parse→enrich→route→fanout→per-sink counts (turns/sec)."""
+    from skewer_ray.pipelines.flagship import (build_fanout, read_transcripts,
+                                               sink_counts)
+    n_turns = _count_turns(sf_dir)
+    t0 = time.perf_counter()
+    counts = sink_counts(build_fanout(read_transcripts(sf_dir))).to_pandas()
+    dt = time.perf_counter() - t0
+    assert len(counts) > 0
+    return dt, n_turns
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    """Secondary per-pipeline timings (a representative subset)."""
+    from skewer_ray.pipelines import queries as q
+    out: dict[str, float] = {}
+    subset = [
+        ("parse_rfc5424", q.q_parse_rfc5424),
+        ("parse_rfc3164", q.q_parse_rfc3164),
+        ("route_topics", q.q_route_topics),
+        ("sink_counts", q.q_sink_counts),
+        ("encode_rfc5424", q.q_encode_rfc5424),
+        ("metrics_incoming", q.q_metrics_incoming),
+    ]
+    # training-data ops (documents/embeddings), present from later phases
+    try:
+        from skewer_ray.pipelines import corpus as cq
+        subset += cq.bench_subset()
+    except ImportError:
+        pass
+    for name, fn in subset:
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        if hasattr(res, "iter_batches"):
+            _consume(res)
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once(sf_dir: str, num_cpus: int, flagship_only: bool) -> dict:
+    _init_ray(num_cpus)
+    flag_sec, n_turns = bench_flagship(sf_dir)
+    queries = {"flagship": round(flag_sec, 3)}
+    if not flagship_only:
+        queries.update(bench_queries(sf_dir))
+    total = sum(queries.values())
+    result = {
+        "metric": "parse→route→fanout wall time (headline: flagship turns/sec)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / flag_sec, 1),
+    }
+    import ray
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Two fresh processes at 8 and 32 CPUs; efficiency = (thr32/thr8)/4."""
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-run",
+             "--cpus", str(cpus), "--sf-dir", sf_dir],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            raise RuntimeError(f"bench subprocess (cpus={cpus}) failed:\n"
+                               f"{proc.stdout}\n{proc.stderr[-2000:]}")
+        results[cpus] = json.loads(line[-1])
+    thr8 = results[8]["turns_per_sec"]
+    thr32 = results[32]["turns_per_sec"]
+    eff = (thr32 / thr8) / 4.0
+    return {
+        "metric": "scaling efficiency (8→32 CPUs, fresh sessions)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "turns_per_sec_8cpu": thr8,
+        "turns_per_sec_32cpu": thr32,
+        "flagship_sec_8cpu": results[8]["queries"]["flagship"],
+        "flagship_sec_32cpu": results[32]["queries"]["flagship"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--single-run", action="store_true",
+                    help="flagship only (used by --scaling subprocesses)")
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if args.scaling:
+        result = run_scaling(args.sf_dir)
+    else:
+        result = run_once(args.sf_dir, args.cpus, args.single_run)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

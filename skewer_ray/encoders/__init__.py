@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 from datetime import datetime, timedelta, timezone
+from functools import lru_cache
 
 from ..constants import FACILITIES
 from ..schema import props_loads
@@ -28,12 +29,16 @@ def _dt_from_ns(ns: int) -> datetime:
     return _EPOCH0 + timedelta(microseconds=ns // 1000)
 
 
+# Timestamp formatting is per-row in every encoder but the distinct-second
+# cardinality of real log streams is tiny relative to row count — memoize.
+@lru_cache(maxsize=1 << 17)
 def rfc3339_from_ns(ns: int) -> str:
     """Go time.Format(time.RFC3339) for a UTC time, whole seconds."""
     dt = _EPOCH0 + timedelta(seconds=ns // 1_000_000_000)
     return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+@lru_cache(maxsize=1 << 17)
 def rfc3339nano_from_ns(ns: int) -> str:
     """Go time.Format(time.RFC3339Nano): trailing zeros trimmed."""
     sec, rem = divmod(ns, 1_000_000_000)
@@ -44,6 +49,7 @@ def rfc3339nano_from_ns(ns: int) -> str:
     return base + "Z"
 
 
+@lru_cache(maxsize=1 << 17)
 def stamp_from_ns(ns: int) -> str:
     """Go time.Format("Jan _2 15:04:05") — space-padded day."""
     dt = _EPOCH0 + timedelta(seconds=ns // 1_000_000_000)

@@ -57,14 +57,23 @@ def read_transcripts(path_or_sfdir: str):
     )
 
 
-def _fused(ds, specs, concurrency):
-    return ds.map_batches(
-        FusedStage,
-        fn_constructor_kwargs={"specs": specs},
-        batch_format="pyarrow",
-        batch_size=PARSE_BATCH,
-        concurrency=concurrency or _auto_concurrency(),
-    )
+def _fused(ds, specs, concurrency, use_actors=False):
+    """Per-record path as ONE map_batches. Default is the task pool with
+    per-worker-cached stage state (see stages/fused.fused_task_fn — ~2×
+    faster than the actor pool for cheap state); pass use_actors=True (or
+    an explicit concurrency) for an actor pool when stage state is
+    expensive to build."""
+    if use_actors or concurrency is not None:
+        return ds.map_batches(
+            FusedStage,
+            fn_constructor_kwargs={"specs": specs},
+            batch_format="pyarrow",
+            batch_size=PARSE_BATCH,
+            concurrency=concurrency or _auto_concurrency(),
+        )
+    from ..stages.fused import fused_task_fn
+    return ds.map_batches(fused_task_fn(specs), batch_format="pyarrow",
+                          batch_size=PARSE_BATCH)
 
 
 def _parse_spec(config: PipelineConfig):
@@ -77,30 +86,37 @@ def _enrich_spec(config: PipelineConfig):
                           "tool_lookup": config.tool_lookup})
 
 
-def build_parsed(ds, config: PipelineConfig | None = None, concurrency=None):
+def build_parsed(ds, config: PipelineConfig | None = None, concurrency=None,
+                 use_actors=False):
     config = config or default_config()
-    return _fused(ds, [_parse_spec(config)], concurrency)
+    return _fused(ds, [_parse_spec(config)], concurrency, use_actors)
 
 
-def build_routed(ds, config: PipelineConfig | None = None, concurrency=None):
+def build_routed(ds, config: PipelineConfig | None = None, concurrency=None,
+                 use_actors=False):
     config = config or default_config()
     specs = [_parse_spec(config), _enrich_spec(config),
              (RouterStage, {"hooks": config.hooks})]
-    return _fused(ds, specs, concurrency)
+    return _fused(ds, specs, concurrency, use_actors)
 
 
-def build_fanout(ds, config: PipelineConfig | None = None, concurrency=None):
+def build_fanout(ds, config: PipelineConfig | None = None, concurrency=None,
+                 use_actors=False):
     config = config or default_config()
     specs = [_parse_spec(config), _enrich_spec(config),
              (RouterStage, {"hooks": config.hooks}),
              (FanoutEncodeStage, {"sinks": config.sinks})]
-    return _fused(ds, specs, concurrency)
+    return _fused(ds, specs, concurrency, use_actors)
 
 
 def sink_counts(fanout_ds):
     """Per-(sink,status,route) counts — the per-sink aggregate artifact the
-    north star compares (replaces store/store.go:77-123 counters)."""
-    return fanout_ds.groupby(["sink", "status", "route"]).count()
+    north star compares (replaces store/store.go:77-123 counters).
+
+    Map-side combine first: only tiny per-batch partials hit the shuffle
+    (see stages/agg.py)."""
+    from ..stages.agg import grouped_count
+    return grouped_count(fanout_ds, ["sink", "status", "route"])
 
 
 def run_flagship(input_path: str, out_dir: str,
@@ -122,13 +138,14 @@ def run_flagship(input_path: str, out_dir: str,
                       partition_cols=["sink", "status", "route"])
     # metrics from the written output (cheap column scan; no recompute of
     # the parse/route stages)
+    from ..stages.agg import grouped_count
     written = rd.read_parquet(os.path.join(out_dir, "data"),
                               columns=["sink", "status", "route"])
-    counts = written.groupby(["sink", "status", "route"]).count().to_pandas()
+    counts = grouped_count(written, ["sink", "status", "route"]).to_pandas()
     counts = counts.sort_values(["sink", "status", "route"]).reset_index(drop=True)
     os.makedirs(os.path.join(out_dir, "metrics"), exist_ok=True)
     counts.to_json(os.path.join(out_dir, "metrics", "sink_counts.json"),
                    orient="records")
     with open(os.path.join(out_dir, "metrics", "summary.json"), "w") as fh:
-        json.dump({"total_rows": int(counts["count()"].sum())}, fh)
+        json.dump({"total_rows": int(counts["n"].sum())}, fh)
     return counts

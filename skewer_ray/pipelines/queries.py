@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..config import default_config
+from ..stages.agg import grouped_count
 from ..stages.parse import family_array
 from .flagship import (build_fanout, build_parsed, build_routed,
                        read_transcripts)
@@ -146,12 +147,7 @@ def q_route_topics(sf_dir: str):
     def proj(batch: pa.Table) -> pa.Table:
         mask = pa.array(np.asarray(batch["parse_ok"].to_pylist(), dtype=bool))
         return batch.filter(mask).select(["topic"])
-    out = ds.map_batches(proj, batch_format="pyarrow")
-    agg = out.groupby("topic").count()
-    return agg.map_batches(
-        lambda b: pa.table({"topic": b["topic"],
-                            "n": pc.cast(b["count()"], pa.int64())}),
-        batch_format="pyarrow")
+    return grouped_count(ds, ["topic"], pre=proj)
 
 
 def q_route_partition_keys(sf_dir: str):
@@ -160,32 +156,19 @@ def q_route_partition_keys(sf_dir: str):
     def proj(batch: pa.Table) -> pa.Table:
         mask = pa.array(np.asarray(batch["parse_ok"].to_pylist(), dtype=bool))
         return batch.filter(mask).select(["partition_key"])
-    out = ds.map_batches(proj, batch_format="pyarrow")
-    agg = out.groupby("partition_key").count()
-    return agg.map_batches(
-        lambda b: pa.table({"partition_key": b["partition_key"],
-                            "n": pc.cast(b["count()"], pa.int64())}),
-        batch_format="pyarrow")
+    return grouped_count(ds, ["partition_key"], pre=proj)
 
 
 def q_filter_results(sf_dir: str):
     """Per-message filter outcome counts (store/forwarder.go:192-208)."""
     ds = build_routed(read_transcripts(sf_dir))
-    agg = ds.groupby("filter_status").count()
-    return agg.map_batches(
-        lambda b: pa.table({"filter_status": b["filter_status"],
-                            "n": pc.cast(b["count()"], pa.int64())}),
-        batch_format="pyarrow")
+    return grouped_count(ds, ["filter_status"])
 
 
 def q_sink_counts(sf_dir: str):
     """Per-(sink,status) counts after destination fan-out."""
     ds = build_fanout(read_transcripts(sf_dir))
-    agg = ds.groupby(["sink", "status"]).count()
-    return agg.map_batches(
-        lambda b: pa.table({"sink": b["sink"], "status": b["status"],
-                            "n": pc.cast(b["count()"], pa.int64())}),
-        batch_format="pyarrow")
+    return grouped_count(ds, ["sink", "status"])
 
 
 def q_file_sink_routes(sf_dir: str):
@@ -196,12 +179,7 @@ def q_file_sink_routes(sf_dir: str):
         mask = pc.and_(pc.equal(batch["sink"], "file"),
                        pc.equal(batch["status"], "passing"))
         return batch.filter(mask).select(["route"])
-    out = ds.map_batches(proj, batch_format="pyarrow")
-    agg = out.groupby("route").count()
-    return agg.map_batches(
-        lambda b: pa.table({"route": b["route"],
-                            "n": pc.cast(b["count()"], pa.int64())}),
-        batch_format="pyarrow")
+    return grouped_count(ds, ["route"], pre=proj)
 
 
 def q_encode_rfc5424(sf_dir: str):
@@ -244,12 +222,7 @@ def q_encode_rfc3164(sf_dir: str):
 def q_enrich_groups(sf_dir: str):
     """Lookup-enrichment join → per-(role_class, tool_category) counts."""
     ds = build_routed(read_transcripts(sf_dir))
-    agg = ds.groupby(["role_class", "tool_category"]).count()
-    return agg.map_batches(
-        lambda b: pa.table({"role_class": b["role_class"],
-                            "tool_category": b["tool_category"],
-                            "n": pc.cast(b["count()"], pa.int64())}),
-        batch_format="pyarrow")
+    return grouped_count(ds, ["role_class", "tool_category"])
 
 
 def q_metrics_incoming(sf_dir: str):
@@ -261,16 +234,9 @@ def q_metrics_incoming(sf_dir: str):
     def proj(batch: pa.Table) -> pa.Table:
         fam = family_array(batch["conv_id"])
         names = [FAMILY_NAMES[f] for f in fam]
-        ok = batch["parse_ok"]
         return pa.table({"format": pa.array(names, pa.string()),
-                         "ok": ok})
-    out = ds.map_batches(proj, batch_format="pyarrow")
-    agg = out.groupby(["format", "ok"]).count()
-    return agg.map_batches(
-        lambda b: pa.table({"format": b["format"],
-                            "parse_ok": b["ok"],
-                            "n": pc.cast(b["count()"], pa.int64())}),
-        batch_format="pyarrow")
+                         "parse_ok": batch["parse_ok"]})
+    return grouped_count(ds, ["format", "parse_ok"], pre=proj)
 
 
 def q_routed_rows_kafka(sf_dir: str):

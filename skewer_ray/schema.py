@@ -72,7 +72,17 @@ def props_dumps(props: dict[str, dict[str, str]] | None) -> str:
     return json.dumps(props, sort_keys=True, separators=(",", ":"))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 16)
+def _props_loads_cached(s: str) -> dict[str, dict[str, str]]:
+    return json.loads(s)
+
+
 def props_loads(s: str | None) -> dict[str, dict[str, str]]:
+    """Parse the canonical property-bag JSON. Cached: distinct property
+    strings are few relative to rows (callers must not mutate the result)."""
     if not s or s == "{}":
         return {}
-    return json.loads(s)
+    return _props_loads_cached(s)

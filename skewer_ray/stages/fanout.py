@@ -11,6 +11,11 @@ passing). Routes: kafka-like sinks use the topic column; file-like sinks
 render the filename template (store/dests/filedest.go:218-235);
 catch-all sinks use "all". Parse errors appear once under sink="_parse".
 
+Hot-path layout: status masks and column selection are vectorized Arrow
+ops; only the actual per-record encoding (string build over a python
+dict, like the reference's per-message Encoder call) loops, and it loops
+once over the passing rows with the record dicts shared across sinks.
+
 Downstream this single stream is written with
 ``partition_cols=["sink", "status", "route"]`` — the Ray-native
 equivalent of topic-partitioned Kafka output + template-named files.
@@ -18,7 +23,9 @@ equivalent of topic-partitioned Kafka output + template-named files.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import SinkConfig, render_template
 from ..encoders import get_encoder, rfc3339_from_ns
@@ -41,59 +48,88 @@ class FanoutEncodeStage:
     def __init__(self, sinks: tuple[SinkConfig, ...] | list[SinkConfig]):
         self.sinks = [(s, get_encoder(s.encoder)) for s in sinks]
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        fstatus = batch["filter_status"].to_pylist()
-        topics = batch["topic"].to_pylist()
-        recs_cols = {c: batch[c].to_pylist() for c in _REC_COLS}
-        keep_cols = {c: batch[c].to_pylist() for c in _KEEP}
+    @staticmethod
+    def _with_consts(sub: pa.Table, sink, status, route, encoded) -> pa.Table:
+        """keep-columns of ``sub`` + constant-or-array sink/status/route/
+        encoded columns, in the output column order."""
+        n = sub.num_rows
 
-        o_sink, o_status, o_route, o_enc = [], [], [], []
-        o_keep = {c: [] for c in _KEEP}
-
-        def emit(i, sink, status, route, enc):
-            o_sink.append(sink)
-            o_status.append(status)
-            o_route.append(route)
-            o_enc.append(enc)
-            for c in _KEEP:
-                o_keep[c].append(keep_cols[c][i])
-
-        rec_names = list(recs_cols.keys())
-        rec_lists = [recs_cols[c] for c in rec_names]
-        for i in range(n):
-            st = fstatus[i]
-            if st == "parse_error":
-                emit(i, "_parse", "error", "-", None)
-                continue
-            if st != "passing":
-                # dropped → ACK, rejected → NACK, per destination
-                # (store/forwarder.go:192-208)
-                for s, _enc in self.sinks:
-                    emit(i, s.name, st, "-", None)
-                continue
-            rec = {name: col[i] for name, col in zip(rec_names, rec_lists)}
-            for s, encode in self.sinks:
-                if s.kind == "kafka":
-                    route = topics[i]
-                elif s.kind == "file":
-                    rec.setdefault("date", rfc3339_from_ns(rec["time_reported"])[:10])
-                    route = _sanitize_route(render_template(s.filename_tmpl, rec))
-                else:
-                    route = "all"
-                enc = encode(rec)
-                if enc is None:
-                    emit(i, s.name, "permerror", "-", None)
-                else:
-                    emit(i, s.name, "passing", route, enc)
+        def col(v, typ):
+            if isinstance(v, (pa.Array, pa.ChunkedArray)):
+                return v
+            if v is None:
+                return pa.nulls(n, typ)
+            return pa.array([v] * n, typ)
 
         cols = {
-            "sink": pa.array(o_sink, pa.string()),
-            "status": pa.array(o_status, pa.string()),
-            "route": pa.array(o_route, pa.string()),
+            "sink": col(sink, pa.string()),
+            "status": col(status, pa.string()),
+            "route": col(route, pa.string()),
         }
         for c in _KEEP:
-            field = batch.schema.field(c)
-            cols[c] = pa.array(o_keep[c], field.type)
-        cols["encoded"] = pa.array(o_enc, pa.string())
+            cols[c] = sub[c]
+        cols["encoded"] = col(encoded, pa.string())
         return pa.table(cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        status_np = np.asarray(batch["filter_status"].to_pylist(), dtype=object)
+        m_err = status_np == "parse_error"
+        m_pass = status_np == "passing"
+        m_other = ~(m_err | m_pass)
+
+        parts: list[pa.Table] = []
+        if m_err.any():
+            sub = batch.filter(pa.array(m_err))
+            parts.append(self._with_consts(sub, "_parse", "error", "-", None))
+
+        if m_other.any():
+            arr = pa.array(m_other)
+            sub = batch.filter(arr)
+            st = sub["filter_status"]
+            # dropped → ACK, rejected → NACK, once per destination
+            # (store/forwarder.go:192-208)
+            for s, _enc in self.sinks:
+                parts.append(self._with_consts(sub, s.name, st, "-", None))
+
+        if m_pass.any():
+            sub = batch.filter(pa.array(m_pass))
+            n = sub.num_rows
+            rec_names = _REC_COLS
+            rec_lists = [sub[c].to_pylist() for c in rec_names]
+            recs = [dict(zip(rec_names, row)) for row in zip(*rec_lists)]
+            topics = sub["topic"]
+            for s, encode in self.sinks:
+                enc = [encode(r) for r in recs]
+                ok = np.fromiter((e is not None for e in enc), dtype=bool, count=n)
+                if s.kind == "kafka":
+                    route_vals = topics
+                elif s.kind == "file":
+                    tmpl = s.filename_tmpl
+                    routes = []
+                    for r in recs:
+                        if "date" not in r:
+                            r["date"] = rfc3339_from_ns(r["time_reported"])[:10]
+                        routes.append(_sanitize_route(render_template(tmpl, r)))
+                    route_vals = pa.array(routes, pa.string())
+                else:
+                    route_vals = "all"
+                if ok.all():
+                    parts.append(self._with_consts(
+                        sub, s.name, "passing", route_vals,
+                        pa.array(enc, pa.string())))
+                else:
+                    # encoding errors → PermError rows with no route/bytes
+                    okarr = pa.array(ok)
+                    good = sub.filter(okarr)
+                    rv = (route_vals if isinstance(route_vals, str)
+                          else pc.filter(route_vals, okarr))
+                    parts.append(self._with_consts(
+                        good, s.name, "passing", rv,
+                        pa.array([e for e in enc if e is not None], pa.string())))
+                    bad = sub.filter(pa.array(~ok))
+                    parts.append(self._with_consts(
+                        bad, s.name, "permerror", "-", None))
+
+        if not parts:
+            return self._with_consts(batch.slice(0, 0), "_", "_", "-", None)
+        return pa.concat_tables(parts)
