@@ -37,6 +37,11 @@ _REC_COLS = [
     "time_generated", "hostname", "appname", "procid", "msgid",
     "structured", "message", "properties",
 ]
+# columns consumed by the routed stream itself; anything else is an
+# extra passthrough (e.g. part_id lineage) and is kept in the output
+_CONSUMED = set(_KEEP) | set(_REC_COLS) | {
+    "role", "tool", "ts", "parse_ok", "role_class", "tool_category",
+    "filter_result", "filter_status"}
 
 
 def _sanitize_route(r: str) -> str:
@@ -69,6 +74,9 @@ class FanoutEncodeStage:
         for c in _KEEP:
             cols[c] = sub[c]
         cols["encoded"] = col(encoded, pa.string())
+        for c in sub.column_names:  # extra passthrough columns
+            if c not in _CONSUMED:
+                cols[c] = sub[c]
         return pa.table(cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

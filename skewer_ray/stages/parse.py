@@ -104,4 +104,11 @@ class ParseStage:
             "message": pa.array(b.message, pa.string()),
             "properties": pa.array(b.properties, pa.string()),
         }
-        return pa.table(cols, schema=RECORD_SCHEMA)
+        out = pa.table(cols, schema=RECORD_SCHEMA)
+        # passthrough: any extra input column (e.g. part_id lineage from
+        # state.run_partitioned) rides along untouched
+        known = set(cols) | {"text"}
+        for name in batch.column_names:
+            if name not in known:
+                out = out.append_column(name, pc.take(batch[name], take))
+        return out
