@@ -53,6 +53,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_groups": q.q_enrich_groups,
         "metrics_incoming": q.q_metrics_incoming,
     }
+    # training-data corpus operators (documents/embeddings tables):
+    # text analysis, dedup family, similarity search, multimodal stub
+    from skewer_ray.pipelines.corpus import QUERIES as corpus_queries
+    out.update(corpus_queries)
     return out
 
 
@@ -62,14 +66,20 @@ def oracle_sql() -> dict[str, str]:
     Generating the transcripts here guarantees the absolute paths inside
     the SQL exist regardless of Ray/oracle execution order."""
     from skewer_ray.gen import ensure_transcripts
+    from skewer_ray.pipelines.corpus_oracles import corpus_oracle_sql
     from skewer_ray.pipelines.oracles import oracle_sql_for
     ensure_transcripts(f"/root/testdata/{ORACLE_SF}")
-    return oracle_sql_for(ORACLE_SF)
+    out = oracle_sql_for(ORACLE_SF)
+    out.update(corpus_oracle_sql())  # view-based: sf-independent
+    return out
 
 
 def oracle_sql_for_sf(sf_name: str) -> dict[str, str]:
     """Non-driver helper: oracles for another scale (tools/check_correctness)."""
     from skewer_ray.gen import ensure_transcripts
+    from skewer_ray.pipelines.corpus_oracles import corpus_oracle_sql
     from skewer_ray.pipelines.oracles import oracle_sql_for
     ensure_transcripts(f"/root/testdata/{sf_name}")
-    return oracle_sql_for(sf_name)
+    out = oracle_sql_for(sf_name)
+    out.update(corpus_oracle_sql())
+    return out

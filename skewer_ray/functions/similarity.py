@@ -1,0 +1,253 @@
+"""Similarity search over the ``embeddings`` table (list<float> column).
+
+- brute_force_topk: exact cosine top-k — per-batch float64 matmul of
+  the candidate block against a BROADCAST query matrix (ray.put once,
+  ray.get per task), per-batch partial top-k, tiny final merge. The
+  baseline and the oracle surface.
+- lsh_topk: random-hyperplane LSH variant — candidates restricted to
+  buckets within ``probe_bits`` sign flips of the query's bucket. The
+  scale path (bucket shuffle instead of all-candidates matmul);
+  recall vs brute force is asserted in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+DEFAULT_K = 5
+LSH_PLANES = 6
+LSH_SEED = 42
+IVF_NPROBE = 3
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def _query_matrix(emb_ds, query_ids: list[int]):
+    qset = set(int(q) for q in query_ids)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pa.array([int(v) in qset for v in batch["vec_id"].to_pylist()])
+        return batch.filter(mask)
+
+    rows = (emb_ds.map_batches(pick, batch_format="pyarrow")
+            .select_columns(["vec_id", "embedding"]).take_all())
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = _norm_rows(np.array([r["embedding"] for r in rows],
+                              dtype=np.float64))
+    return ids, mat
+
+
+def brute_force_topk(emb_ds, query_ids: list[int], k: int = DEFAULT_K):
+    """(query_id, rank, vec_id, cosine): exact top-k cosine neighbors of
+    each query among all non-query vectors. Ordering: (round(cos, 6)
+    DESC, vec_id ASC) — deterministic under float noise."""
+    import ray
+
+    qids, qmat = _query_matrix(emb_ds, query_ids)
+    broadcast = ray.put((qids, qmat))
+    qid_set = set(int(q) for q in query_ids)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        b_qids, b_qmat = ray.get(broadcast)
+        cids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keep = np.array([c not in qid_set for c in cids])
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        cids = cids[keep]
+        cmat = _norm_rows(np.array(
+            batch["embedding"].to_pylist(), dtype=np.float64)[keep])
+        sims = np.round(b_qmat @ cmat.T, 6)  # queries × block
+        q_out, v_out, s_out = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(len(b_qids)):
+            # partial top-k inside the block (deterministic order)
+            idx = np.lexsort((cids, -sims[qi]))[:kk]
+            q_out.extend([int(b_qids[qi])] * len(idx))
+            v_out.extend(int(cids[j]) for j in idx)
+            s_out.extend(float(sims[qi, j]) for j in idx)
+        return pa.table({"query_id": pa.array(q_out, pa.int64()),
+                         "vec_id": pa.array(v_out, pa.int64()),
+                         "cosine": pa.array(s_out, pa.float64())})
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        sims = np.asarray(batch["cosine"].to_pylist())
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        idx = np.lexsort((vids, -sims))[:k]
+        idx = list(idx)
+        return pa.table({
+            "query_id": pc.take(batch["query_id"], pa.array(idx, pa.int64())),
+            "rank": pa.array(range(1, len(idx) + 1), pa.int64()),
+            "vec_id": pc.take(batch["vec_id"], pa.array(idx, pa.int64())),
+            "cosine": pc.take(batch["cosine"], pa.array(idx, pa.int64())),
+        })
+
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pyarrow")
+
+
+def ivf_topk(emb_ds, query_ids: list[int], k: int = DEFAULT_K,
+             nprobe: int = IVF_NPROBE):
+    """IVF approximate top-k: the ``label`` column is the coarse
+    quantizer cell (at scale: a trained k-means assignment). Cell
+    centroids are computed with a map-side partial-sum combine (tiny
+    shuffle), each query probes its ``nprobe`` nearest cells, and
+    candidate blocks only score rows whose label is probed. Same output
+    schema as brute_force_topk."""
+    import ray
+
+    # per-label centroid: per-batch partial (label, sum, count) → driver
+    # combine (labels are few — this is the classic combiner shape)
+    def partial_sums(batch: pa.Table):
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        out = {}
+        for lb in np.unique(labels):
+            m = labels == lb
+            out[int(lb)] = (mat[m].sum(axis=0), int(m.sum()))
+        return pa.table({
+            "label": pa.array(list(out), pa.int64()),
+            "vsum": pa.array([v[0].tolist() for v in out.values()],
+                             pa.large_list(pa.float64())),
+            "cnt": pa.array([v[1] for v in out.values()], pa.int64())})
+
+    parts = emb_ds.map_batches(partial_sums,
+                               batch_format="pyarrow").take_all()
+    sums: dict[int, list] = {}
+    for r in parts:
+        s = sums.setdefault(r["label"], [np.zeros(len(r["vsum"])), 0])
+        s[0] += np.asarray(r["vsum"])
+        s[1] += r["cnt"]
+    cell_ids = sorted(sums)
+    centroids = _norm_rows(np.stack([sums[c][0] / sums[c][1]
+                                     for c in cell_ids]))
+
+    qids, qmat = _query_matrix(emb_ds, query_ids)
+    qsims = qmat @ centroids.T
+    probed: dict[int, set] = {}
+    for qi in range(len(qids)):
+        top = np.argsort(-qsims[qi])[:nprobe]
+        probed[int(qids[qi])] = {cell_ids[j] for j in top}
+    broadcast = ray.put((qids, qmat, probed))
+    qid_set = set(int(q) for q in query_ids)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        b_qids, b_qmat, b_probed = ray.get(broadcast)
+        cids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        labels = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        cmat = _norm_rows(np.array(batch["embedding"].to_pylist(),
+                                   dtype=np.float64))
+        sims = np.round(b_qmat @ cmat.T, 6)
+        q_out, v_out, s_out = [], [], []
+        for qi in range(len(b_qids)):
+            cells = b_probed[int(b_qids[qi])]
+            keep = np.array([int(l) in cells and int(c) not in qid_set
+                             for l, c in zip(labels, cids)])
+            if not keep.any():
+                continue
+            kc, ks = cids[keep], sims[qi][keep]
+            idx = np.lexsort((kc, -ks))[:k]
+            q_out.extend([int(b_qids[qi])] * len(idx))
+            v_out.extend(int(kc[j]) for j in idx)
+            s_out.extend(float(ks[j]) for j in idx)
+        return pa.table({"query_id": pa.array(q_out, pa.int64()),
+                         "vec_id": pa.array(v_out, pa.int64()),
+                         "cosine": pa.array(s_out, pa.float64())})
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(
+        _topk_merge_fn(k), batch_format="pyarrow")
+
+
+def _topk_merge_fn(k: int):
+    def merge(batch: pa.Table) -> pa.Table:
+        sims = np.asarray(batch["cosine"].to_pylist())
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        idx = list(np.lexsort((vids, -sims))[:k])
+        return pa.table({
+            "query_id": pc.take(batch["query_id"], pa.array(idx, pa.int64())),
+            "rank": pa.array(range(1, len(idx) + 1), pa.int64()),
+            "vec_id": pc.take(batch["vec_id"], pa.array(idx, pa.int64())),
+            "cosine": pc.take(batch["cosine"], pa.array(idx, pa.int64())),
+        })
+    return merge
+
+
+def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0
+    return (bits * (1 << np.arange(planes.shape[0]))).sum(axis=1)
+
+
+def lsh_topk(emb_ds, query_ids: list[int], k: int = DEFAULT_K,
+             n_planes: int = LSH_PLANES, probe_bits: int = 1):
+    """Approximate top-k: random-hyperplane buckets; each candidate block
+    keeps only vectors whose bucket is within ``probe_bits`` bit flips of
+    a query bucket, then scores those exactly. Same output schema as
+    brute_force_topk. At scale the bucket id becomes the shuffle/
+    partition key; here the filter happens block-local, so no shuffle at
+    all."""
+    import ray
+
+    rng = np.random.default_rng(LSH_SEED)
+    planes = rng.standard_normal((n_planes, 64))
+    qids, qmat = _query_matrix(emb_ds, query_ids)
+    qbuckets = _bucket_of(qmat, planes)
+    probe = set()
+    for qb in qbuckets:
+        probe.add(int(qb))
+        if probe_bits >= 1:
+            for b in range(n_planes):
+                probe.add(int(qb) ^ (1 << b))
+    broadcast = ray.put((qids, qmat, planes, probe))
+    qid_set = set(int(q) for q in query_ids)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        b_qids, b_qmat, b_planes, b_probe = ray.get(broadcast)
+        cids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        cmat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        cmat = _norm_rows(cmat)
+        buckets = _bucket_of(cmat, b_planes)
+        keep = np.array([int(b) in b_probe and int(c) not in qid_set
+                         for b, c in zip(buckets, cids)])
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if not keep.any():
+            return empty
+        cids = cids[keep]
+        cmat = cmat[keep]
+        sims = np.round(b_qmat @ cmat.T, 6)
+        q_out, v_out, s_out = [], [], []
+        kk = min(k, sims.shape[1])
+        for qi in range(len(b_qids)):
+            idx = np.lexsort((cids, -sims[qi]))[:kk]
+            q_out.extend([int(b_qids[qi])] * len(idx))
+            v_out.extend(int(cids[j]) for j in idx)
+            s_out.extend(float(sims[qi, j]) for j in idx)
+        return pa.table({"query_id": pa.array(q_out, pa.int64()),
+                         "vec_id": pa.array(v_out, pa.int64()),
+                         "cosine": pa.array(s_out, pa.float64())})
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        sims = np.asarray(batch["cosine"].to_pylist())
+        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        idx = list(np.lexsort((vids, -sims))[:k])
+        return pa.table({
+            "query_id": pc.take(batch["query_id"], pa.array(idx, pa.int64())),
+            "rank": pa.array(range(1, len(idx) + 1), pa.int64()),
+            "vec_id": pc.take(batch["vec_id"], pa.array(idx, pa.int64())),
+            "cosine": pc.take(batch["cosine"], pa.array(idx, pa.int64())),
+        })
+
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pyarrow")

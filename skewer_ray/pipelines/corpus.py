@@ -1,0 +1,113 @@
+"""Driver-facing queries for the training-data corpus operators
+(documents/embeddings tables): text analysis, dedup family, similarity
+search, multimodal plumbing. Column names are contractually shared with
+``corpus_oracles`` (the DuckDB SQL mirrors).
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from ..functions.dedup import (embedding_dup_pairs, exact_dedup,
+                               minhash_lsh_pairs, ngram_jaccard_pairs,
+                               simhash_signatures)
+from ..functions.media import media_features
+from ..functions.similarity import brute_force_topk, ivf_topk, lsh_topk
+from ..functions.textstats import (fingerprint_batch, langid_batch,
+                                   text_stats_batch)
+
+ANN_QUERY_IDS = list(range(10))
+ANN_K = 5
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.45
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def _emb(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+
+
+def q_text_quality(sf_dir: str):
+    return _docs(sf_dir).map_batches(text_stats_batch,
+                                     batch_format="pyarrow")
+
+
+def q_text_langid(sf_dir: str):
+    return _docs(sf_dir).map_batches(langid_batch, batch_format="pyarrow")
+
+
+def q_doc_fingerprints(sf_dir: str):
+    return _docs(sf_dir).map_batches(fingerprint_batch,
+                                     batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    return exact_dedup(_docs(sf_dir))
+
+
+def q_dedup_minhash(sf_dir: str):
+    return minhash_lsh_pairs(_docs(sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_ngram(sf_dir: str):
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=JACCARD_THRESHOLD)
+
+
+def q_dedup_simhash(sf_dir: str):
+    return simhash_signatures(_docs(sf_dir))
+
+
+def q_dedup_embedding(sf_dir: str):
+    return embedding_dup_pairs(_emb(sf_dir), threshold=COSINE_THRESHOLD)
+
+
+def q_ann_topk(sf_dir: str):
+    return brute_force_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_ann_lsh(sf_dir: str):
+    """Approximate variant — no SQL oracle (recall vs brute force is
+    asserted in tests/test_corpus.py instead)."""
+    return lsh_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF variant probing label cells — no SQL oracle (approximate;
+    recall asserted in tests)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    return ivf_topk(ds, ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_media_features(sf_dir: str):
+    return media_features(_docs(sf_dir))
+
+
+QUERIES = {
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "doc_fingerprints": q_doc_fingerprints,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "media_features": q_media_features,
+}
+
+
+def bench_subset():
+    """Representative corpus ops for bench.py."""
+    return [
+        ("text_quality", q_text_quality),
+        ("dedup_minhash", q_dedup_minhash),
+        ("ann_topk", q_ann_topk),
+    ]

@@ -1,0 +1,215 @@
+"""DuckDB oracle SQL for the corpus (documents/embeddings) operators.
+
+Independent SQL re-implementations of the same canonical definitions
+(functions/textstats.py, functions/dedup.py): md5 everywhere a hash is
+needed (hashlib ↔ DuckDB md5() agree), whitespace words, 3-word
+shingles, 16 minhashes in 4 bands, 60-bit simhash, float64 cosine
+rounded to 6 dp before thresholds/ordering.
+
+The driver pre-registers ``documents`` and ``embeddings`` as views over
+the sf parquet files.
+"""
+
+from __future__ import annotations
+
+from ..functions.textstats import EN_STOP, LANG_WORDLISTS
+
+_TOK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_PUNCT = r"[^A-Za-z0-9\s]"
+
+# words CTE shared by the text oracles
+_W = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\s+') END AS words
+  FROM documents
+)"""
+
+
+def _inlist(words) -> str:
+    return ", ".join("'" + w + "'" for w in words)
+
+
+def _shingle_ctes() -> str:
+    """Distinct 3-word shingles per doc (whole text if < 3 words)."""
+    return _W + r""",
+pos AS (
+  SELECT doc_id, words, unnest(range(0, len(words) - 2)) AS i
+  FROM w WHERE len(words) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] AS s
+  FROM pos
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(words, ' ') AS s
+  FROM w WHERE len(words) > 0 AND len(words) < 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
+
+
+def corpus_oracle_sql() -> dict[str, str]:
+    q: dict[str, str] = {}
+    en = _inlist(EN_STOP)
+
+    q["text_quality"] = _W + f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(regexp_extract_all(text, '{_TOK}')) AS n_tokens,
+  len(words) AS n_words,
+  CASE WHEN n_tokens = 0 THEN 0.0
+       ELSE len(regexp_extract_all(text, '{_PUNCT}')) / n_tokens
+  END AS punct_ratio,
+  CASE WHEN n_words = 0 THEN 0.0
+       ELSE len(list_filter(words, t -> t IN ({en}))) / n_words
+  END AS stop_ratio,
+  0.4 * least(n_words, 100) / 100
+    + 0.3 * (1.0 - punct_ratio)
+    + 0.3 * least(1.0, 5.0 * stop_ratio) AS quality
+FROM w"""
+
+    hit_cols = []
+    for lang, ws in LANG_WORDLISTS:
+        hit_cols.append(
+            f"len(list_filter(words, t -> t IN ({_inlist(ws)}))) AS h_{lang}")
+    langs = [lang for lang, _ in LANG_WORDLISTS]
+    mx = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    nlead = " + ".join(f"(h_{l} = mx)::INT" for l in langs)
+    pick = " ".join(f"WHEN h_{l} = mx THEN '{l}'" for l in langs)
+    q["text_langid"] = _W + f""",
+h AS (SELECT doc_id, {', '.join(hit_cols)} FROM w),
+m AS (SELECT *, {mx} AS mx FROM h)
+SELECT doc_id,
+  CASE WHEN mx = 0 THEN 'und'
+       WHEN {nlead} > 1 THEN 'und'
+       {pick}
+  END AS lang_pred
+FROM m"""
+
+    q["doc_fingerprints"] = _W + r""",
+p5 AS (
+  SELECT doc_id, words, unnest(range(0, len(words) - 4)) AS i
+  FROM w WHERE len(words) >= 5
+),
+g AS (
+  SELECT doc_id,
+         min(md5(words[i+1] || ' ' || words[i+2] || ' ' || words[i+3]
+                 || ' ' || words[i+4] || ' ' || words[i+5])) AS wf
+  FROM p5
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       md5(array_to_string(words, ' ')) AS exact_md5,
+       coalesce(g.wf, md5(array_to_string(words, ' '))) AS winnow_fp
+FROM w LEFT JOIN g USING (doc_id)"""
+
+    q["dedup_exact"] = _W + """
+SELECT md5(array_to_string(words, ' ')) AS text_hash,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM w GROUP BY 1"""
+
+    q["dedup_minhash"] = _shingle_ctes() + """,
+mh AS (
+  SELECT doc_id, i, min(md5(i || ':' || s)) AS sig
+  FROM sh, range(16) t(i) GROUP BY doc_id, i
+),
+sg AS (SELECT doc_id, list(sig ORDER BY i) AS sigs FROM mh GROUP BY doc_id),
+bd AS (
+  SELECT doc_id, b,
+         md5(sigs[4*b+1] || '|' || sigs[4*b+2] || '|' ||
+             sigs[4*b+3] || '|' || sigs[4*b+4]) AS bkey
+  FROM sg, range(4) t(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bd x JOIN bd y ON x.b = y.b AND x.bkey = y.bkey
+                      AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh p ON p.doc_id = c.a
+  JOIN sh r ON r.doc_id = c.b AND r.s = p.s
+  GROUP BY c.a, c.b
+)
+SELECT a AS doc_a, b AS doc_b,
+       round(i / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = a
+JOIN sizes nb ON nb.doc_id = b
+WHERE i / (na.n + nb.n - i) >= 0.5"""
+
+    q["dedup_ngram"] = _shingle_ctes() + """,
+inter AS (
+  SELECT p.doc_id AS a, r.doc_id AS b, count(*) AS i
+  FROM sh p JOIN sh r ON r.s = p.s AND p.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT a AS doc_a, b AS doc_b,
+       round(i / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = a
+JOIN sizes nb ON nb.doc_id = b
+WHERE i / (na.n + nb.n - i) >= 0.5"""
+
+    q["dedup_simhash"] = _W + """,
+tok AS (
+  SELECT doc_id, t, count(*) AS c
+  FROM (SELECT doc_id, unnest(words) AS t FROM w) GROUP BY doc_id, t
+),
+th AS (
+  SELECT doc_id, c,
+         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS wsum
+  FROM th, range(60) t(b) GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN wsum > 0 THEN (1::BIGINT << b) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id"""
+
+    q["dedup_embedding"] = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.45"""
+
+    q["ann_topk"] = """
+WITH qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 10),
+cv AS (SELECT vec_id, embedding::DOUBLE[] AS ce
+       FROM embeddings WHERE vec_id >= 10),
+s AS (
+  SELECT query_id, vec_id,
+         round(list_cosine_similarity(qe, ce), 6) AS cosine
+  FROM qv CROSS JOIN cv
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS rank,
+       vec_id, cosine
+FROM s
+QUALIFY rank <= 5"""
+
+    q["media_features"] = """
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS media_type,
+  strlen(text) AS n_bytes,
+  64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS width,
+  64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS height,
+  CASE WHEN doc_id % 3 = 0 THEN 0
+       ELSE CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER)
+  END AS duration_ms
+FROM documents"""
+
+    return q

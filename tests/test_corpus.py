@@ -1,0 +1,146 @@
+"""Training-data corpus operators: dedup family, similarity search,
+text analysis, multimodal plumbing (skewer_ray.functions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from skewer_ray.functions.dedup import (band_keys, minhash_sigs,
+                                        shingles_of, simhash60)
+from skewer_ray.functions.textstats import norm_words, tokens_of
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# pure-function units
+# ---------------------------------------------------------------------------
+
+def test_shingles_and_minhash_deterministic():
+    s = shingles_of("a b c d")
+    assert s == {"a b c", "b c d"}
+    sigs = minhash_sigs(s)
+    assert len(sigs) == 16 and sigs == minhash_sigs(s)
+    assert len(band_keys(sigs)) == 4
+    # near-identical docs share bands; disjoint docs don't
+    s2 = shingles_of("a b c d e")
+    assert set(band_keys(minhash_sigs(s))) & set(band_keys(minhash_sigs(s2)))
+    s3 = shingles_of("x y z w")
+    assert not set(band_keys(minhash_sigs(s))) & set(band_keys(minhash_sigs(s3)))
+
+
+def test_simhash_close_for_similar_text():
+    a = simhash60("the quick brown fox jumps over the lazy dog")
+    b = simhash60("the quick brown fox jumps over the lazy cat")
+    c = simhash60("completely different words entirely unrelated content")
+    assert bin(a ^ b).count("1") < bin(a ^ c).count("1")
+    assert 0 <= a < (1 << 60)
+
+
+def test_tokenizer_and_words():
+    assert tokens_of("ab cd, 12") == ["ab", "cd", ",", "12"]
+    assert norm_words("  A  b\tC ") == ["a", "b", "c"]
+    assert norm_words("") == []
+
+
+# ---------------------------------------------------------------------------
+# dataset-level (small sf)
+# ---------------------------------------------------------------------------
+
+def test_minhash_matches_bruteforce_at_high_jaccard(ray_session):
+    """LSH with 4 bands of 4 at J≈0.99 must find every brute-force pair."""
+    from skewer_ray.pipelines.corpus import q_dedup_minhash, q_dedup_ngram
+    lsh = {(r["doc_a"], r["doc_b"]) for r in q_dedup_minhash(SF).take_all()}
+    bf = {(r["doc_a"], r["doc_b"]) for r in q_dedup_ngram(SF).take_all()}
+    assert lsh == bf
+    assert len(bf) > 0  # the corpus plants near-dup pairs
+
+
+def test_exact_dedup_accounts_for_every_doc(ray_session):
+    from skewer_ray.pipelines.corpus import q_dedup_exact
+    rows = q_dedup_exact(SF).take_all()
+    assert sum(r["n_copies"] for r in rows) == 500
+    for r in rows:
+        assert r["keep_id"] >= 0
+
+
+def test_ivf_full_probe_matches_bruteforce(ray_session):
+    """With nprobe = all cells, IVF candidate generation + merge must
+    reproduce the exact brute-force top-k bit-for-bit (validates the
+    machinery; the synthetic embeddings are isotropic, so a partial
+    probe has no recall guarantee to assert against)."""
+    import ray.data as rd
+    from skewer_ray.functions.similarity import ivf_topk
+    from skewer_ray.pipelines.corpus import q_ann_topk
+    exact = {(r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+             for r in q_ann_topk(SF).take_all()}
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+    full = {(r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+            for r in ivf_topk(ds, list(range(10)), nprobe=10).take_all()}
+    assert full == exact
+
+
+def test_ivf_partial_probe_shape(ray_session):
+    from skewer_ray.pipelines.corpus import q_ann_ivf, q_ann_topk
+    exact = {(r["query_id"], r["vec_id"]) for r in q_ann_topk(SF).take_all()}
+    approx = q_ann_ivf(SF).take_all()
+    assert {r["query_id"] for r in approx} == set(range(10))
+    pairs = {(r["query_id"], r["vec_id"]) for r in approx}
+    # recall is data-dependent on isotropic vectors; just record it
+    print(f"ivf nprobe=3 recall: {len(exact & pairs) / len(exact):.2f}")
+
+
+def test_lsh_topk_shape(ray_session):
+    """Random-hyperplane LSH on near-isotropic 64-d data has weak recall
+    by construction; assert the plumbing (schema, ≤k per query, scores
+    from the real candidate set) rather than a recall bar."""
+    from skewer_ray.pipelines.corpus import q_ann_lsh
+    rows = q_ann_lsh(SF).take_all()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert -1.0 <= r["cosine"] <= 1.0
+    assert all(len(v) <= 5 for v in per_q.values())
+
+
+def test_ann_topk_ranks(ray_session):
+    from skewer_ray.pipelines.corpus import q_ann_topk
+    rows = q_ann_topk(SF).take_all()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 10
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["cosine"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert q not in {r["vec_id"] for r in rs}  # self excluded
+
+
+def test_media_stage_plumbing(ray_session):
+    from skewer_ray.functions.media import MediaDecodeStage
+    from skewer_ray.pipelines.corpus import q_media_features
+    rows = q_media_features(SF).take_all()
+    assert len(rows) == 500
+    for r in rows[:20]:
+        assert r["media_type"] in ("image", "audio", "video")
+        assert 64 <= r["width"] <= 64 + 255
+        assert (r["duration_ms"] == 0) == (r["media_type"] == "image")
+    # the real-codec path is an explicit stub
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStage.decode_real(b"x", "image")
+
+
+def test_embedding_pairs_symmetric_free(ray_session):
+    from skewer_ray.pipelines.corpus import q_dedup_embedding
+    rows = q_dedup_embedding(SF).take_all()
+    seen = set()
+    for r in rows:
+        assert r["vec_a"] < r["vec_b"]
+        assert (r["vec_a"], r["vec_b"]) not in seen
+        seen.add((r["vec_a"], r["vec_b"]))
+        assert r["cosine"] >= 0.45
