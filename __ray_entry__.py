@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # enrichment + metrics (§2.3, §2.6)
         "enrich_groups": q.q_enrich_groups,
         "metrics_incoming": q.q_metrics_incoming,
+        # skew-safe per-conversation aggregate (north rule shuffle surface)
+        "conv_stats": q.q_conv_stats,
     }
     # training-data corpus operators (documents/embeddings tables):
     # text analysis, dedup family, similarity search, multimodal stub

@@ -278,6 +278,12 @@ SELECT {fam_name_case} AS format, NOT parse_error AS parse_ok,
        COUNT(*) AS n
 FROM routed GROUP BY 1, 2"""
 
+    q["conv_stats"] = f"""
+SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts,
+       max(ts) AS last_ts, CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM read_parquet('{_tpath(sf_name)}')
+GROUP BY conv_id"""
+
     q["routed_rows_kafka"] = C + """
 SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':0' AS uid,
        topic, partition_key

@@ -239,6 +239,34 @@ def q_metrics_incoming(sf_dir: str):
     return grouped_count(ds, ["format", "parse_ok"], pre=proj)
 
 
+def q_conv_stats(sf_dir: str):
+    """Per-conversation session stats (turn count, ts range, text bytes)
+    via the skew-safe two-phase combiner (stages/agg.grouped_stats): a
+    hot conversation holding half the corpus still only ships one
+    partial row per batch into the shuffle."""
+    from ..stages.agg import grouped_stats
+    ds = read_transcripts(sf_dir)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "ts": pc.cast(batch["ts"], pa.int64()),
+            "chars": pc.utf8_length(batch["text"]),
+        })
+
+    out = grouped_stats(ds, "conv_id",
+                        [("ts", "count"), ("ts", "min"), ("ts", "max"),
+                         ("chars", "sum")], pre=pre)
+    return out.map_batches(
+        lambda b: pa.table({
+            "conv_id": b["conv_id"],
+            "n_turns": b["n"],
+            "first_ts": pc.cast(b["min_ts"], pa.timestamp("us")),
+            "last_ts": pc.cast(b["max_ts"], pa.timestamp("us")),
+            "n_chars": pc.cast(b["sum_chars"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def q_routed_rows_kafka(sf_dir: str):
     """Routed-row set equality surface: uids delivered to the kafka sink."""
     ds = build_fanout(read_transcripts(sf_dir))

@@ -33,6 +33,56 @@ def partial_count_fn(keys: list[str], pre=None):
     return fn
 
 
+def grouped_stats(ds, key: str, specs: list[tuple[str, str]], pre=None):
+    """Distributed associative aggregate GROUP BY ``key`` with map-side
+    combine — the skew-safe shape for hot keys (a conversation owning
+    half the corpus contributes ONE partial row per batch it appears in,
+    so the final shuffle sees #batches rows for it, not #rows).
+
+    specs: [(column, agg)] with agg ∈ {sum, min, max, count}. Output
+    columns are named ``f"{agg}_{column}"`` (count → ``n``).
+    """
+    def out_name(col, agg):
+        return "n" if agg == "count" else f"{agg}_{col}"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if pre is not None:
+            batch = pre(batch)
+        aggs = [([], "count_all")] + [(c, a) for c, a in specs
+                                      if a != "count"]
+        g = batch.group_by([key]).aggregate(aggs)
+        cols = {key: g[key]}
+        for c, a in specs:
+            if a == "count":
+                cols["n"] = pc.cast(g["count_all"], pa.int64())
+            else:
+                cols[out_name(c, a)] = g[f"{c}_{a}"]
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    # combine partials: sum-of-sums / min-of-mins / max-of-maxes /
+    # sum-of-counts — associative, so two-phase is exact
+    def combine(batch: pa.Table) -> pa.Table:
+        aggs = []
+        for c, a in specs:
+            if a == "count":
+                aggs.append(("n", "sum"))
+            else:
+                aggs.append((out_name(c, a), a if a != "sum" else "sum"))
+        g = batch.group_by([key]).aggregate(aggs)
+        cols = {key: g[key]}
+        for c, a in specs:
+            if a == "count":
+                cols["n"] = pc.cast(g["n_sum"], pa.int64())
+            else:
+                n = out_name(c, a)
+                cols[n] = g[f"{n}_{a if a != 'sum' else 'sum'}"]
+        return pa.table(cols)
+
+    return partials.groupby(key).map_groups(combine, batch_format="pyarrow")
+
+
 def grouped_count(ds, keys: list[str], pre=None):
     """Distributed COUNT(*) GROUP BY ``keys`` with map-side combine.
 

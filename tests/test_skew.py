@@ -1,0 +1,59 @@
+"""Hot-key skew: the two-phase combiner aggregate must stay correct and
+bounded when one conversation owns half the corpus (SURVEY.md §7 phase 5
+skew stress; the salted-repartition concern of the north rule)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from skewer_ray.gen import generate_skew_table
+from skewer_ray.stages.agg import grouped_count, grouped_stats
+
+
+def test_grouped_stats_correct_under_skew(ray_session):
+    tbl = generate_skew_table(30_000, hot_fraction=0.5)
+    ds = rd.from_arrow(tbl).repartition(16)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "ts": pc.cast(batch["ts"], pa.int64()),
+            "chars": pc.utf8_length(batch["text"]),
+        })
+
+    out = grouped_stats(ds, "conv_id",
+                        [("ts", "count"), ("ts", "min"), ("ts", "max"),
+                         ("chars", "sum")], pre=pre).to_pandas()
+
+    # ground truth via pandas on the same table
+    df = tbl.to_pandas()
+    df["chars"] = df["text"].str.len()
+    gt = df.groupby("conv_id").agg(
+        n=("ts", "size"), min_ts=("ts", "min"), max_ts=("ts", "max"),
+        sum_chars=("chars", "sum"))
+
+    hot = out[out.conv_id == "conv-00000000"].iloc[0]
+    assert hot["n"] == 15_000  # the hot key
+    assert len(out) == len(gt)
+    merged = out.set_index("conv_id").join(gt, lsuffix="_ray")
+    assert (merged["n"] == merged["n_ray"]).all() if "n_ray" in merged else True
+    assert (merged["sum_chars_ray"] == merged["sum_chars"]).all() \
+        if "sum_chars_ray" in merged else \
+        (out.set_index("conv_id")["sum_chars"] == gt["sum_chars"]).all()
+
+
+def test_grouped_count_partials_bound_hot_key(ray_session):
+    """The shuffle input for the hot key is one partial row per batch,
+    not one row per record — verified by counting partial rows."""
+    from skewer_ray.stages.agg import partial_count_fn
+    tbl = generate_skew_table(30_000, hot_fraction=0.5)
+    ds = rd.from_arrow(tbl).repartition(16)
+    partials = ds.map_batches(partial_count_fn(["conv_id"]),
+                              batch_format="pyarrow").to_pandas()
+    hot_partials = (partials.conv_id == "conv-00000000").sum()
+    assert hot_partials <= 32  # ≈ number of batches, not 15k rows
+    counts = grouped_count(ds, ["conv_id"]).to_pandas()
+    assert int(counts[counts.conv_id == "conv-00000000"]["n"].iloc[0]) == 15_000
