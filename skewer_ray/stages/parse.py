@@ -41,6 +41,7 @@ class ParseStage:
             from ..decoders import register_custom_parser
             for name, fn in custom_parsers.items():
                 register_custom_parser(name, fn)
+        self.single = single is not None
         if single is not None:
             self.cfgs = {f: single for f in range(N_FAMILIES)}
         else:
@@ -48,7 +49,13 @@ class ParseStage:
         self.decoders = {f: (get_decoder(c), c) for f, c in self.cfgs.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fam = family_array(batch["conv_id"])
+        if self.single:
+            # one decoder for the whole stream: no per-conv family
+            # routing (arbitrary conv_id values allowed, e.g. raw-log
+            # file stems from sources.read_raw_log_lines)
+            fam = np.zeros(batch.num_rows, dtype=np.int64)
+        else:
+            fam = family_array(batch["conv_id"])
         texts = batch["text"].to_pylist()
         ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         ts_ns_all = ts_us * 1000

@@ -1,0 +1,113 @@
+"""Source readers: raw-log framing (LF + RFC6587 octet-counting
+auto-detect), journald export mapping, acct(2) binary decode
+(skewer_ray.sources; SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from skewer_ray.sources import (parse_acct_records, parse_journald_export,
+                                read_accounting, read_raw_log_lines,
+                                split_frames, write_acct_fixture)
+from skewer_ray.sources.accounting import comp_t_decode
+
+
+# ---------------------------------------------------------------------------
+# framing (tcp.go:273-334 semantics)
+# ---------------------------------------------------------------------------
+
+def test_lf_framing_autodetected():
+    data = b"<34>Oct 11 22:14:15 h app: one\n<35>Oct 11 22:14:16 h app: two\n"
+    fr = split_frames(data)
+    assert len(fr) == 2 and fr[0].startswith(b"<34>")
+
+
+def test_octet_counting_framing():
+    m1, m2 = b"<34>1 - - - - - - hi", b"<35>1 - - - - - - yo"
+    data = f"{len(m1)} ".encode() + m1 + f"{len(m2)} ".encode() + m2
+    assert split_frames(data) == [m1, m2]
+
+
+def test_octet_fallback_to_lf():
+    data = b"plain line one\nplain line two\n"
+    assert split_frames(data) == [b"plain line one", b"plain line two"]
+
+
+def test_read_raw_log_lines_pipeline(tmp_path, ray_session):
+    p = tmp_path / "conn0.log"
+    p.write_bytes(b"<34>Oct 11 22:14:15 host app[1]: m0\n"
+                  b"<35>Oct 11 22:14:16 host app[1]: m1\n")
+    rows = read_raw_log_lines([str(p)]).take_all()
+    assert [r["turn_idx"] for r in rows] == [0, 1]
+    assert rows[0]["conv_id"] == "conn0"
+    # frames feed the normal parse stage
+    from skewer_ray.decoders import DecoderConfig
+    from skewer_ray.stages import ParseStage
+    import pyarrow as pa
+    batch = pa.table({k: [r[k] for r in rows]
+                      for k in ("conv_id", "turn_idx", "role", "text",
+                                "tool", "ts")})
+    st = ParseStage(single=DecoderConfig(format="rfc3164"))
+    out = st(batch)
+    assert out["parse_ok"].to_pylist() == [True, True]
+    assert out["priority"].to_pylist() == [34, 35]
+
+
+# ---------------------------------------------------------------------------
+# journald export (journald/reader.go:36-111)
+# ---------------------------------------------------------------------------
+
+_EXPORT = """__REALTIME_TIMESTAMP=1700000000123456
+PRIORITY=4
+SYSLOG_FACILITY=3
+_COMM=sshd
+_PID=4242
+_HOSTNAME=node1
+_SYSTEMD_UNIT=ssh.service
+MESSAGE=Accepted publickey for root
+
+__REALTIME_TIMESTAMP=1700000001123456
+PRIORITY=6
+SYSLOG_FACILITY=3
+SYSLOG_IDENTIFIER=cron
+MESSAGE=job done
+"""
+
+
+def test_journald_export_mapping():
+    import json
+    t = parse_journald_export(_EXPORT, conv_id="j0")
+    assert t.num_rows == 2
+    r0 = {c: t[c][0].as_py() for c in t.column_names}
+    assert (r0["severity"], r0["facility"], r0["priority"]) == (4, 3, 28)
+    assert r0["appname"] == "sshd" and r0["procid"] == "4242"
+    assert r0["hostname"] == "node1"
+    assert r0["time_reported"] == 1700000000123456 * 1000
+    props = json.loads(r0["properties"])
+    assert props["journald"]["systemd_unit"] == "ssh.service"
+    r1 = {c: t[c][1].as_py() for c in t.column_names}
+    assert r1["appname"] == "cron"  # SYSLOG_IDENTIFIER fallback
+
+
+# ---------------------------------------------------------------------------
+# accounting (acct_linux.go:70-162)
+# ---------------------------------------------------------------------------
+
+def test_comp_t_decode():
+    # mantissa 5, exponent 2 → 5 << 6 = 320
+    v = np.array([(2 << 13) | 5, 7], dtype=np.uint16)
+    assert comp_t_decode(v).tolist() == [320, 7]
+
+
+def test_acct_roundtrip(tmp_path, ray_session):
+    p = tmp_path / "acct_v3.bin"
+    write_acct_fixture(str(p), n=50)
+    t = parse_acct_records(p.read_bytes(), source="acct_v3")
+    assert t.num_rows == 50
+    assert t["comm"][0].as_py() == "proc0"
+    assert t["pid"][10].as_py() == 2010
+    # comp_t with exponent: record 9 → utime = (9%8191) << (3*(9%4))
+    assert t["utime"][9].as_py() == 9 << 3
+    rows = read_accounting([str(p)]).take_all()
+    assert len(rows) == 50
+    assert rows[3]["uid"] == 1000 + (3 * 7) % 5
