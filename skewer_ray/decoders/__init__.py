@@ -56,6 +56,8 @@ def _custom_block(name: str):
     return block
 
 
+from . import collectd, protobuf_format
+
 _NATIVE = {
     "rfc3164": rfc3164.decode_block,
     "rfc5424": rfc5424.decode_block,
@@ -63,6 +65,8 @@ _NATIVE = {
     "rsyslogjson": json_format.decode_rsyslog_block,
     "gelf": gelf.decode_block,
     "influxdb": influxdb.decode_block,
+    "collectd": collectd.decode_block,
+    "protobuf": protobuf_format.decode_block,
     "w3c": w3c.decode_block,
     "ltsv": ltsv.decode_block,
     "ltsv_stub": ltsv.decode_stub_block,

@@ -181,10 +181,46 @@ def encode_gelf(rec: dict) -> str | None:
     return json.dumps(d, separators=(",", ":"), ensure_ascii=False)
 
 
+def encode_fulljson(rec: dict) -> str | None:
+    """RegularFullMessage JSON (encoders/json.go:83-95): the RegularSyslog
+    fields plus the envelope (uid / conf_id-equivalent conv_id / source
+    metadata) — here the passthrough transcript keys when present."""
+    inner = encode_json(rec)
+    if inner is None:
+        return None
+    d = {"fields": json.loads(inner)}
+    for k_out, k_in in (("uid", "uid"), ("conv_id", "conv_id"),
+                        ("turn_idx", "turn_idx"), ("source_type", "role")):
+        if k_in in rec and rec[k_in] is not None:
+            d[k_out] = rec[k_in]
+    return json.dumps(d, separators=(",", ":"), ensure_ascii=False)
+
+
+def encode_protobuf(rec: dict) -> str | None:
+    """SyslogMessage in proto field names (decoders side stand-in wire;
+    see decoders/protobuf_format.py — real protobuf would swap dumps)."""
+    props = props_loads(rec["properties"])
+    d = {
+        "Priority": rec["priority"], "Facility": rec["facility"],
+        "Severity": rec["severity"], "Version": rec["version"],
+        "TimeReportedNum": rec["time_reported"],
+        "TimeGeneratedNum": rec["time_generated"],
+        "HostName": rec["hostname"], "AppName": rec["appname"],
+        "ProcId": rec["procid"], "MsgId": rec["msgid"],
+        "Structured": rec["structured"], "Message": rec["message"],
+    }
+    if props:
+        d["Properties"] = {k: dict(sorted(v.items()))
+                           for k, v in sorted(props.items())}
+    return json.dumps(d, separators=(",", ":"), ensure_ascii=False)
+
+
 ENCODERS = {
     "rfc5424": encode_rfc5424,
     "rfc3164": encode_rfc3164,
     "json": encode_json,
+    "fulljson": encode_fulljson,
+    "protobuf": encode_protobuf,
     "file": encode_file,
     "gelf": encode_gelf,
 }

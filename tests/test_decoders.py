@@ -267,3 +267,60 @@ def test_charset_wrapper():
     dec = get_decoder(DecoderConfig(format="rfc3164", charset="latin-1"))
     dec([raw], [TS], out, None)
     assert out.message[0] == "café" and out.hostname[0] == "hôte"
+
+
+# ---------------------------------------------------------------------------
+# collectd binary protocol (decoders/collectd.go:19-95)
+# ---------------------------------------------------------------------------
+
+def test_collectd_packet_roundtrip():
+    import json
+    from skewer_ray.decoders import RecordBuilder, get_decoder, DecoderConfig
+    from skewer_ray.decoders.collectd import encode_packet
+    pkt = encode_packet("db01", 1_700_000_000, [
+        ("cpu", "percent", [("gauge", 42.5)]),
+        ("if", "octets", [("derive", -3), ("counter", 9)]),
+    ])
+    b = RecordBuilder()
+    dec = get_decoder(DecoderConfig(format="collectd"))
+    dec([pkt.decode("latin-1")], [0], b, DecoderConfig(format="collectd"))
+    assert len(b) == 2  # one record per values part
+    assert b.hostname == ["db01", "db01"]
+    assert b.appname == ["collectd", "collectd"]
+    assert b.message == ["cpu.percent", "if.octets"]
+    assert b.time_reported[0] == 1_700_000_000 * 1_000_000_000
+    p0 = json.loads(b.properties[0])["collectd"]
+    assert p0["value_0_gauge"] == "42.5"
+    p1 = json.loads(b.properties[1])["collectd"]
+    assert p1["value_0_derive"] == "-3.0" and p1["value_1_counter"] == "9.0"
+    assert b.sub_idx == [0, 1]
+
+
+def test_collectd_garbage_is_error():
+    from skewer_ray.decoders import RecordBuilder, get_decoder, DecoderConfig
+    b = RecordBuilder()
+    cfg = DecoderConfig(format="collectd")
+    get_decoder(cfg)(["not a packet"], [5], b, cfg)
+    assert b.parse_ok == [False]
+
+
+# ---------------------------------------------------------------------------
+# protobuf slot (decoders/protobuf.go:8-16; JSON stand-in wire)
+# ---------------------------------------------------------------------------
+
+def test_protobuf_decoder_direct_fields():
+    import json as _json
+    from skewer_ray.decoders import RecordBuilder, get_decoder, DecoderConfig
+    msg = _json.dumps({
+        "Priority": 165, "Facility": 20, "Severity": 5, "Version": 1,
+        "TimeReportedNum": 123, "TimeGeneratedNum": 456,
+        "HostName": "h", "AppName": "a", "ProcId": "9", "MsgId": "m",
+        "Message": "payload", "Properties": {"d": {"k": "v"}},
+    })
+    b = RecordBuilder()
+    cfg = DecoderConfig(format="protobuf")
+    get_decoder(cfg)([msg, "{bad"], [0, 0], b, cfg)
+    assert b.parse_ok == [True, False]
+    assert (b.priority[0], b.facility[0], b.severity[0]) == (165, 20, 5)
+    assert b.time_reported[0] == 123 and b.hostname[0] == "h"
+    assert _json.loads(b.properties[0]) == {"d": {"k": "v"}}

@@ -97,3 +97,33 @@ def test_gelf():
     # reference writes extras WITHOUT the GELF underscore prefix
     assert out["facility"] == "auth" and out["appname"] == "app01"
     assert out["d"] == {"k": "v"}
+
+
+def test_protobuf_encoder_roundtrips_through_decoder():
+    import json
+    from skewer_ray.decoders import RecordBuilder, get_decoder, DecoderConfig
+    from skewer_ray.encoders import encode_protobuf
+    rec = {"priority": 165, "facility": 20, "severity": 5, "version": 1,
+           "time_reported": 123, "time_generated": 456, "hostname": "h",
+           "appname": "a", "procid": "9", "msgid": "m", "structured": "",
+           "message": "payload", "properties": '{"d":{"k":"v"}}'}
+    wire = encode_protobuf(rec)
+    b = RecordBuilder()
+    cfg = DecoderConfig(format="protobuf")
+    get_decoder(cfg)([wire], [0], b, cfg)
+    assert b.parse_ok == [True]
+    assert b.priority == [165] and b.message == ["payload"]
+    assert json.loads(b.properties[0]) == {"d": {"k": "v"}}
+
+
+def test_fulljson_encoder_envelope():
+    import json
+    from skewer_ray.encoders import encode_fulljson
+    rec = {"priority": 14, "facility": 1, "severity": 6, "version": 1,
+           "time_reported": 0, "time_generated": 0, "hostname": "h",
+           "appname": "a", "procid": "", "msgid": "", "structured": "",
+           "message": "x", "properties": "{}",
+           "uid": "c:0:0", "conv_id": "c", "turn_idx": 0, "role": "user"}
+    d = json.loads(encode_fulljson(rec))
+    assert d["uid"] == "c:0:0" and d["conv_id"] == "c"
+    assert d["fields"]["message"] == "x"
