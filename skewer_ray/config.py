@@ -23,9 +23,27 @@ class _SafeDict(dict):
         return ""
 
 
-def render_template(tmpl: str, rec: dict) -> str:
+class _SafeView:
+    """Zero-copy mapping view for str.format_map: missing keys render
+    empty, present keys are fetched lazily from the underlying record
+    (which may itself be a lazy column view — see stages/route.Row)."""
+
+    __slots__ = ("rec",)
+
+    def __init__(self, rec):
+        self.rec = rec
+
+    def __getitem__(self, key):
+        try:
+            v = self.rec[key]
+        except KeyError:
+            return ""
+        return "" if v is None else v
+
+
+def render_template(tmpl: str, rec) -> str:
     """Go text/template equivalent for simple field substitution."""
-    return tmpl.format_map(_SafeDict(rec))
+    return tmpl.format_map(_SafeView(rec))
 
 
 @dataclass(frozen=True)

@@ -32,17 +32,23 @@ def _dt_from_ns(ns: int) -> datetime:
 # Timestamp formatting is per-row in every encoder but the distinct-second
 # cardinality of real log streams is tiny relative to row count — memoize.
 @lru_cache(maxsize=1 << 17)
+def _civil_from_sec(sec: int) -> str:
+    """'YYYY-MM-DDTHH:MM:SS' for a UTC epoch second (f-string build:
+    ~3× faster than strftime on the cache-miss path)."""
+    dt = _EPOCH0 + timedelta(seconds=sec)
+    return (f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d}T"
+            f"{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}")
+
+
 def rfc3339_from_ns(ns: int) -> str:
     """Go time.Format(time.RFC3339) for a UTC time, whole seconds."""
-    dt = _EPOCH0 + timedelta(seconds=ns // 1_000_000_000)
-    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+    return _civil_from_sec(ns // 1_000_000_000) + "Z"
 
 
-@lru_cache(maxsize=1 << 17)
 def rfc3339nano_from_ns(ns: int) -> str:
     """Go time.Format(time.RFC3339Nano): trailing zeros trimmed."""
     sec, rem = divmod(ns, 1_000_000_000)
-    base = (_EPOCH0 + timedelta(seconds=sec)).strftime("%Y-%m-%dT%H:%M:%S")
+    base = _civil_from_sec(sec)
     if rem:
         frac = f"{rem:09d}".rstrip("0")
         return f"{base}.{frac}Z"
@@ -53,11 +59,17 @@ def rfc3339nano_from_ns(ns: int) -> str:
 def stamp_from_ns(ns: int) -> str:
     """Go time.Format("Jan _2 15:04:05") — space-padded day."""
     dt = _EPOCH0 + timedelta(seconds=ns // 1_000_000_000)
-    return f"{_MONTH[dt.month]} {dt.day:2d} {dt:%H:%M:%S}"
+    return (f"{_MONTH[dt.month]} {dt.day:2d} "
+            f"{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}")
+
+
+import re
+
+_ASCII_RE = re.compile(r"^[\x21-\x7e]*$")
 
 
 def _printable_ascii(s: str) -> bool:
-    return all(33 <= ord(c) <= 126 for c in s)
+    return _ASCII_RE.match(s) is not None
 
 
 def _valid_sd_name(s: str) -> bool:
@@ -78,6 +90,28 @@ def _nilify(x: str) -> str:
     return x if x else "-"
 
 
+@lru_cache(maxsize=1 << 16)
+def _sd_render(props_json: str) -> str | None:
+    """Structured-data text for a property bag (sorted, escaped); None
+    means an invalid SD name → PermError. Keyed by the canonical JSON so
+    repeated bags cost one render."""
+    props = props_loads(props_json)
+    if not props:
+        return "-"
+    parts = []
+    for sid in sorted(props):
+        if not _valid_sd_name(sid):
+            return None
+        parts.append(f"[{sid}")
+        kv = props[sid]
+        for name in sorted(kv):
+            if not _valid_sd_name(name):
+                return None
+            parts.append(f' {name[:32]}="{_escape_sd(kv[name])}"')
+        parts.append("]")
+    return "".join(parts)
+
+
 def encode_rfc5424(rec: dict) -> str | None:
     """encoders/rfc5424.go:124-184 (validation at 35-75)."""
     host, app = rec["hostname"], rec["appname"]
@@ -90,28 +124,14 @@ def encode_rfc5424(rec: dict) -> str | None:
         return None
     if not _printable_ascii(msgid) or len(msgid) > 32:
         return None
-    props = props_loads(rec["properties"])
-    for sid, kv in props.items():
-        if not _valid_sd_name(sid):
-            return None
-        for name in kv:
-            if not _valid_sd_name(name):
-                return None
-    parts = [
-        f"<{rec['priority']}>1 {rfc3339_from_ns(rec['time_reported'])} "
-        f"{_nilify(host)} {_nilify(app)} {_nilify(proc)} {_nilify(msgid)} "
-    ]
-    if not props:
-        parts.append("-")
-    for sid in sorted(props):
-        parts.append(f"[{sid}")
-        for name in sorted(props[sid]):
-            parts.append(f' {name[:32]}="{_escape_sd(props[sid][name])}"')
-        parts.append("]")
-    if rec["message"]:
-        parts.append(" ")
-        parts.append(rec["message"])
-    return "".join(parts)
+    sd = _sd_render(rec["properties"] or "{}")
+    if sd is None:
+        return None
+    msg = rec["message"]
+    head = (f"<{rec['priority']}>1 {rfc3339_from_ns(rec['time_reported'])} "
+            f"{_nilify(host)} {_nilify(app)} {_nilify(proc)} "
+            f"{_nilify(msgid)} {sd}")
+    return f"{head} {msg}" if msg else head
 
 
 def encode_rfc3164(rec: dict) -> str | None:
@@ -124,29 +144,53 @@ def encode_rfc3164(rec: dict) -> str | None:
             f"{host} {rec['appname']}{procpart}: {rec['message']}")
 
 
+_SEVERITY_NAMES = ("emerg", "alert", "crit", "err", "warning", "notice",
+                   "info", "debug")
+_JSIMPLE_RE = re.compile(r'^[^"\\\x00-\x1f]*$')
+
+
+def _jstr(s: str) -> str:
+    """JSON string literal; fast path for values needing no escapes."""
+    if _JSIMPLE_RE.match(s):
+        return f'"{s}"'
+    return json.dumps(s, ensure_ascii=False)
+
+
+@lru_cache(maxsize=1 << 16)
+def _props_json_fragment(props_json: str) -> str:
+    """',"properties":{...}' canonical fragment for a property bag."""
+    props = props_loads(props_json)
+    if not props:
+        return ""
+    obj = {k: dict(sorted(v.items())) for k, v in sorted(props.items())}
+    return ',"properties":' + json.dumps(obj, separators=(",", ":"),
+                                         ensure_ascii=False)
+
+
 def encode_json(rec: dict) -> str | None:
     """RegularSyslog JSON (encoders/json.go:31-44, model/types.go:244-261).
 
     ffjson field order kept; omitempty honored; times canonicalized to UTC
-    RFC3339Nano (the reference marshals local times — non-deterministic)."""
+    RFC3339Nano (the reference marshals local times — non-deterministic).
+    Hand-rolled string build (profile-hot: one call per passing row per
+    JSON sink) — equivalent to json.dumps of the same ordered dict."""
     sev = rec["severity"]
     fac = rec["facility"]
-    d = {
-        "facility": FACILITIES[fac] if 0 <= fac < 24 else "info",
-        "severity": ("emerg", "alert", "crit", "err", "warning", "notice",
-                     "info", "debug")[sev] if 0 <= sev < 8 else "info",
-        "timereported": rfc3339nano_from_ns(rec["time_reported"]),
-        "timegenerated": rfc3339nano_from_ns(rec["time_generated"]),
-    }
-    for key, col in (("hostname", "hostname"), ("appname", "appname"),
-                     ("procid", "procid"), ("msgid", "msgid"),
-                     ("message", "message")):
-        if rec[col]:
-            d[key] = rec[col]
-    props = props_loads(rec["properties"])
-    if props:
-        d["properties"] = {k: dict(sorted(v.items())) for k, v in sorted(props.items())}
-    return json.dumps(d, separators=(",", ":"), ensure_ascii=False)
+    parts = [
+        '{"facility":"', FACILITIES[fac] if 0 <= fac < 24 else "info",
+        '","severity":"',
+        _SEVERITY_NAMES[sev] if 0 <= sev < 8 else "info",
+        '","timereported":"', rfc3339nano_from_ns(rec["time_reported"]),
+        '","timegenerated":"', rfc3339nano_from_ns(rec["time_generated"]),
+        '"',
+    ]
+    for key in ("hostname", "appname", "procid", "msgid", "message"):
+        v = rec[key]
+        if v:
+            parts.append(f',"{key}":{_jstr(v)}')
+    parts.append(_props_json_fragment(rec["properties"] or "{}"))
+    parts.append("}")
+    return "".join(parts)
 
 
 def encode_file(rec: dict) -> str | None:

@@ -44,6 +44,10 @@ _CONSUMED = set(_KEEP) | set(_REC_COLS) | {
     "filter_result", "filter_status"}
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 16)
 def _sanitize_route(r: str) -> str:
     out = "".join(c if (c.isalnum() or c in "._-") else "-" for c in r)
     return out or "unknown"

@@ -30,6 +30,36 @@ _HOOK_COLS = [
 _MUTABLE = ["hostname", "appname", "procid", "msgid", "message"]
 
 
+class Row:
+    """Lazy per-row view over column lists: hooks typically read 2-4 of
+    the 14 exposed fields, so materializing a dict per row wastes most
+    of the routing stage's time. Quacks like a read-only Mapping for
+    ``rec[...]`` and template rendering; ``to_dict()`` materializes for
+    hooks that genuinely need it."""
+
+    __slots__ = ("cols", "i")
+
+    def __init__(self, cols: dict[str, list], i: int):
+        self.cols = cols
+        self.i = i
+
+    def __getitem__(self, key):
+        return self.cols[key][self.i]
+
+    def __contains__(self, key):
+        return key in self.cols
+
+    def get(self, key, default=None):
+        col = self.cols.get(key)
+        return col[self.i] if col is not None else default
+
+    def keys(self):
+        return self.cols.keys()
+
+    def to_dict(self) -> dict:
+        return {k: v[self.i] for k, v in self.cols.items()}
+
+
 class RouterStage:
     def __init__(self, hooks: HookSet | dict[str, HookSet]):
         # single HookSet or per-conf_id dict (the per-ConfId env cache)
@@ -53,15 +83,12 @@ class RouterStage:
         mutated: dict[str, list] = {}
 
         hook = self.default
-        names = list(cols.keys())
-        col_lists = [cols[c] for c in names]
         for i in range(n):
             if not parse_ok[i]:
                 fres[i] = -1
                 fstatus[i] = "parse_error"
                 continue
-            rec = {name: col[i] for name, col in zip(names, col_lists)}
-            # date helper for filename templates (model/types.go Date())
+            rec = Row(cols, i)
             topics[i] = hook.topic(rec)
             pkeys[i] = hook.partition_key(rec)
             pnums[i] = hook.partition_number(rec)
