@@ -1,0 +1,93 @@
+"""Command-line entry — the `skewer serve` equivalent for batch runs
+(cmd/serve.go:68-110 → one `ray job submit` script).
+
+Usage (also via ``python -m skewer_ray``):
+
+    python -m skewer_ray run --input /root/testdata/sf0.001 --out /tmp/out
+    python -m skewer_ray run --input ... --out ... --resume     # skip done partitions
+    python -m skewer_ray retry --out /tmp/out                   # re-dispatch rejected
+    python -m skewer_ray counts --out /tmp/out                  # print sink counts
+
+The CLI owns the Ray session (guarded init); library code never calls
+ray.init (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="skewer_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="parse→enrich→route→fan-out job")
+    run.add_argument("--input", required=True,
+                     help="transcript parquet dir (or testdata sf dir)")
+    run.add_argument("--out", required=True)
+    run.add_argument("--resume", action="store_true",
+                     help="partitioned run with lineage manifests; "
+                          "skips partitions already recorded done")
+    run.add_argument("--ordered", action="store_true",
+                     help="sort output by (conv_id, turn_idx) before the "
+                          "partitioned write (RELP ordered-ack analogue)")
+    run.add_argument("--use-actors", action="store_true",
+                     help="actor-pool form of the per-record path")
+
+    retry = sub.add_parser("retry", help="re-dispatch rejected rows")
+    retry.add_argument("--out", required=True)
+
+    counts = sub.add_parser("counts", help="print per-sink counts")
+    counts.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "counts":
+        path = os.path.join(args.out, "metrics", "sink_counts.json")
+        with open(path) as fh:
+            print(json.dumps(json.load(fh), indent=1))
+        return 0
+
+    _ensure_ray(args.num_cpus)
+    try:
+        if args.cmd == "run":
+            if args.resume:
+                from .state import run_partitioned
+                metrics = run_partitioned(args.input, args.out,
+                                          use_actors=args.use_actors)
+                agg = (metrics.groupby(["sink", "status"])["n"].sum()
+                       .reset_index())
+            else:
+                from .pipelines.flagship import run_flagship
+                agg = run_flagship(args.input, args.out,
+                                   ordered=args.ordered,
+                                   use_actors=args.use_actors)
+            print(agg.to_string(index=False))
+        elif args.cmd == "retry":
+            from .state import retry_rejected
+            n = retry_rejected(args.out)
+            print(f"redelivered {n} rows")
+    finally:
+        import ray
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -120,8 +120,14 @@ def sink_counts(fanout_ds):
 
 
 def run_flagship(input_path: str, out_dir: str,
-                 config: PipelineConfig | None = None):
+                 config: PipelineConfig | None = None,
+                 ordered: bool = False, use_actors: bool = False):
     """Execute the full job: fan-out write + metrics artifact.
+
+    ``ordered=True`` sorts the stream by (conv_id, turn_idx) before the
+    partitioned write — the batch analogue of RELP's in-order acks
+    (services/network/relp.go:405-476); it costs a range shuffle, so
+    leave it off when consumers sort on read.
 
     Returns the metrics as a pandas DataFrame (small), having written
     partitioned parquet under ``out_dir/data`` and ``out_dir/metrics``.
@@ -133,7 +139,9 @@ def run_flagship(input_path: str, out_dir: str,
 
     config = config or default_config()
     ds = read_transcripts(input_path)
-    fan = build_fanout(ds, config)
+    fan = build_fanout(ds, config, use_actors=use_actors)
+    if ordered:
+        fan = fan.sort(["conv_id", "turn_idx"])
     fan.write_parquet(os.path.join(out_dir, "data"),
                       partition_cols=["sink", "status", "route"])
     # metrics from the written output (cheap column scan; no recompute of

