@@ -1,0 +1,69 @@
+"""Windowed / session operators over event streams — custom operators the
+reference lacks (SURVEY.md §2.7), expressed as Ray Data compositions:
+
+- tumbling window = derived window-start key + map-side-combine groupby
+  (no shuffle beyond tiny partials);
+- gap sessionization = groupby(entity).map_groups over the sorted group
+  (the one genuinely order-dependent aggregate; partition key = entity,
+  which is the documented co-location assumption).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.agg import grouped_stats
+
+HOUR_US = 3_600_000_000
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def tumbling_counts(events_ds, window_us: int = HOUR_US):
+    """(window_start, event_type, n, sum_value): tumbling-window counts.
+    The window start is a derived column, so this is an ordinary
+    combiner groupby — the streaming-window shuffle collapses to
+    partial rows."""
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64())
+        win = pc.multiply(pc.divide(ts, window_us), window_us)
+        return pa.table({
+            "window_start": pc.cast(win, pa.timestamp("us")),
+            "event_type": batch["event_type"],
+            "value": batch["value"],
+        })
+
+    out = grouped_stats(events_ds, ["window_start", "event_type"],
+                        [("value", "count"), ("value", "sum")], pre=pre)
+    return out.map_batches(
+        lambda b: pa.table({
+            "window_start": b["window_start"],
+            "event_type": b["event_type"],
+            "n": b["n"],
+            "sum_value": pc.round(b["sum_value"], 6),
+        }), batch_format="pyarrow")
+
+
+def gap_sessions(events_ds, gap_us: int = SESSION_GAP_US):
+    """(user_id, n_sessions, n_events): gap-based sessionization. A new
+    session starts when the inter-event gap within a user exceeds
+    ``gap_us``. Requires all of a user's events in one group — the
+    groupby(user_id) shuffle provides exactly that co-location."""
+
+    def sessions(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = pc.cast(batch["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        st = ts[order]
+        n_sessions = 1 + int((np.diff(st) > gap_us).sum()) if len(st) else 0
+        return pa.table({
+            "user_id": batch["user_id"].slice(0, 1),
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "n_events": pa.array([len(st)], pa.int64()),
+        })
+
+    return events_ds.groupby("user_id").map_groups(
+        sessions, batch_format="pyarrow")

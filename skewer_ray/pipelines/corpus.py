@@ -88,6 +88,40 @@ def q_media_features(sf_dir: str):
     return media_features(_docs(sf_dir))
 
 
+def q_dedup_filtered_docs(sf_dir: str):
+    """Near-dup removal: drop any doc that is the higher id of a MinHash
+    near-dup pair (deterministic keep-lowest rule; the broadcast drop
+    set is tiny — pairs only)."""
+    import pyarrow as pa
+    import ray
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=JACCARD_THRESHOLD)
+    drop = {r["doc_b"] for r in pairs.select_columns(["doc_b"]).take_all()}
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        mask = pa.array([int(x) not in d
+                         for x in batch["doc_id"].to_pylist()])
+        return batch.filter(mask).select(["doc_id"])
+
+    return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+def _events(sf_dir: str, cols):
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+
+def q_events_tumbling(sf_dir: str):
+    from ..functions.windows import tumbling_counts
+    return tumbling_counts(_events(sf_dir, ["ts", "event_type", "value"]))
+
+
+def q_events_sessions(sf_dir: str):
+    from ..functions.windows import gap_sessions
+    return gap_sessions(_events(sf_dir, ["event_id", "ts", "user_id"]))
+
+
 QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -101,6 +135,9 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "media_features": q_media_features,
+    "dedup_filtered_docs": q_dedup_filtered_docs,
+    "events_tumbling": q_events_tumbling,
+    "events_sessions": q_events_sessions,
 }
 
 

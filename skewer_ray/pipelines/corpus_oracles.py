@@ -110,7 +110,7 @@ SELECT md5(array_to_string(words, ' ')) AS text_hash,
        count(*) AS n_copies
 FROM w GROUP BY 1"""
 
-    q["dedup_minhash"] = _shingle_ctes() + """,
+    minhash_pairs = _shingle_ctes() + """,
 mh AS (
   SELECT doc_id, i, min(md5(i || ':' || s)) AS sig
   FROM sh, range(16) t(i) GROUP BY doc_id, i
@@ -133,13 +133,23 @@ inter AS (
   JOIN sh p ON p.doc_id = c.a
   JOIN sh r ON r.doc_id = c.b AND r.s = p.s
   GROUP BY c.a, c.b
-)
-SELECT a AS doc_a, b AS doc_b,
-       round(i / (na.n + nb.n - i), 6) AS jaccard
-FROM inter
-JOIN sizes na ON na.doc_id = a
-JOIN sizes nb ON nb.doc_id = b
-WHERE i / (na.n + nb.n - i) >= 0.5"""
+),
+pairs AS (
+  SELECT a, b, round(i / (na.n + nb.n - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes na ON na.doc_id = a
+  JOIN sizes nb ON nb.doc_id = b
+  WHERE i / (na.n + nb.n - i) >= 0.5
+)"""
+
+    q["dedup_minhash"] = minhash_pairs + """
+SELECT a AS doc_a, b AS doc_b, jaccard FROM pairs"""
+
+    # near-dup REMOVAL: a doc is dropped when it is the higher id of any
+    # near-dup pair (the engine applies the identical rule)
+    q["dedup_filtered_docs"] = minhash_pairs + """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT b FROM pairs)"""
 
     q["dedup_ngram"] = _shingle_ctes() + """,
 inter AS (
@@ -199,6 +209,25 @@ SELECT query_id,
        vec_id, cosine
 FROM s
 QUALIFY rank <= 5"""
+
+    q["events_tumbling"] = """
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+         AS window_start,
+       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    q["events_sessions"] = """
+WITH o AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS pts
+  FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN pts IS NULL
+                      OR epoch_us(ts) - epoch_us(pts) > 1800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM o GROUP BY user_id"""
 
     q["media_features"] = """
 SELECT doc_id,

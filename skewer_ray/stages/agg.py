@@ -33,15 +33,17 @@ def partial_count_fn(keys: list[str], pre=None):
     return fn
 
 
-def grouped_stats(ds, key: str, specs: list[tuple[str, str]], pre=None):
+def grouped_stats(ds, key, specs: list[tuple[str, str]], pre=None):
     """Distributed associative aggregate GROUP BY ``key`` with map-side
     combine — the skew-safe shape for hot keys (a conversation owning
     half the corpus contributes ONE partial row per batch it appears in,
     so the final shuffle sees #batches rows for it, not #rows).
 
     specs: [(column, agg)] with agg ∈ {sum, min, max, count}. Output
-    columns are named ``f"{agg}_{column}"`` (count → ``n``).
+    columns are named ``f"{agg}_{column}"`` (count → ``n``). ``key`` may
+    be one column name or a list (composite grouping key).
     """
+    keys = [key] if isinstance(key, str) else list(key)
     def out_name(col, agg):
         return "n" if agg == "count" else f"{agg}_{col}"
 
@@ -50,8 +52,8 @@ def grouped_stats(ds, key: str, specs: list[tuple[str, str]], pre=None):
             batch = pre(batch)
         aggs = [([], "count_all")] + [(c, a) for c, a in specs
                                       if a != "count"]
-        g = batch.group_by([key]).aggregate(aggs)
-        cols = {key: g[key]}
+        g = batch.group_by(keys).aggregate(aggs)
+        cols = {k: g[k] for k in keys}
         for c, a in specs:
             if a == "count":
                 cols["n"] = pc.cast(g["count_all"], pa.int64())
@@ -70,8 +72,8 @@ def grouped_stats(ds, key: str, specs: list[tuple[str, str]], pre=None):
                 aggs.append(("n", "sum"))
             else:
                 aggs.append((out_name(c, a), a if a != "sum" else "sum"))
-        g = batch.group_by([key]).aggregate(aggs)
-        cols = {key: g[key]}
+        g = batch.group_by(keys).aggregate(aggs)
+        cols = {k: g[k] for k in keys}
         for c, a in specs:
             if a == "count":
                 cols["n"] = pc.cast(g["n_sum"], pa.int64())
@@ -80,7 +82,8 @@ def grouped_stats(ds, key: str, specs: list[tuple[str, str]], pre=None):
                 cols[n] = g[f"{n}_{a if a != 'sum' else 'sum'}"]
         return pa.table(cols)
 
-    return partials.groupby(key).map_groups(combine, batch_format="pyarrow")
+    return partials.groupby(keys if len(keys) > 1 else keys[0]).map_groups(
+        combine, batch_format="pyarrow")
 
 
 def grouped_count(ds, keys: list[str], pre=None):

@@ -144,3 +144,29 @@ def test_embedding_pairs_symmetric_free(ray_session):
         assert (r["vec_a"], r["vec_b"]) not in seen
         seen.add((r["vec_a"], r["vec_b"]))
         assert r["cosine"] >= 0.45
+
+
+def test_dedup_filter_drops_pair_members(ray_session):
+    from skewer_ray.pipelines.corpus import (q_dedup_filtered_docs,
+                                             q_dedup_minhash)
+    pairs = q_dedup_minhash(SF).take_all()
+    kept = {r["doc_id"] for r in q_dedup_filtered_docs(SF).take_all()}
+    for p in pairs:
+        assert p["doc_a"] in kept or p["doc_a"] in {x["doc_b"] for x in pairs}
+        assert p["doc_b"] not in kept
+    assert len(kept) == 500 - len({p["doc_b"] for p in pairs})
+
+
+def test_tumbling_and_sessions(ray_session):
+    import pyarrow.parquet as pq
+    from skewer_ray.pipelines.corpus import (q_events_sessions,
+                                             q_events_tumbling)
+    n_events = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
+    wins = q_events_tumbling(SF).take_all()
+    assert sum(r["n"] for r in wins) == n_events
+    for r in wins[:10]:
+        assert r["window_start"].minute == 0 and r["window_start"].second == 0
+    sess = q_events_sessions(SF).take_all()
+    assert sum(r["n_events"] for r in sess) == n_events
+    for r in sess:
+        assert 1 <= r["n_sessions"] <= r["n_events"]
