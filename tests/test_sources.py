@@ -111,3 +111,42 @@ def test_acct_roundtrip(tmp_path, ray_session):
     rows = read_accounting([str(p)]).take_all()
     assert len(rows) == 50
     assert rows[3]["uid"] == 1000 + (3 * 7) % 5
+
+
+# ---------------------------------------------------------------------------
+# chunked GELF reassembly (services/network/graylog.go:214-310)
+# ---------------------------------------------------------------------------
+
+def _chunked(msg_id: bytes, payload: bytes, n: int):
+    per = (len(payload) + n - 1) // n
+    return [b"\x1e\x0f" + msg_id + bytes([i, n])
+            + payload[i * per:(i + 1) * per] for i in range(n)]
+
+
+def test_gelf_chunk_reassembly(ray_session):
+    import json
+    import zlib
+    import ray.data as rd
+    from skewer_ray.sources.gelf_chunks import datagrams_to_rows, reassemble
+
+    gelf = json.dumps({"version": "1.1", "host": "h",
+                       "short_message": "chunked hello", "level": 5}).encode()
+    datagrams = _chunked(b"AAAAAAA1", zlib.compress(gelf), 3)
+    datagrams += [gelf]                                  # whole, plain
+    datagrams += _chunked(b"AAAAAAA2", zlib.compress(gelf), 3)[:2]  # missing
+    rows = datagrams_to_rows(datagrams)
+    out = reassemble(rd.from_arrow(rows)).take_all()
+    by_status = {}
+    for r in out:
+        by_status.setdefault(r["status"], []).append(r)
+    assert len(by_status["ok"]) == 2
+    assert len(by_status["incomplete"]) == 1
+    texts = {r["text"] for r in by_status["ok"]}
+    assert all(json.loads(t)["short_message"] == "chunked hello"
+               for t in texts)
+    # the reassembled text parses with the normal gelf decoder
+    from skewer_ray.decoders import DecoderConfig, RecordBuilder, get_decoder
+    b = RecordBuilder()
+    cfg = DecoderConfig(format="gelf")
+    get_decoder(cfg)(sorted(texts), [0], b, cfg)
+    assert b.parse_ok == [True] and b.message == ["chunked hello"]
