@@ -53,9 +53,16 @@ def _sanitize_route(r: str) -> str:
     return out or "unknown"
 
 
+def _tmpl_fields(tmpl: str) -> tuple[str, ...]:
+    from string import Formatter
+    return tuple(f for _lit, f, _sp, _cv in Formatter().parse(tmpl) if f)
+
+
 class FanoutEncodeStage:
     def __init__(self, sinks: tuple[SinkConfig, ...] | list[SinkConfig]):
-        self.sinks = [(s, get_encoder(s.encoder)) for s in sinks]
+        self.sinks = [(s, get_encoder(s.encoder),
+                       _tmpl_fields(s.filename_tmpl) if s.kind == "file"
+                       else ()) for s in sinks]
 
     @staticmethod
     def _with_consts(sub: pa.Table, sink, status, route, encoded) -> pa.Table:
@@ -100,28 +107,37 @@ class FanoutEncodeStage:
             st = sub["filter_status"]
             # dropped → ACK, rejected → NACK, once per destination
             # (store/forwarder.go:192-208)
-            for s, _enc in self.sinks:
+            for s, _enc, _tf in self.sinks:
                 parts.append(self._with_consts(sub, s.name, st, "-", None))
 
         if m_pass.any():
+            from .route import Row
             sub = batch.filter(pa.array(m_pass))
             n = sub.num_rows
-            rec_names = _REC_COLS
-            rec_lists = [sub[c].to_pylist() for c in rec_names]
-            recs = [dict(zip(rec_names, row)) for row in zip(*rec_lists)]
+            colmap = {c: sub[c].to_pylist()
+                      for c in _REC_COLS + ["uid", "conv_id", "turn_idx",
+                                            "role"]}
+            # lazy views: encoders read 5-10 of these fields per call
+            recs = [Row(colmap, i) for i in range(n)]
             topics = sub["topic"]
-            for s, encode in self.sinks:
+            dates = None
+            for s, encode, tmpl_fields in self.sinks:
                 enc = [encode(r) for r in recs]
                 ok = np.fromiter((e is not None for e in enc), dtype=bool, count=n)
                 if s.kind == "kafka":
                     route_vals = topics
                 elif s.kind == "file":
+                    # filename template over msg fields
+                    # (store/dests/filedest.go:218-235); only the fields
+                    # the template names are materialized per row
+                    if dates is None and "date" in tmpl_fields:
+                        dates = [rfc3339_from_ns(t)[:10]
+                                 for t in colmap["time_reported"]]
+                        colmap = {**colmap, "date": dates}
+                        recs = [Row(colmap, i) for i in range(n)]
                     tmpl = s.filename_tmpl
-                    routes = []
-                    for r in recs:
-                        if "date" not in r:
-                            r["date"] = rfc3339_from_ns(r["time_reported"])[:10]
-                        routes.append(_sanitize_route(render_template(tmpl, r)))
+                    routes = [_sanitize_route(render_template(tmpl, r))
+                              for r in recs]
                     route_vals = pa.array(routes, pa.string())
                 else:
                     route_vals = "all"
