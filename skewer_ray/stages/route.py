@@ -61,13 +61,18 @@ class Row:
 
 
 class RouterStage:
-    def __init__(self, hooks: HookSet | dict[str, HookSet]):
-        # single HookSet or per-conf_id dict (the per-ConfId env cache)
+    def __init__(self, hooks: HookSet | dict):
+        """``hooks``: one HookSet for the whole stream, or a dict keyed
+        by conf id — the per-source family int (conv_index % 12, the
+        transcript stand-in for ConfId) — with key ``None`` as the
+        fallback. Hook envs are built once per worker, selected per row
+        (store/forwarder.go:133-156)."""
         if isinstance(hooks, HookSet):
             self.hooks_for = {None: hooks}
         else:
             self.hooks_for = dict(hooks)
         self.default = self.hooks_for.get(None) or next(iter(self.hooks_for.values()))
+        self.multi = len([k for k in self.hooks_for if k is not None]) > 0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -82,12 +87,22 @@ class RouterStage:
         fstatus = ["passing"] * n
         mutated: dict[str, list] = {}
 
+        if self.multi:
+            from .parse import family_array
+            fams = family_array(batch["conv_id"])
+            hooks_row = [self.hooks_for.get(int(f), self.default)
+                         for f in fams]
+        else:
+            hooks_row = None
+
         hook = self.default
         for i in range(n):
             if not parse_ok[i]:
                 fres[i] = -1
                 fstatus[i] = "parse_error"
                 continue
+            if hooks_row is not None:
+                hook = hooks_row[i]
             rec = Row(cols, i)
             topics[i] = hook.topic(rec)
             pkeys[i] = hook.partition_key(rec)

@@ -104,3 +104,36 @@ def test_partition_number_hook():
     h = HookSet(partition_number_fn=lambda r: r["severity"] + 10)
     out = RouterStage(h)(_record_batch())
     assert out["partition_number"][0].as_py() == 12
+
+
+def test_per_conf_hook_selection():
+    """Per-ConfId hook envs (store/forwarder.go:133-156): different
+    source families route through different topic hooks."""
+    import pyarrow as pa
+    from skewer_ray.config import HookSet, default_config
+    from skewer_ray.stages import ParseStage, RouterStage
+    from skewer_ray.gen import generate_table
+
+    cfg = default_config()
+    tbl = generate_table(600)  # conv families 0..N
+    parsed = ParseStage(decoder_for_family=cfg.decoder_for_family,
+                        custom_parsers=cfg.custom_parsers)(tbl)
+    hooks = {
+        None: HookSet(topic_tmpl="default-{appname}"),
+        0: HookSet(topic_fn=lambda r: "family-zero"),
+        2: HookSet(topic_fn=lambda r: "family-two"),
+    }
+    out = RouterStage(hooks=hooks)(parsed)
+    from skewer_ray.stages.parse import family_array
+    fams = family_array(out["conv_id"])
+    topics = out["topic"].to_pylist()
+    ok = out["parse_ok"].to_pylist()
+    for f, t, o in zip(fams, topics, ok):
+        if not o:
+            continue
+        if f == 0:
+            assert t == "family-zero"
+        elif f == 2:
+            assert t == "family-two"
+        else:
+            assert t.startswith("default-") or t == "default-topic"
