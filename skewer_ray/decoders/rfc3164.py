@@ -23,6 +23,9 @@ from datetime import datetime, timezone
 from .base import RecordBuilder
 
 _STAMP_RE = re.compile(r"^([A-Z][a-z]{2}) +(\d{1,2}) (\d{2}):(\d{2}):(\d{2})$")
+# prefix form consuming Go's space-padded "Jan _2 15:04:05" stamp
+_STAMP_PREFIX_RE = re.compile(
+    r"^([A-Z][a-z]{2}) +(\d{1,2}) (\d{2}):(\d{2}):(\d{2})(?: |$)")
 _MONTHS = {m: i + 1 for i, m in enumerate(
     ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
      "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"])}
@@ -74,6 +77,10 @@ def _old_stamp_ns(parts3: list[str], year: int):
     m = _STAMP_RE.match(" ".join(parts3))
     if not m:
         return None
+    return _stamp_groups_ns(m, year)
+
+
+def _stamp_groups_ns(m, year: int):
     mon = _MONTHS.get(m.group(1))
     if mon is None:
         return None
@@ -120,15 +127,19 @@ def decode_one(line: str, ts_ns: int, out: RecordBuilder, row: int, sub: int = 0
             return emit(tr=tr)
         s = s[1:]
     else:
-        if len(s) < 3:
+        # consume the stamp as a prefix so Go's "Jan _2" space-padded
+        # single-digit day (double space) still tokenizes correctly
+        mm = _STAMP_PREFIX_RE.match(rest)
+        if mm is None:
             return emit(tr=n, msg=rest)
         year = datetime.fromtimestamp(n / 1e9, tz=timezone.utc).year
-        tr = _old_stamp_ns(s[0:3], year)
+        tr = _stamp_groups_ns(mm, year)
         if tr is None:
             return emit(tr=n, msg=rest)
-        if len(s) == 3:
+        remaining = rest[mm.end():].strip()
+        if not remaining:
             return emit(tr=tr)
-        s = s[3:]
+        s = remaining.split(" ")
 
     if len(s) == 1:
         return emit(tr=tr, msg=s[0])

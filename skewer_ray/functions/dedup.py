@@ -239,6 +239,46 @@ def simhash_signatures(docs_ds):
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def simhash_pairs(docs_ds, max_hamming: int = 3):
+    """SimHash near-dup pairs: (doc_a, doc_b, hamming ≤ max_hamming).
+    Signatures are computed per batch; pairing compares each block
+    against a broadcast of all signatures (validation scale — at 100 TB
+    bucket by signature prefix bands and pair within buckets, the
+    SimHash analogue of the MinHash band shuffle)."""
+    import ray
+
+    sigs_ds = simhash_signatures(docs_ds)
+    rows = sigs_ds.take_all()
+    all_ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    all_sigs = np.array([r["simhash"] for r in rows], dtype=np.int64)
+    order = np.argsort(all_ids)
+    broadcast = ray.put((all_ids[order], all_sigs[order]))
+
+    def block_pairs(batch: pa.Table) -> pa.Table:
+        ids_o, sigs_o = ray.get(broadcast)
+        bid = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        bsig = np.asarray(batch["simhash"].to_pylist(), dtype=np.int64)
+        a_out, b_out, h_out = [], [], []
+        for r in range(len(bid)):
+            x = np.bitwise_xor(sigs_o, bsig[r])
+            # vectorized popcount over int64 (no leading-bit issues: 60-bit)
+            ham = np.zeros(len(x), dtype=np.int64)
+            v = x.copy()
+            while v.any():
+                ham += v & 1
+                v >>= 1
+            mask = (ids_o > bid[r]) & (ham <= max_hamming)
+            for j in np.nonzero(mask)[0]:
+                a_out.append(int(bid[r]))
+                b_out.append(int(ids_o[j]))
+                h_out.append(int(ham[j]))
+        return pa.table({"doc_a": pa.array(a_out, pa.int64()),
+                         "doc_b": pa.array(b_out, pa.int64()),
+                         "hamming": pa.array(h_out, pa.int64())})
+
+    return sigs_ds.map_batches(block_pairs, batch_format="pyarrow")
+
+
 def embedding_dup_pairs(emb_ds, threshold: float = 0.45):
     """Embedding-cosine near-dup pairs (vec_a < vec_b, cosine ≥
     threshold): per-block float64 matmul against a broadcast of the full

@@ -62,6 +62,11 @@ def q_dedup_simhash(sf_dir: str):
     return simhash_signatures(_docs(sf_dir))
 
 
+def q_dedup_simhash_pairs(sf_dir: str):
+    from ..functions.dedup import simhash_pairs
+    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
 def q_dedup_embedding(sf_dir: str):
     return embedding_dup_pairs(_emb(sf_dir), threshold=COSINE_THRESHOLD)
 
@@ -130,6 +135,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_ngram": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,

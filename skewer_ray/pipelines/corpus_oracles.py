@@ -164,7 +164,7 @@ JOIN sizes na ON na.doc_id = a
 JOIN sizes nb ON nb.doc_id = b
 WHERE i / (na.n + nb.n - i) >= 0.5"""
 
-    q["dedup_simhash"] = _W + """,
+    simhash_cte = _W + """,
 tok AS (
   SELECT doc_id, t, count(*) AS c
   FROM (SELECT doc_id, unnest(words) AS t FROM w) GROUP BY doc_id, t
@@ -178,11 +178,22 @@ bits AS (
   SELECT doc_id, b,
          sum(CASE WHEN (h >> b) & 1 = 1 THEN c ELSE -c END) AS wsum
   FROM th, range(60) t(b) GROUP BY doc_id, b
-)
-SELECT doc_id,
-       CAST(sum(CASE WHEN wsum > 0 THEN (1::BIGINT << b) ELSE 0 END)
-            AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id"""
+),
+sh60 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN wsum > 0 THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)"""
+
+    q["dedup_simhash"] = simhash_cte + """
+SELECT doc_id, simhash FROM sh60"""
+
+    q["dedup_simhash_pairs"] = simhash_cte + """
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       bit_count(xor(x.simhash, y.simhash)) AS hamming
+FROM sh60 x JOIN sh60 y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3"""
 
     q["dedup_embedding"] = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

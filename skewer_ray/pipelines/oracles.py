@@ -284,6 +284,13 @@ SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts,
 FROM read_parquet('{_tpath(sf_name)}')
 GROUP BY conv_id"""
 
+    q["conv_text"] = f"""
+SELECT conv_id, count(*) AS n_turns,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)
+         AS session_text
+FROM read_parquet('{_tpath(sf_name)}')
+GROUP BY conv_id"""
+
     q["routed_rows_kafka"] = C + """
 SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':0' AS uid,
        topic, partition_key

@@ -267,6 +267,29 @@ def q_conv_stats(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_conv_text(sf_dir: str):
+    """Ordered session reconstruction: per conversation, the turns
+    concatenated in (turn_idx) order as "role: text" lines — the one
+    transcript aggregate that genuinely needs all of a conversation
+    co-located AND ordered (the RELP in-order semantics applied to
+    output). groupby(conv_id).map_groups provides co-location; the sort
+    happens inside the group (tiny), not globally."""
+    ds = read_transcripts(sf_dir)
+
+    def assemble(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[("turn_idx", "ascending")])
+        b = batch.take(order)
+        joined = "\n".join(f"{r}: {t}" for r, t in
+                           zip(b["role"].to_pylist(), b["text"].to_pylist()))
+        return pa.table({
+            "conv_id": b["conv_id"].slice(0, 1),
+            "n_turns": pa.array([b.num_rows], pa.int64()),
+            "session_text": pa.array([joined], pa.string()),
+        })
+
+    return ds.groupby("conv_id").map_groups(assemble, batch_format="pyarrow")
+
+
 def q_routed_rows_kafka(sf_dir: str):
     """Routed-row set equality surface: uids delivered to the kafka sink."""
     ds = build_fanout(read_transcripts(sf_dir))

@@ -1,0 +1,129 @@
+"""Property-based roundtrips (hypothesis): encoder→decoder inverses,
+framing, property-bag canonicalization."""
+
+from __future__ import annotations
+
+import json
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from skewer_ray.decoders import DecoderConfig, RecordBuilder, get_decoder
+from skewer_ray.encoders import (encode_protobuf, encode_rfc3164,
+                                 encode_rfc5424)
+from skewer_ray.schema import props_dumps, props_loads
+from skewer_ray.sources import split_frames
+
+_PRINTABLE = string.ascii_letters + string.digits + ".-_:/"
+ident = st.text(alphabet=_PRINTABLE, min_size=1, max_size=20)
+msg_text = st.text(
+    alphabet=string.ascii_letters + string.digits + " .,-!?", max_size=60
+).map(str.strip)
+ts_ns = st.integers(min_value=0, max_value=4_000_000_000).map(
+    lambda s: s * 1_000_000_000)
+
+
+def _decode_one(fmt: str, line: str, ts: int = 0) -> RecordBuilder:
+    b = RecordBuilder()
+    cfg = DecoderConfig(format=fmt)
+    get_decoder(cfg)([line], [ts], b, cfg)
+    return b
+
+
+# "-" is the RFC5424 nil token: a field whose literal value is "-"
+# cannot round-trip by design (encodes to nil, decodes to empty)
+_not_nil = ident.filter(lambda s: s != "-")
+
+
+@given(pri=st.integers(0, 191), host=_not_nil, app=st.text(
+       _PRINTABLE, min_size=1, max_size=20).filter(lambda s: s != "-"),
+       proc=_not_nil, msgid=st.text(
+           _PRINTABLE, min_size=1, max_size=16).filter(lambda s: s != "-"),
+       msg=msg_text, tr=ts_ns)
+@settings(max_examples=150, deadline=None)
+def test_rfc5424_encode_decode_roundtrip(pri, host, app, proc, msgid, msg, tr):
+    rec = {"priority": pri, "facility": pri // 8, "severity": pri % 8,
+           "version": 1, "time_reported": tr, "time_generated": tr,
+           "hostname": host, "appname": app[:48], "procid": proc,
+           "msgid": msgid[:32], "structured": "", "message": msg,
+           "properties": "{}"}
+    wire = encode_rfc5424(rec)
+    assert wire is not None
+    b = _decode_one("rfc5424", wire)
+    assert b.parse_ok == [True]
+    assert b.priority == [pri]
+    assert b.hostname == [host] and b.appname == [app[:48]]
+    assert b.procid == [proc] and b.msgid == [msgid[:32]]
+    assert b.message == [msg]
+    assert b.time_reported == [tr]
+
+
+# RFC3164 hostname heuristic accepts letters/digits/.:-_ only
+# (decoders/rfc3164_format.go:188-194); '/' etc. classify as TAG
+hostident = st.text(alphabet=string.ascii_letters + string.digits + ".-_",
+                    min_size=1, max_size=20)
+
+
+@given(pri=st.integers(0, 191), host=hostident, app=st.text(
+    string.ascii_letters + string.digits + ".-_", min_size=1, max_size=20),
+    proc=st.integers(1, 99999).map(str),
+    # empty message = tag-only line: ambiguous in RFC3164 (the
+    # reference's fallback ladder cannot distinguish it either)
+    msg=msg_text.filter(bool), tr=ts_ns)
+@settings(max_examples=150, deadline=None)
+def test_rfc3164_encode_decode_roundtrip(pri, host, app, proc, msg, tr):
+    rec = {"priority": pri, "time_reported": tr, "hostname": host,
+           "appname": app, "procid": proc, "message": msg}
+    wire = encode_rfc3164(rec)
+    b = _decode_one("rfc3164", wire, ts=tr)
+    assert b.parse_ok == [True]
+    assert b.priority == [pri]
+    assert b.hostname == [host]
+    assert b.appname == [app] and b.procid == [proc]
+    assert b.message == [msg]
+    # Jan _2 format has no year: decoder stamps the input ts's year —
+    # round-trips month/day/time within the same year
+    assert abs(b.time_reported[0] - tr) < 366 * 86400 * 1_000_000_000
+
+
+@given(pri=st.integers(0, 191), fields=st.fixed_dictionaries({
+    "HostName": ident, "AppName": ident, "ProcId": ident,
+    "MsgId": ident, "Message": msg_text}),
+    props=st.dictionaries(ident, st.dictionaries(ident, ident, max_size=3),
+                          max_size=3), tr=ts_ns)
+@settings(max_examples=100, deadline=None)
+def test_protobuf_wire_roundtrip(pri, fields, props, tr):
+    rec = {"priority": pri, "facility": pri // 8, "severity": pri % 8,
+           "version": 1, "time_reported": tr, "time_generated": tr,
+           "hostname": fields["HostName"], "appname": fields["AppName"],
+           "procid": fields["ProcId"], "msgid": fields["MsgId"],
+           "structured": "", "message": fields["Message"],
+           "properties": props_dumps(props)}
+    b = _decode_one("protobuf", encode_protobuf(rec))
+    assert b.parse_ok == [True]
+    assert b.message == [fields["Message"]]
+    assert props_loads(b.properties[0]) == (props if props else {})
+
+
+@given(msgs=st.lists(st.text(
+    alphabet=string.ascii_letters + " ", min_size=1, max_size=80),
+    min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_octet_framing_roundtrip(msgs):
+    payload = b"".join(f"{len(m.encode())} ".encode() + m.encode()
+                       for m in msgs)
+    if payload[:1].isdigit():
+        frames = split_frames(payload)
+        assert [f.decode() for f in frames] == msgs
+
+
+@given(props=st.dictionaries(ident, st.dictionaries(ident, msg_text,
+                                                    max_size=4), max_size=4))
+@settings(max_examples=100, deadline=None)
+def test_props_canonical_roundtrip(props):
+    s = props_dumps(props)
+    assert props_loads(s) == (props if props else {})
+    # canonical: dumping the parsed form is identical (sorted keys)
+    assert props_dumps(props_loads(s)) == s if props else True
+    assert json.loads(s or "{}") == (props if props else {})
