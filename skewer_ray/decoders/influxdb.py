@@ -21,6 +21,8 @@ from ..schema import props_dumps
 
 
 def _split_unescaped(s: str, sep: str):
+    if "\\" not in s:  # fast path: no escapes (the overwhelming case)
+        return s.split(sep)
     parts, buf, i, n = [], [], 0, len(s)
     while i < n:
         c = s[i]
