@@ -19,10 +19,10 @@ ORACLE_SF = "sf0.01"  # the driver's correctness scale
 
 def entry() -> Any:
     """Flagship pipeline at sf0.001: parse → enrich → route → fan-out →
-    per-sink aggregate counts."""
+    per-sink aggregate counts (returned as a pandas DataFrame)."""
     from skewer_ray.pipelines.flagship import build_fanout, read_transcripts, sink_counts
     ds = read_transcripts("/root/testdata/sf0.001")
-    return sink_counts(build_fanout(ds))
+    return sink_counts(build_fanout(ds)).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -79,8 +79,9 @@ def bench_flagship(sf_dir: str, num_cpus: int) -> tuple[float, int]:
     path = ensure_transcripts(sf_dir)
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     t0 = time.perf_counter()
-    ds = rd.read_parquet(path, columns=cols,
-                         override_num_blocks=num_cpus * 4)
+    # fixed block count (not cpus*k): both scaling arms see identical
+    # task granularity, so the comparison isolates parallelism
+    ds = rd.read_parquet(path, columns=cols, override_num_blocks=64)
     counts = sink_counts(build_fanout(ds)).to_pandas()
     dt = time.perf_counter() - t0
     assert len(counts) > 0

@@ -35,15 +35,17 @@ def tumbling_counts(events_ds, window_us: int = HOUR_US):
             "value": batch["value"],
         })
 
+    # window-count cardinality is bounded (time-range / window size), so
+    # the final combine happens driver-side — no Ray Aggregate operator
     out = grouped_stats(events_ds, ["window_start", "event_type"],
-                        [("value", "count"), ("value", "sum")], pre=pre)
-    return out.map_batches(
-        lambda b: pa.table({
-            "window_start": b["window_start"],
-            "event_type": b["event_type"],
-            "n": b["n"],
-            "sum_value": pc.round(b["sum_value"], 6),
-        }), batch_format="pyarrow")
+                        [("value", "count"), ("value", "sum")], pre=pre,
+                        combine="driver")
+    return pa.table({
+        "window_start": out["window_start"],
+        "event_type": out["event_type"],
+        "n": out["n"],
+        "sum_value": pc.round(out["sum_value"], 6),
+    })
 
 
 def gap_sessions(events_ds, gap_us: int = SESSION_GAP_US):

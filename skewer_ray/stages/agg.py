@@ -33,7 +33,8 @@ def partial_count_fn(keys: list[str], pre=None):
     return fn
 
 
-def grouped_stats(ds, key, specs: list[tuple[str, str]], pre=None):
+def grouped_stats(ds, key, specs: list[tuple[str, str]], pre=None,
+                  combine: str = "shuffle"):
     """Distributed associative aggregate GROUP BY ``key`` with map-side
     combine — the skew-safe shape for hot keys (a conversation owning
     half the corpus contributes ONE partial row per batch it appears in,
@@ -42,6 +43,11 @@ def grouped_stats(ds, key, specs: list[tuple[str, str]], pre=None):
     specs: [(column, agg)] with agg ∈ {sum, min, max, count}. Output
     columns are named ``f"{agg}_{column}"`` (count → ``n``). ``key`` may
     be one column name or a list (composite grouping key).
+
+    combine="driver" pulls the partials to the driver and combines
+    locally (see grouped_count) — use when key cardinality is small;
+    "shuffle" (default) keeps the final combine distributed for keys
+    that scale with the data.
     """
     keys = [key] if isinstance(key, str) else list(key)
     def out_name(col, agg):
@@ -65,7 +71,7 @@ def grouped_stats(ds, key, specs: list[tuple[str, str]], pre=None):
 
     # combine partials: sum-of-sums / min-of-mins / max-of-maxes /
     # sum-of-counts — associative, so two-phase is exact
-    def combine(batch: pa.Table) -> pa.Table:
+    def combine_fn(batch: pa.Table) -> pa.Table:
         aggs = []
         for c, a in specs:
             if a == "count":
@@ -82,19 +88,45 @@ def grouped_stats(ds, key, specs: list[tuple[str, str]], pre=None):
                 cols[n] = g[f"{n}_{a if a != 'sum' else 'sum'}"]
         return pa.table(cols)
 
+    if combine == "driver":
+        t = _collect_partials(partials)
+        return combine_fn(t) if t.num_rows else t
     return partials.groupby(keys if len(keys) > 1 else keys[0]).map_groups(
-        combine, batch_format="pyarrow")
+        combine_fn, batch_format="pyarrow")
 
 
-def grouped_count(ds, keys: list[str], pre=None):
+def _collect_partials(partials) -> pa.Table:
+    """Drain a tiny-partials Dataset to one local Arrow table (schema
+    survives the empty case via arrow refs)."""
+    import ray
+    tables = [t for t in ray.get(partials.to_arrow_refs())]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def grouped_count(ds, keys: list[str], pre=None, combine: str = "driver"):
     """Distributed COUNT(*) GROUP BY ``keys`` with map-side combine.
 
-    Returns a Dataset with columns (*keys, n:int64). ``pre`` is an
-    optional per-batch pyarrow transform applied before counting (filter
-    / projection / derived key columns).
+    combine="driver" (default): the per-batch partials — a handful of
+    rows each — are pulled to the driver and combined locally, returning
+    a pyarrow.Table. This keeps Ray's sort-based Aggregate operator out
+    of the plan entirely (measured: it throttles upstream map
+    parallelism badly at small CPU counts). Correct whenever the GROUP
+    BY cardinality is small (counters, topics, statuses).
+
+    combine="shuffle": Ray groupby over the partials, returning a
+    Dataset — for keys whose cardinality itself scales with the data
+    (e.g. conv_id).
     """
     partials = ds.map_batches(partial_count_fn(keys, pre),
                               batch_format="pyarrow")
+    if combine == "driver":
+        t = _collect_partials(partials)
+        if t.num_rows == 0:
+            return t
+        g = t.group_by(keys).aggregate([("n", "sum")])
+        return pa.table({**{k: g[k] for k in keys},
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
     agg = partials.groupby(keys).sum("n")
 
     def rename(b: pa.Table) -> pa.Table:

@@ -162,7 +162,7 @@ def test_tumbling_and_sessions(ray_session):
     from skewer_ray.pipelines.corpus import (q_events_sessions,
                                              q_events_tumbling)
     n_events = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
-    wins = q_events_tumbling(SF).take_all()
+    wins = q_events_tumbling(SF).to_pylist()  # driver-combined pa.Table
     assert sum(r["n"] for r in wins) == n_events
     for r in wins[:10]:
         assert r["window_start"].minute == 0 and r["window_start"].second == 0
