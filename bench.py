@@ -7,11 +7,10 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
 
---scaling: run the flagship pipeline twice in FRESH processes
-(num_cpus=8 then num_cpus=32) on the same input and report both
-throughputs plus scaling efficiency = (thr32/thr8)/4 — the sandbox
-evidence for the north rule's N→4N-node criterion (no real cluster
-here).
+--scaling: run the flagship pipeline at N and 4N CPUs (default 4→16)
+in FRESH ray.init processes on the same input — 3 interleaved rounds,
+median per-round efficiency (thr_4N/thr_N)/4 — the sandbox evidence
+for the north rule's N→4N-node criterion (no real cluster here).
 """
 
 from __future__ import annotations
@@ -141,41 +140,51 @@ def run_once(sf_dir: str, num_cpus: int, flagship_only: bool) -> dict:
 def run_scaling(sf_dir: str, n_low: int = 4) -> dict:
     """N vs 4N CPUs in fresh processes; efficiency = (thr_4N/thr_N)/4.
 
-    Default pair 4→16: the 16→32 span is bounded by this single node's
-    memory bandwidth (string-heavy workload saturates it near full
-    machine width), which a multi-node cluster does not share — each
-    added node brings its own memory system. Both pairs are recorded in
-    BASELINE.md."""
+    Default pair 4→16. Two single-node artifacts bias any pair (see
+    BASELINE.md §4): Ray's out-of-band system processes (raylet, GCS,
+    driver combine) run on cores OUTSIDE num_cpus, inflating the small
+    arm (worst at 1-2 CPUs); and the machine-wide memory-bandwidth
+    ceiling (~125-150k turns/s for this string-heavy workload from ~8
+    workers up) deflates the wide arm (worst at 32). 4→16 balances the
+    two. A real N→4N-node cluster has neither artifact: each node
+    brings its own memory system and its own system processes."""
     n_high = n_low * 4
-    results = {}
-    for cpus in (n_low, n_high):
-        best = None
-        for _rep in range(2):  # best-of-2: single-node timing noise is large
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--single-run",
-                 "--cpus", str(cpus), "--sf-dir", sf_dir],
-                capture_output=True, text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)))
-            line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-            if not line:
-                raise RuntimeError(f"bench subprocess (cpus={cpus}) failed:\n"
-                                   f"{proc.stdout}\n{proc.stderr[-2000:]}")
-            r = json.loads(line[-1])
-            if best is None or r["turns_per_sec"] > best["turns_per_sec"]:
-                best = r
-        results[cpus] = best
-    thr_lo = results[n_low]["turns_per_sec"]
-    thr_hi = results[n_high]["turns_per_sec"]
-    eff = (thr_hi / thr_lo) / 4.0
+
+    def one(cpus: int) -> dict:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-run",
+             "--cpus", str(cpus), "--sf-dir", sf_dir],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if not line:
+            raise RuntimeError(f"bench subprocess (cpus={cpus}) failed:\n"
+                               f"{proc.stdout}\n{proc.stderr[-2000:]}")
+        return json.loads(line[-1])
+
+    # interleaved rounds: each round runs the low arm then the high arm
+    # back to back, so both see the same machine conditions; single-run
+    # noise on this shared box is ±30-40%, so report the MEDIAN of
+    # per-round efficiencies (a best-of-N per arm would bias arms
+    # caught in different load windows)
+    rounds = []
+    for _ in range(3):
+        lo = one(n_low)
+        hi = one(n_high)
+        rounds.append((lo, hi, (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0))
+    rounds.sort(key=lambda r: r[2])
+    lo, hi, eff = rounds[len(rounds) // 2]  # median round
     return {
-        "metric": f"scaling efficiency ({n_low}→{n_high} CPUs, fresh sessions)",
+        "metric": f"scaling efficiency ({n_low}→{n_high} CPUs, fresh sessions,"
+                  " median of 3 interleaved rounds)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "sf": os.path.basename(os.path.normpath(sf_dir)),
-        f"turns_per_sec_{n_low}cpu": thr_lo,
-        f"turns_per_sec_{n_high}cpu": thr_hi,
-        f"flagship_sec_{n_low}cpu": results[n_low]["queries"]["flagship"],
-        f"flagship_sec_{n_high}cpu": results[n_high]["queries"]["flagship"],
+        f"turns_per_sec_{n_low}cpu": lo["turns_per_sec"],
+        f"turns_per_sec_{n_high}cpu": hi["turns_per_sec"],
+        f"flagship_sec_{n_low}cpu": lo["queries"]["flagship"],
+        f"flagship_sec_{n_high}cpu": hi["queries"]["flagship"],
+        "per_round_efficiency": [round(r[2], 3) for r in rounds],
         "scaling_efficiency": round(eff, 3),
     }
 
@@ -185,13 +194,15 @@ def main():
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-base", type=int, default=4,
+                    help="N for the N vs 4N scaling pair (default 4)")
     ap.add_argument("--single-run", action="store_true",
                     help="flagship only (used by --scaling subprocesses)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if args.scaling:
-        result = run_scaling(args.sf_dir)
+        result = run_scaling(args.sf_dir, n_low=args.scaling_base)
     else:
         result = run_once(args.sf_dir, args.cpus, args.single_run)
     print(json.dumps(result))
