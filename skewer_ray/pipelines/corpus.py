@@ -113,6 +113,37 @@ def q_dedup_filtered_docs(sf_dir: str):
     return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Transitive near-dup clusters: connected components over the
+    MinHash pair graph, rep = min doc_id in the component. The pair set
+    is tiny (near-dups only), so union-find runs on the driver — the
+    standard pattern at any scale: the O(N²)-ish part stays in the LSH
+    shuffle, the graph contraction is O(#pairs)."""
+    import pyarrow as pa
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=JACCARD_THRESHOLD)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.select_columns(["doc_a", "doc_b"]).take_all():
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            # union by min id so the root IS the representative
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    members = sorted(parent)
+    return pa.table({
+        "doc_id": pa.array(members, pa.int64()),
+        "cluster_rep": pa.array([find(m) for m in members], pa.int64()),
+    })
+
+
 def _events(sf_dir: str, cols):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
 
@@ -142,6 +173,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "media_features": q_media_features,
     "dedup_filtered_docs": q_dedup_filtered_docs,
+    "dedup_clusters": q_dedup_clusters,
     "events_tumbling": q_events_tumbling,
     "events_sessions": q_events_sessions,
 }

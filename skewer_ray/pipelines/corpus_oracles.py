@@ -151,6 +151,22 @@ SELECT a AS doc_a, b AS doc_b, jaccard FROM pairs"""
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT b FROM pairs)"""
 
+    # transitive closure over the pair graph: component rep = min doc_id
+    # (WITH RECURSIVE must be declared on the first CTE of the chain)
+    q["dedup_clusters"] = minhash_pairs.replace(
+        "WITH w AS", "WITH RECURSIVE w AS", 1) + """,
+edges AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT src AS doc_id,
+       least(src, min(dst)) AS cluster_rep
+FROM reach GROUP BY src"""
+
     q["dedup_ngram"] = _shingle_ctes() + """,
 inter AS (
   SELECT p.doc_id AS a, r.doc_id AS b, count(*) AS i

@@ -170,3 +170,14 @@ def test_tumbling_and_sessions(ray_session):
     assert sum(r["n_events"] for r in sess) == n_events
     for r in sess:
         assert 1 <= r["n_sessions"] <= r["n_events"]
+
+
+def test_dedup_clusters_transitive(ray_session):
+    from skewer_ray.pipelines.corpus import q_dedup_clusters, q_dedup_minhash
+    pairs = [(r["doc_a"], r["doc_b"]) for r in q_dedup_minhash(SF).take_all()]
+    t = q_dedup_clusters(SF)
+    rep = dict(zip(t["doc_id"].to_pylist(), t["cluster_rep"].to_pylist()))
+    for a, b in pairs:
+        assert rep[a] == rep[b]            # pair members share a cluster
+        assert rep[a] <= a and rep[a] <= b  # rep is the component min
+    assert set(rep) == {d for p in pairs for d in p}
