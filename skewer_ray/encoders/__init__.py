@@ -259,12 +259,21 @@ def encode_protobuf(rec: dict) -> str | None:
     return json.dumps(d, separators=(",", ":"), ensure_ascii=False)
 
 
+def encode_avro_str(rec: dict) -> str | None:
+    """Avro binary (encoders/avro.py) carried latin-1 in the string
+    ``encoded`` column; ``.encode("latin-1")`` restores the bytes."""
+    from .avro import encode_avro
+    b = encode_avro(rec)
+    return None if b is None else b.decode("latin-1")
+
+
 ENCODERS = {
     "rfc5424": encode_rfc5424,
     "rfc3164": encode_rfc3164,
     "json": encode_json,
     "fulljson": encode_fulljson,
     "protobuf": encode_protobuf,
+    "avro": encode_avro_str,
     "file": encode_file,
     "gelf": encode_gelf,
 }

@@ -127,3 +127,30 @@ def test_fulljson_encoder_envelope():
     d = json.loads(encode_fulljson(rec))
     assert d["uid"] == "c:0:0" and d["conv_id"] == "c"
     assert d["fields"]["message"] == "x"
+
+
+def test_avro_binary_roundtrip():
+    """Dependency-free Avro binary (avro/syslogmessage.avsc field order)
+    round-trips through the matching reader, including the two-level
+    Properties map and varint edge sizes."""
+    from skewer_ray.encoders.avro import decode_avro, encode_avro
+    rec = {"facility": 4, "severity": 2, "time_reported": 1700000000123456789,
+           "time_generated": 0, "hostname": "h" * 100, "appname": "app",
+           "procid": "12", "msgid": "", "message": "hello é 世界",
+           "properties": '{"d1":{"k":"v"},"d2":{"a":"b","c":"d"}}'}
+    wire = encode_avro(rec)
+    back = decode_avro(wire)
+    assert back["Facility"] == "auth" or back["Facility"]  # name mapping
+    assert back["Hostname"] == "h" * 100
+    assert back["Message"] == "hello é 世界"
+    assert back["Msgid"] == ""
+    assert back["Properties"] == {"d1": {"k": "v"},
+                                  "d2": {"a": "b", "c": "d"}}
+    assert back["TimeReported"].startswith("2023-11-14T22:13:20.123456789Z"[:10])
+    # empty-props record
+    rec2 = dict(rec, properties="{}")
+    assert decode_avro(encode_avro(rec2))["Properties"] == {}
+    # registry form carries the bytes latin-1 in the string column
+    from skewer_ray.encoders import get_encoder
+    s = get_encoder("avro")(rec)
+    assert s.encode("latin-1") == wire
