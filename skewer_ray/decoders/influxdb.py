@@ -41,6 +41,57 @@ def _split_unescaped(s: str, sep: str):
     return parts
 
 
+def _split_top(s: str):
+    """Top-level split on unescaped spaces OUTSIDE double-quoted string
+    field values (influx allows spaces inside ``f="a b"``)."""
+    if '"' not in s:
+        return _split_unescaped(s, " ")
+    parts, buf, in_q, i, n = [], [], False, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            buf.append(c)
+            buf.append(s[i + 1])
+            i += 2
+            continue
+        if c == '"':
+            in_q = not in_q
+            buf.append(c)
+        elif c == " " and not in_q:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _split_fields(s: str):
+    """Field-part split on unescaped commas outside quoted values."""
+    if '"' not in s:
+        return _split_unescaped(s, ",")
+    parts, buf, in_q, i, n = [], [], False, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            buf.append(c)
+            buf.append(s[i + 1])
+            i += 2
+            continue
+        if c == '"':
+            in_q = not in_q
+            buf.append(c)
+        elif c == "," and not in_q:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
 def _unescape(s: str) -> str:
     return s.replace("\\,", ",").replace("\\ ", " ").replace("\\=", "=")
 
@@ -58,7 +109,7 @@ def _fmt_float(v: float) -> str:
 def decode_one(line: str, ts_ns: int, out: RecordBuilder, row: int):
     try:
         # measurement[,tag=v...] fields [timestamp]
-        top = _split_unescaped(line.strip(), " ")
+        top = _split_top(line.strip())
         top = [t for t in top if t != ""]
         if len(top) < 2 or len(top) > 3:
             raise ValueError("bad segment count")
@@ -80,7 +131,7 @@ def decode_one(line: str, ts_ns: int, out: RecordBuilder, row: int):
                 host = v
 
         fields = {}
-        for kv in _split_unescaped(field_part, ","):
+        for kv in _split_fields(field_part):
             k, eq, v = kv.partition("=")
             if not k or not eq:
                 raise ValueError("bad field")

@@ -142,8 +142,11 @@ def run_flagship(input_path: str, out_dir: str,
     fan = build_fanout(ds, config, use_actors=use_actors)
     if ordered:
         fan = fan.sort(["conv_id", "turn_idx"])
+    # min_rows_per_file guards against tiny-file explosion across the
+    # (sink, status, route) partition space (SURVEY.md §7 hard #4)
     fan.write_parquet(os.path.join(out_dir, "data"),
-                      partition_cols=["sink", "status", "route"])
+                      partition_cols=["sink", "status", "route"],
+                      min_rows_per_file=10_000)
     # metrics from the written output (cheap column scan; no recompute of
     # the parse/route stages)
     from ..stages.agg import grouped_count

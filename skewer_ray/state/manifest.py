@@ -154,7 +154,9 @@ def run_partitioned(input_path: str, out_dir: str, config=None,
                             batch_format="pyarrow")
         fan = build_fanout(ds, config, use_actors=use_actors)
         fan.write_parquet(data_dir,
-                          partition_cols=["part_id", "sink", "status", "route"])
+                          partition_cols=["part_id", "sink", "status",
+                                          "route"],
+                          min_rows_per_file=10_000)
         # lineage counts from the written bytes (what actually landed),
         # not the in-flight stream — the ack is the row's presence.
         # Parquet footer metadata only: no data pages are read.

@@ -127,3 +127,30 @@ def test_props_canonical_roundtrip(props):
     # canonical: dumping the parsed form is identical (sorted keys)
     assert props_dumps(props_loads(s)) == s if props else True
     assert json.loads(s or "{}") == (props if props else {})
+
+
+@given(meas=st.text(string.ascii_letters, min_size=1, max_size=10),
+       host=st.text(string.ascii_letters + string.digits, min_size=1,
+                    max_size=10),
+       fval=st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+       ival=st.integers(-10**9, 10**9),
+       sval=st.text(string.ascii_letters + " ,=", max_size=20),
+       ts=st.integers(0, 4_000_000_000).map(lambda s: s * 10**9))
+@settings(max_examples=100, deadline=None)
+def test_influx_line_roundtrip(meas, host, fval, ival, sval, ts):
+    """Construct a line-protocol point → decode → typed fields recovered
+    with Go-style float formatting."""
+    from skewer_ray.decoders.influxdb import _fmt_float
+    line = (f'{meas},host={host} f={_fmt_float(fval)},i={ival}i,'
+            f'b=true,s="{sval}" {ts}')
+    b = _decode_one("influxdb", line)
+    assert b.parse_ok == [True]
+    assert b.message == [meas] and b.hostname == [host]
+    assert b.time_reported == [ts]
+    props = json.loads(b.properties[0])
+    f = props["influxdb_fields"]
+    assert f["f_float"] == _fmt_float(fval)
+    assert f["i_integer"] == str(ival)
+    assert f["b_boolean"] == "true"
+    assert f["s_string"] == sval
+    assert props["influxdb_tags"]["host"] == host
