@@ -154,3 +154,34 @@ def test_influx_line_roundtrip(meas, host, fval, ival, sval, ts):
     assert f["b_boolean"] == "true"
     assert f["s_string"] == sval
     assert props["influxdb_tags"]["host"] == host
+
+
+_sd_name = st.text(
+    alphabet=string.ascii_letters + string.digits + ".-_@", min_size=1,
+    max_size=12)
+_sd_value = st.text(
+    alphabet=string.ascii_letters + string.digits + ' .,\\"]=![', max_size=20)
+
+
+@given(props=st.dictionaries(_sd_name,
+                             st.dictionaries(_sd_name, _sd_value,
+                                             min_size=1, max_size=3),
+                             min_size=1, max_size=3),
+       msg=msg_text, tr=ts_ns)
+@settings(max_examples=150, deadline=None)
+def test_rfc5424_structured_data_roundtrip(props, msg, tr):
+    """SD escaping (\\ \" ]) must survive encode → decode back into the
+    canonical Properties bag (encoders/rfc5424.go:84-110 ↔
+    decoders/rfc5424_format.go:194-223)."""
+    rec = {"priority": 165, "facility": 20, "severity": 5, "version": 1,
+           "time_reported": tr, "time_generated": tr, "hostname": "h",
+           "appname": "a", "procid": "1", "msgid": "m", "structured": "",
+           "message": msg, "properties": props_dumps(props)}
+    wire = encode_rfc5424(rec)
+    assert wire is not None
+    b = _decode_one("rfc5424", wire)
+    assert b.parse_ok == [True], wire
+    got = props_loads(b.properties[0])
+    # encoder truncates param names to 32 chars (ours are shorter)
+    assert got == props, wire
+    assert b.message == [msg]
