@@ -74,7 +74,7 @@ def oracle_sql() -> dict[str, str]:
     from skewer_ray.pipelines.oracles import oracle_sql_for
     ensure_transcripts(f"/root/testdata/{ORACLE_SF}")
     out = oracle_sql_for(ORACLE_SF)
-    out.update(corpus_oracle_sql())  # view-based: sf-independent
+    out.update(corpus_oracle_sql(ORACLE_SF))
     return out
 
 
@@ -85,5 +85,5 @@ def oracle_sql_for_sf(sf_name: str) -> dict[str, str]:
     from skewer_ray.pipelines.oracles import oracle_sql_for
     ensure_transcripts(f"/root/testdata/{sf_name}")
     out = oracle_sql_for(sf_name)
-    out.update(corpus_oracle_sql())
+    out.update(corpus_oracle_sql(sf_name))
     return out

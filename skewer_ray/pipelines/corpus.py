@@ -158,6 +158,46 @@ def q_events_sessions(sf_dir: str):
     return gap_sessions(_events(sf_dir, ["event_id", "ts", "user_id"]))
 
 
+FIXTURE_ROOT = "/tmp/skewer_ray_fixtures"
+
+
+def q_source_accounting(sf_dir: str):
+    """acct(2) binary source reader over a deterministic fixture
+    (sources/accounting.py; rows-only — the binary wire format has no
+    SQL reader). sf_dir sizes the fixture."""
+    import os
+    from ..functions.textstats import norm_words  # noqa: F401 (docs)
+    from ..sources import read_accounting, write_acct_fixture
+    n = 200 if "0.001" in sf_dir else 2000
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    path = os.path.join(FIXTURE_ROOT, f"acct_{n}.bin")
+    if not os.path.exists(path):
+        write_acct_fixture(path, n=n)
+    return read_accounting([path])
+
+
+def q_source_journald(sf_dir: str):
+    """journald export source over a deterministic fixture (rows-only)."""
+    import os
+    from ..sources import read_journald_export
+    n = 100 if "0.001" in sf_dir else 1000
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    path = os.path.join(FIXTURE_ROOT, f"journal_{n}.export")
+    if not os.path.exists(path):
+        recs = []
+        for i in range(n):
+            recs.append(
+                f"__REALTIME_TIMESTAMP={1_700_000_000_000_000 + i * 1000}\n"
+                f"PRIORITY={i % 8}\nSYSLOG_FACILITY={i % 24}\n"
+                f"_COMM=svc{i % 7}\n_PID={100 + i}\n_HOSTNAME=node{i % 5}\n"
+                f"_SYSTEMD_UNIT=svc{i % 7}.service\nMESSAGE=event {i}\n")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(recs))
+        os.rename(tmp, path)
+    return read_journald_export([path])
+
+
 QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -176,6 +216,8 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "events_tumbling": q_events_tumbling,
     "events_sessions": q_events_sessions,
+    "source_accounting": q_source_accounting,
+    "source_journald": q_source_journald,
 }
 
 

@@ -49,9 +49,10 @@ sh AS (
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
 
 
-def corpus_oracle_sql() -> dict[str, str]:
+def corpus_oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
     q: dict[str, str] = {}
     en = _inlist(EN_STOP)
+    small = "0.001" in sf_name
 
     q["text_quality"] = _W + f"""
 SELECT doc_id,
@@ -255,6 +256,41 @@ SELECT user_id,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM o GROUP BY user_id"""
+
+    # source-reader oracles: the fixtures are pure functions of the
+    # record index, so SQL re-derives every field from range(n) without
+    # touching the binary/export files — an independent second
+    # implementation of the generator+parser pair.
+    n_acct = 200 if small else 2000
+    q["source_accounting"] = f"""
+SELECT 'acct_{n_acct}' AS source, i AS rec_idx,
+       'proc' || (i % 10) AS comm,
+       1000 + (i * 7) % 5 AS uid, 100 + i % 3 AS gid,
+       2000 + i AS pid, 1 AS ppid, 1700000000 + i * 10 AS btime,
+       (i % 50) / 2.0 AS etime,
+       CAST((i % 8191) * power(8, i % 4) AS BIGINT) AS utime,
+       i % 8191 AS stime,
+       CAST(((i * 13) % 8191) * power(8, i % 3) AS BIGINT) AS mem,
+       i % 100 AS io, 0 AS exitcode
+FROM (SELECT unnest(range(0, {n_acct})) AS i)"""
+
+    n_j = 100 if small else 1000
+    q["source_journald"] = f"""
+SELECT 'journal_{n_j}' AS conv_id, i AS turn_idx, 0 AS sub_idx,
+       'journal_{n_j}:' || i || ':0' AS uid,
+       '' AS role, '' AS tool,
+       make_timestamp(1700000000000000 + i * 1000) AS ts,
+       TRUE AS parse_ok,
+       (i % 24) * 8 + (i % 8) AS priority,
+       i % 24 AS facility, i % 8 AS severity, 1 AS version,
+       (1700000000000000 + i * 1000) * 1000 AS time_reported,
+       (1700000000000000 + i * 1000) * 1000 AS time_generated,
+       'node' || (i % 5) AS hostname, 'svc' || (i % 7) AS appname,
+       CAST(100 + i AS VARCHAR) AS procid, '' AS msgid, '' AS structured,
+       'event ' || i AS message,
+       '{{"journald":{{"systemd_unit":"svc' || (i % 7)
+         || '.service"}}}}' AS properties
+FROM (SELECT unnest(range(0, {n_j})) AS i)"""
 
     q["media_features"] = """
 SELECT doc_id,
