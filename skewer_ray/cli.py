@@ -40,7 +40,8 @@ def main(argv=None):
     run = sub.add_parser("run", help="parse→enrich→route→fan-out job")
     run.add_argument("--input", required=True,
                      help="transcript parquet dir (or testdata sf dir)")
-    run.add_argument("--out", required=True)
+    run.add_argument("--out", default=None,
+                     help="output dir (required unless --test)")
     run.add_argument("--resume", action="store_true",
                      help="partitioned run with lineage manifests; "
                           "skips partitions already recorded done")
@@ -49,6 +50,11 @@ def main(argv=None):
                           "partitioned write (RELP ordered-ack analogue)")
     run.add_argument("--use-actors", action="store_true",
                      help="actor-pool form of the per-record path")
+    run.add_argument("--test", action="store_true",
+                     help="print the first parsed/routed records instead "
+                          "of delivering (skewer serve --test, "
+                          "README.md:143-145)")
+    run.add_argument("--test-rows", type=int, default=10)
 
     retry = sub.add_parser("retry", help="re-dispatch rejected rows")
     retry.add_argument("--out", required=True)
@@ -57,6 +63,8 @@ def main(argv=None):
     counts.add_argument("--out", required=True)
 
     args = ap.parse_args(argv)
+    if args.cmd == "run" and not args.test and not args.out:
+        ap.error("run requires --out (unless --test)")
 
     if args.cmd == "counts":
         path = os.path.join(args.out, "metrics", "sink_counts.json")
@@ -67,6 +75,17 @@ def main(argv=None):
     _ensure_ray(args.num_cpus)
     try:
         if args.cmd == "run":
+            if args.test:
+                from .pipelines.flagship import build_routed, read_transcripts
+                ds = build_routed(read_transcripts(args.input),
+                                  use_actors=args.use_actors)
+                import pandas as pd
+                rows = ds.limit(args.test_rows).to_pandas()
+                cols = ["conv_id", "turn_idx", "priority", "hostname",
+                        "appname", "topic", "filter_status", "message"]
+                print(rows[[c for c in cols if c in rows.columns]]
+                      .to_string(index=False))
+                return 0
             if args.resume:
                 from .state import run_partitioned
                 metrics = run_partitioned(args.input, args.out,

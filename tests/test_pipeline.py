@@ -149,3 +149,15 @@ def test_run_flagship_ordered(tmp_path, ray_session):
         ft = pq.read_table(f, columns=["conv_id", "turn_idx"]).to_pandas()
         srt = ft.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
         assert ft.reset_index(drop=True).equals(srt)
+
+
+def test_cli_test_mode(ray_session, capsys):
+    """`run --test` prints collected records instead of delivering
+    (skewer serve --test parity, README.md:143-145)."""
+    from skewer_ray.cli import main
+    rc = main(["run", "--input", "/root/testdata/sf0.001", "--test",
+               "--test-rows", "5"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "conv_id" in out and "topic" in out
+    assert len(out.strip().splitlines()) >= 5
