@@ -185,3 +185,40 @@ def test_rfc5424_structured_data_roundtrip(props, msg, tr):
     # encoder truncates param names to 32 chars (ours are shorter)
     assert got == props, wire
     assert b.message == [msg]
+
+
+@given(host=ident, msg=msg_text, lvl=st.integers(0, 7),
+       app=ident, ts=st.integers(0, 4_000_000_000))
+@settings(max_examples=100, deadline=None)
+def test_gelf_decode_property(host, msg, lvl, app, ts):
+    line = json.dumps({"version": "1.1", "host": host, "short_message": msg,
+                       "timestamp": ts, "level": lvl, "_appname": app,
+                       "_custom": "x"})
+    b = _decode_one("gelf", line)
+    assert b.parse_ok == [True]
+    assert b.hostname == [host] and b.message == [msg]
+    assert b.severity == [lvl]
+    # go-gelf quirk kept faithfully: _-prefixed extras never populate
+    # AppName — they land in the "gelf" property domain with the
+    # underscore (decoders/gelf.go:58-72 vs message.go:75-114)
+    assert b.appname == [""]
+    props = json.loads(b.properties[0])["gelf"]
+    assert props["_appname"] == app and props["_custom"] == "x"
+    assert b.time_reported == [ts * 1_000_000_000]
+
+
+@given(fields=st.lists(st.sampled_from(
+    ["date", "time", "cs-method", "cs-uri", "sc-status", "c-ip"]),
+    min_size=2, max_size=6, unique=True),
+    vals=st.lists(st.text(string.ascii_letters + string.digits + "/.",
+                          min_size=1, max_size=12), min_size=6, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_w3c_decode_property(fields, vals):
+    from skewer_ray.decoders import DecoderConfig, RecordBuilder, get_decoder
+    cfg = DecoderConfig(format="w3c", w3c_fields=" ".join(fields))
+    line = " ".join(vals[:len(fields)])
+    b = RecordBuilder()
+    get_decoder(cfg)([line], [0], b, cfg)
+    assert b.parse_ok == [True]
+    props = json.loads(b.properties[0])["w3c"]
+    assert props == dict(zip(fields, vals[:len(fields)]))
