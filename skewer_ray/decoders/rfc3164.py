@@ -37,8 +37,14 @@ _HOSTNAME_OK = re.compile(r"^[\w.:\-]*$", re.UNICODE)
 _EPOCH0 = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 17)
 def _parse_rfc3339_ns(s: str):
-    """time.Parse(RFC3339Nano / RFC3339) → UnixNano, or None."""
+    """time.Parse(RFC3339Nano / RFC3339) → UnixNano, or None. Cached:
+    distinct timestamp strings ≪ rows in real log streams (shared by
+    the rfc3164/rfc5424/json/ltsv decoders)."""
     try:
         x = s
         if x.endswith(("Z", "z")):
