@@ -79,7 +79,6 @@ def main(argv=None):
                 from .pipelines.flagship import build_routed, read_transcripts
                 ds = build_routed(read_transcripts(args.input),
                                   use_actors=args.use_actors)
-                import pandas as pd
                 rows = ds.limit(args.test_rows).to_pandas()
                 cols = ["conv_id", "turn_idx", "priority", "hostname",
                         "appname", "topic", "filter_status", "message"]

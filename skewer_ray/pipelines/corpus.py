@@ -166,7 +166,6 @@ def q_source_accounting(sf_dir: str):
     (sources/accounting.py; rows-only — the binary wire format has no
     SQL reader). sf_dir sizes the fixture."""
     import os
-    from ..functions.textstats import norm_words  # noqa: F401 (docs)
     from ..sources import read_accounting, write_acct_fixture
     n = 200 if "0.001" in sf_dir else 2000
     os.makedirs(FIXTURE_ROOT, exist_ok=True)

@@ -18,7 +18,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..config import default_config
 from ..stages.agg import grouped_count
 from ..stages.parse import family_array
 from .flagship import (build_fanout, build_parsed, build_routed,

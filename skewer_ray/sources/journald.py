@@ -16,8 +16,6 @@ for the fixture). Field mapping mirrors the reference:
 
 from __future__ import annotations
 
-import json
-
 import pyarrow as pa
 
 import ray.data as rd

@@ -82,7 +82,6 @@ def load_manifests(out_dir: str) -> dict[int, PartitionManifest]:
 
 
 def _list_input_files(input_path: str) -> list[str]:
-    from ..pipelines.flagship import read_transcripts  # noqa: F401  (docs)
     from ..gen import ensure_transcripts
     base = os.path.basename(os.path.normpath(input_path))
     path = ensure_transcripts(input_path) if base.startswith("sf") else input_path
