@@ -21,6 +21,8 @@ def decode_block(texts, ts_ns, out: RecordBuilder, cfg=None):
     from ..schema import props_dumps
     for row, (line, n) in enumerate(zip(texts, ts_ns)):
         if not line:
+            # empty input still accounts for its turn exactly once
+            out.add_error(row, line, n)
             continue
         try:
             d = json.loads(line)

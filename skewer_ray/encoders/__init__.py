@@ -69,7 +69,9 @@ _ASCII_RE = re.compile(r"^[\x21-\x7e]*$")
 
 
 def _printable_ascii(s: str) -> bool:
-    return _ASCII_RE.match(s) is not None
+    # fullmatch, not match: '$' would accept a trailing newline, emitting a
+    # corrupt frame instead of returning None (PermError).
+    return _ASCII_RE.fullmatch(s) is not None
 
 
 def _valid_sd_name(s: str) -> bool:
@@ -151,7 +153,9 @@ _JSIMPLE_RE = re.compile(r'^[^"\\\x00-\x1f]*$')
 
 def _jstr(s: str) -> str:
     """JSON string literal; fast path for values needing no escapes."""
-    if _JSIMPLE_RE.match(s):
+    # fullmatch: with match()+'$' a trailing '\n' takes the fast path and
+    # emits a raw control char → invalid JSON.
+    if _JSIMPLE_RE.fullmatch(s):
         return f'"{s}"'
     return json.dumps(s, ensure_ascii=False)
 

@@ -197,19 +197,18 @@ def retry_rejected(out_dir: str, config=None, hooks=None,
     config = config or default_config()
     hooks = hooks or config.hooks
     data_dir = os.path.join(out_dir, "data")
-    rejected_dirs = []
-    if os.path.isdir(data_dir):
-        for part in sorted(os.listdir(data_dir)):
-            d = os.path.join(data_dir, part, "sink=kafka", "status=rejected")
-            if os.path.isdir(d):
-                rejected_dirs.append(d)
+    # rejected rows are duplicated per sink dir; scan every sink= dir and
+    # dedup by (conv_id, turn_idx) below (not just the kafka sink — a
+    # config with differently-named sinks would otherwise retry nothing)
+    import glob as _glob
+    rejected_dirs = sorted(_glob.glob(
+        os.path.join(data_dir, "*", "sink=*", "status=rejected")))
     if not rejected_dirs:
         return 0
 
     # quarantined rows keep (conv_id, turn_idx); rebuild full records by
     # re-reading those turns from the recorded input files. The key set
     # is tiny (rejects only) — driver-side read is fine.
-    import glob as _glob
     import pyarrow.parquet as pq
     key_set = set()
     for d in rejected_dirs:
