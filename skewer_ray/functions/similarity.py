@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 DEFAULT_K = 5
 LSH_PLANES = 6
@@ -33,13 +32,45 @@ def _query_matrix(emb_ds, query_ids: list[int]):
         mask = pa.array([int(v) in qset for v in batch["vec_id"].to_pylist()])
         return batch.filter(mask)
 
-    rows = (emb_ds.map_batches(pick, batch_format="pyarrow")
-            .select_columns(["vec_id", "embedding"]).take_all())
+    # project BEFORE the filter so every block (incl. empty ones) carries
+    # the same 2-column schema through the pipeline
+    rows = (emb_ds.select_columns(["vec_id", "embedding"])
+            .map_batches(pick, batch_format="pyarrow").take_all())
     rows.sort(key=lambda r: r["vec_id"])
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     mat = _norm_rows(np.array([r["embedding"] for r in rows],
                               dtype=np.float64))
     return ids, mat
+
+
+def _merge_topk(partials_ds, k: int):
+    """Final top-k merge of the per-block partial candidate rows.
+
+    The partial set is BOUNDED by construction (≤ n_blocks × n_queries
+    × k rows — the classic tree-reduce tail), so a driver-side
+    vectorized merge is scale-safe and avoids shuffling a tiny table
+    through a sort (whose empty range partitions pollute logs with
+    schema warnings). Returns a Dataset for a uniform query surface."""
+    import ray.data as rd
+
+    rows = partials_ds.take_all()
+    q = np.array([r["query_id"] for r in rows], dtype=np.int64)
+    v = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    s = np.array([r["cosine"] for r in rows], dtype=np.float64)
+    q_out, r_out, v_out, s_out = [], [], [], []
+    for qid in np.unique(q):
+        m = q == qid
+        idx = np.lexsort((v[m], -s[m]))[:k]
+        q_out.extend([int(qid)] * len(idx))
+        r_out.extend(range(1, len(idx) + 1))
+        v_out.extend(int(x) for x in v[m][idx])
+        s_out.extend(float(x) for x in s[m][idx])
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(q_out, pa.int64()),
+        "rank": pa.array(r_out, pa.int64()),
+        "vec_id": pa.array(v_out, pa.int64()),
+        "cosine": pa.array(s_out, pa.float64()),
+    }))
 
 
 def brute_force_topk(emb_ds, query_ids: list[int], k: int = DEFAULT_K):
@@ -77,21 +108,7 @@ def brute_force_topk(emb_ds, query_ids: list[int], k: int = DEFAULT_K):
                          "cosine": pa.array(s_out, pa.float64())})
 
     partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
-
-    def merge(batch: pa.Table) -> pa.Table:
-        sims = np.asarray(batch["cosine"].to_pylist())
-        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        idx = np.lexsort((vids, -sims))[:k]
-        idx = list(idx)
-        return pa.table({
-            "query_id": pc.take(batch["query_id"], pa.array(idx, pa.int64())),
-            "rank": pa.array(range(1, len(idx) + 1), pa.int64()),
-            "vec_id": pc.take(batch["vec_id"], pa.array(idx, pa.int64())),
-            "cosine": pc.take(batch["cosine"], pa.array(idx, pa.int64())),
-        })
-
-    return partials.groupby("query_id").map_groups(merge,
-                                                   batch_format="pyarrow")
+    return _merge_topk(partials, k)
 
 
 def ivf_topk(emb_ds, query_ids: list[int], k: int = DEFAULT_K,
@@ -163,22 +180,7 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = DEFAULT_K,
                          "cosine": pa.array(s_out, pa.float64())})
 
     partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
-    return partials.groupby("query_id").map_groups(
-        _topk_merge_fn(k), batch_format="pyarrow")
-
-
-def _topk_merge_fn(k: int):
-    def merge(batch: pa.Table) -> pa.Table:
-        sims = np.asarray(batch["cosine"].to_pylist())
-        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        idx = list(np.lexsort((vids, -sims))[:k])
-        return pa.table({
-            "query_id": pc.take(batch["query_id"], pa.array(idx, pa.int64())),
-            "rank": pa.array(range(1, len(idx) + 1), pa.int64()),
-            "vec_id": pc.take(batch["vec_id"], pa.array(idx, pa.int64())),
-            "cosine": pc.take(batch["cosine"], pa.array(idx, pa.int64())),
-        })
-    return merge
+    return _merge_topk(partials, k)
 
 
 def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -237,17 +239,4 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = DEFAULT_K,
                          "cosine": pa.array(s_out, pa.float64())})
 
     partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
-
-    def merge(batch: pa.Table) -> pa.Table:
-        sims = np.asarray(batch["cosine"].to_pylist())
-        vids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        idx = list(np.lexsort((vids, -sims))[:k])
-        return pa.table({
-            "query_id": pc.take(batch["query_id"], pa.array(idx, pa.int64())),
-            "rank": pa.array(range(1, len(idx) + 1), pa.int64()),
-            "vec_id": pc.take(batch["vec_id"], pa.array(idx, pa.int64())),
-            "cosine": pc.take(batch["cosine"], pa.array(idx, pa.int64())),
-        })
-
-    return partials.groupby("query_id").map_groups(merge,
-                                                   batch_format="pyarrow")
+    return _merge_topk(partials, k)

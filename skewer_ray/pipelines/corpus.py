@@ -76,14 +76,17 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_lsh(sf_dir: str):
-    """Approximate variant — no SQL oracle (recall vs brute force is
-    asserted in tests/test_corpus.py instead)."""
+    """Approximate LSH variant. The hyperplanes are a deterministic
+    function of (seed, dim), so the DuckDB oracle replicates the exact
+    bucket/probe/score path (corpus_oracles.py "ann_lsh"); recall vs
+    brute force is additionally asserted in tests/test_corpus.py."""
     return lsh_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF variant probing label cells — no SQL oracle (approximate;
-    recall asserted in tests)."""
+    """IVF variant probing ``label`` cells. Centroids/probe rule are
+    deterministic, mirrored exactly by the DuckDB oracle
+    (corpus_oracles.py "ann_ivf"); recall asserted in tests."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding", "label"])
     return ivf_topk(ds, ANN_QUERY_IDS, k=ANN_K)

@@ -238,6 +238,82 @@ SELECT query_id,
 FROM s
 QUALIFY rank <= 5"""
 
+    # --- approximate-ANN oracles -------------------------------------
+    # The LSH hyperplanes and the IVF probe rule are deterministic
+    # functions of the stored embeddings, so both approximate paths have
+    # exact SQL mirrors: the plane matrix is embedded as literals
+    # (sign(dot) is scale-invariant, so the SQL skips normalization) and
+    # the IVF coarse cells are the stored ``label`` column.
+    import numpy as _np
+    from ..functions.similarity import (IVF_NPROBE, LSH_PLANES, LSH_SEED)
+    _planes = _np.random.default_rng(LSH_SEED).standard_normal((LSH_PLANES, 64))
+    _plane_rows = ", ".join(
+        f"({b}, [{', '.join(repr(float(v)) for v in _planes[b])}])"
+        for b in range(LSH_PLANES))
+
+    q["ann_lsh"] = f"""
+WITH pl(b, p) AS (VALUES {_plane_rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+bk AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN list_dot_product(emb, p) > 0
+                       THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN pl GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM bk WHERE vec_id < 10),
+probe AS (
+  SELECT DISTINCT bucket FROM qb
+  UNION
+  SELECT DISTINCT xor(bucket, (1::BIGINT << b)) FROM qb, range({LSH_PLANES}) t(b)
+),
+qv AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+cand AS (
+  SELECT e.vec_id, e.emb FROM e JOIN bk USING (vec_id)
+  WHERE e.vec_id >= 10 AND bk.bucket IN (SELECT bucket FROM probe)
+),
+s AS (
+  SELECT query_id, vec_id,
+         round(list_cosine_similarity(qe, emb), 6) AS cosine
+  FROM qv CROSS JOIN cand
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS rank,
+       vec_id, cosine
+FROM s QUALIFY rank <= 5"""
+
+    q["ann_ivf"] = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+cm AS (
+  SELECT label, i, avg(emb[i]) AS m
+  FROM e, range(1, 65) t(i) GROUP BY label, i
+),
+cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),
+qv AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 10),
+qc AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qe, c) DESC,
+                                     label) AS r
+  FROM qv CROSS JOIN cent
+),
+probed AS (SELECT query_id, label FROM qc WHERE r <= {IVF_NPROBE}),
+cand AS (
+  SELECT p.query_id, v.vec_id, v.emb AS ce
+  FROM e v JOIN probed p ON v.label = p.label
+  WHERE v.vec_id >= 10
+),
+s AS (
+  SELECT c.query_id, c.vec_id,
+         round(list_cosine_similarity(q2.qe, c.ce), 6) AS cosine
+  FROM cand c JOIN qv q2 ON q2.query_id = c.query_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS rank,
+       vec_id, cosine
+FROM s QUALIFY rank <= 5"""
+
     q["events_tumbling"] = """
 SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
          AS window_start,
