@@ -7,9 +7,14 @@ Scale shapes (what survives 100 TB):
 - MinHash+LSH: per-batch signature map → shuffle keyed by (band,
   band_key) — each bucket is tiny, pairs are emitted per bucket, and a
   final pair-key groupby dedups across bands. No all-pairs anywhere.
-- n-gram Jaccard (brute-force) and embedding all-pairs: O(N²) VALIDATION
-  paths over a broadcast small side (ray.put once, read per task);
-  at scale use minhash_lsh_pairs / lsh_topk instead.
+- SimHash pairs: EXACT banded shuffle — pigeonhole over max_hamming+1
+  signature bit-bands (same shape as the MinHash band path).
+- n-gram Jaccard and embedding-cosine pairs: EXACT all-pairs via
+  triangle (block-nested) partitioning — every unordered pair meets in
+  exactly one of B(B+1)/2 buckets; O(N·B) shuffle, no broadcast, no
+  driver materialization. The O(N²) similarity work is inherent to the
+  exact semantics; minhash_lsh_pairs / lsh_topk are the subquadratic
+  approximate paths.
 
 md5 is the hash everywhere so the DuckDB oracles replicate bit-for-bit
 (see functions/__init__ docstring).
@@ -180,49 +185,100 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
         first, batch_format="pyarrow")
 
 
-def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5):
-    """Brute-force n-gram Jaccard near-dup pairs (validation path for
-    minhash_lsh_pairs): every block is compared against a broadcast of
-    the full (doc_id → shingles) table. O(N²) similarity work but O(N)
-    memory per task; at 100 TB use the LSH form instead."""
-    import ray
+N_TRI_CHUNKS = 8
 
-    shingle_tbl = docs_ds.map_batches(
-        lambda b: pa.table({
-            "doc_id": pc.cast(b["doc_id"], pa.int64()),
-            "shingles": pa.array(
-                [sorted(shingles_of(t)) for t in b["text"].to_pylist()],
-                pa.large_list(pa.string()))}),
-        batch_format="pyarrow")
-    all_rows = shingle_tbl.take_all()  # small side: one list per doc
-    broadcast = ray.put([(r["doc_id"], frozenset(r["shingles"]))
-                         for r in all_rows])
 
-    def pairs_of_block(batch: pa.Table) -> pa.Table:
-        other = ray.get(broadcast)
-        ids = pc.cast(batch["doc_id"], pa.int64()).to_pylist()
-        texts = batch["text"].to_pylist()
+def _triangle_expand(ids: np.ndarray, n_chunks: int):
+    """Triangle (block-nested) partitioning for EXACT all-pairs joins.
+
+    Row with chunk ``c = id % B`` is replicated to every bucket
+    ``(min(c,j), max(c,j))`` for j in 0..B-1, so each unordered pair of
+    rows meets in EXACTLY one bucket (the one named by their chunk
+    pair) — no broadcast of the full table, no driver materialization,
+    no pair dedup needed. Shuffle volume is B × input; per-bucket
+    memory is 2N/B rows. At scale pick B ≈ sqrt(N·row_bytes /
+    target_partition_bytes). Returns (bucket_ids, chunk_ids,
+    take_indices) as int64/int32 numpy arrays."""
+    n = len(ids)
+    c = (ids % n_chunks).astype(np.int64)
+    j = np.tile(np.arange(n_chunks, dtype=np.int64), n)
+    cc = np.repeat(c, n_chunks)
+    lo = np.minimum(cc, j)
+    hi = np.maximum(cc, j)
+    bucket = lo * n_chunks + hi
+    take = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+    return bucket, cc, take
+
+
+def _triangle_sides(batch: pa.Table, n_chunks: int):
+    """Split one triangle bucket into its (left, right) member index
+    arrays; right is None for the diagonal bucket (pair within)."""
+    bucket = int(batch["bucket"][0].as_py())
+    i, j = divmod(bucket, n_chunks)
+    ch = np.asarray(batch["chunk"].to_pylist(), dtype=np.int64)
+    if i == j:
+        return np.arange(len(ch)), None
+    return np.nonzero(ch == i)[0], np.nonzero(ch == j)[0]
+
+
+def ngram_jaccard_pairs(docs_ds, threshold: float = 0.5,
+                        n_chunks: int = N_TRI_CHUNKS):
+    """Exact n-gram Jaccard near-dup pairs via triangle-partitioned
+    all-pairs (see _triangle_expand): the O(N²) set-intersection work is
+    inherent to the exact semantics, but it is spread over B(B+1)/2
+    independent buckets of 2N/B rows each — nothing materializes the
+    whole table. minhash_lsh_pairs is the subquadratic path when LSH
+    candidate recall is acceptable."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        sh = [sorted(shingles_of(t)) for t in batch["text"].to_pylist()]
+        bucket, chunk, take = _triangle_expand(ids, n_chunks)
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int32()),
+            "chunk": pa.array(chunk, pa.int32()),
+            "doc_id": pa.array(ids[take], pa.int64()),
+            "shingles": pa.array([sh[i] for i in take],
+                                 pa.large_list(pa.string())),
+        })
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        left, right = _triangle_sides(batch, n_chunks)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        shs = batch["shingles"].to_pylist()
+        sets = [frozenset(s) for s in shs]
         a_out, b_out, j_out = [], [], []
-        for d, t in zip(ids, texts):
-            sd = shingles_of(t)
-            if not sd:
-                continue
-            for od, os_ in other:
-                if od <= d:
-                    continue  # emit each unordered pair once (a < b)
-                inter = len(sd & os_)
-                if not inter:
-                    continue
-                jac = inter / (len(sd) + len(os_) - inter)
-                if jac >= threshold:
-                    a_out.append(d)
-                    b_out.append(od)
-                    j_out.append(round(jac, 6))
+
+        def emit(x, y):
+            sx, sy = sets[x], sets[y]
+            if not sx or not sy:
+                return
+            inter = len(sx & sy)
+            if not inter:
+                return
+            jac = inter / (len(sx) + len(sy) - inter)
+            if jac >= threshold:
+                a, b = (ids[x], ids[y]) if ids[x] < ids[y] else (ids[y], ids[x])
+                a_out.append(int(a))
+                b_out.append(int(b))
+                j_out.append(round(jac, 6))
+
+        if right is None:
+            for xi in range(len(left)):
+                for yi in range(xi + 1, len(left)):
+                    emit(left[xi], left[yi])
+        else:
+            for x in left:
+                for y in right:
+                    emit(x, y)
         return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                          "doc_b": pa.array(b_out, pa.int64()),
                          "jaccard": pa.array(j_out, pa.float64())})
 
-    return docs_ds.map_batches(pairs_of_block, batch_format="pyarrow")
+    rows = docs_ds.map_batches(expand, batch_format="pyarrow")
+    return rows.groupby("bucket").map_groups(bucket_pairs,
+                                             batch_format="pyarrow")
 
 
 def simhash_signatures(docs_ds):
@@ -239,75 +295,126 @@ def simhash_signatures(docs_ds):
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a non-negative int64 array."""
+    ham = np.zeros(len(x), dtype=np.int64)
+    v = x.copy()
+    while v.any():
+        ham += v & 1
+        v >>= 1
+    return ham
+
+
 def simhash_pairs(docs_ds, max_hamming: int = 3):
     """SimHash near-dup pairs: (doc_a, doc_b, hamming ≤ max_hamming).
-    Signatures are computed per batch; pairing compares each block
-    against a broadcast of all signatures (validation scale — at 100 TB
-    bucket by signature prefix bands and pair within buckets, the
-    SimHash analogue of the MinHash band shuffle)."""
-    import ray
+
+    EXACT banded shuffle (the SimHash analogue of the MinHash band
+    path): the 60-bit signature is split into ``max_hamming + 1``
+    bit-bands; by pigeonhole any pair within max_hamming flips agrees
+    on at least one whole band, so shuffling by (band, band_value) and
+    pairing inside buckets finds every qualifying pair. A pair can
+    collide in several bands → final (doc_a, doc_b) groupby keeps one.
+    Nothing broadcasts or materializes the signature table."""
+    n_bands = max_hamming + 1
+    width = 60 // n_bands
+    widths = [width + (1 if b < 60 % n_bands else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
 
     sigs_ds = simhash_signatures(docs_ds)
-    rows = sigs_ds.take_all()
-    all_ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-    all_sigs = np.array([r["simhash"] for r in rows], dtype=np.int64)
-    order = np.argsort(all_ids)
-    broadcast = ray.put((all_ids[order], all_sigs[order]))
 
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        ids_o, sigs_o = ray.get(broadcast)
-        bid = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
-        bsig = np.asarray(batch["simhash"].to_pylist(), dtype=np.int64)
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        sigs = np.asarray(batch["simhash"].to_pylist(), dtype=np.int64)
+        o_band, o_val, o_id, o_sig = [], [], [], []
+        for b in range(n_bands):
+            vals = (sigs >> offsets[b]) & ((1 << widths[b]) - 1)
+            o_band.extend([b] * len(ids))
+            o_val.extend(int(v) for v in vals)
+            o_id.extend(int(i) for i in ids)
+            o_sig.extend(int(s) for s in sigs)
+        return pa.table({"band": pa.array(o_band, pa.int32()),
+                         "band_val": pa.array(o_val, pa.int64()),
+                         "doc_id": pa.array(o_id, pa.int64()),
+                         "simhash": pa.array(o_sig, pa.int64())})
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        sigs = np.asarray(batch["simhash"].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        ids, sigs = ids[order], sigs[order]
         a_out, b_out, h_out = [], [], []
-        for r in range(len(bid)):
-            x = np.bitwise_xor(sigs_o, bsig[r])
-            # vectorized popcount over int64 (no leading-bit issues: 60-bit)
-            ham = np.zeros(len(x), dtype=np.int64)
-            v = x.copy()
-            while v.any():
-                ham += v & 1
-                v >>= 1
-            mask = (ids_o > bid[r]) & (ham <= max_hamming)
-            for j in np.nonzero(mask)[0]:
-                a_out.append(int(bid[r]))
-                b_out.append(int(ids_o[j]))
-                h_out.append(int(ham[j]))
+        for x in range(len(ids)):
+            ham = _popcount64(np.bitwise_xor(sigs[x + 1:], sigs[x]))
+            ok = np.nonzero(ham <= max_hamming)[0]
+            for d in ok:
+                a_out.append(int(ids[x]))
+                b_out.append(int(ids[x + 1 + d]))
+                h_out.append(int(ham[d]))
         return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                          "doc_b": pa.array(b_out, pa.int64()),
                          "hamming": pa.array(h_out, pa.int64())})
 
-    return sigs_ds.map_batches(block_pairs, batch_format="pyarrow")
+    pairs = (sigs_ds.map_batches(band_rows, batch_format="pyarrow")
+             .groupby(["band", "band_val"])
+             .map_groups(bucket_pairs, batch_format="pyarrow"))
+
+    def first(batch: pa.Table) -> pa.Table:
+        return batch.slice(0, 1)
+
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        first, batch_format="pyarrow")
 
 
-def embedding_dup_pairs(emb_ds, threshold: float = 0.45):
-    """Embedding-cosine near-dup pairs (vec_a < vec_b, cosine ≥
-    threshold): per-block float64 matmul against a broadcast of the full
-    normalized matrix. Validation-scale all-pairs; LSH/IVF
-    (similarity.lsh_topk) is the scale path."""
-    import ray
+def embedding_dup_pairs(emb_ds, threshold: float = 0.45,
+                        n_chunks: int = N_TRI_CHUNKS):
+    """Exact embedding-cosine near-dup pairs (vec_a < vec_b, cosine ≥
+    threshold) via triangle-partitioned block matmul (_triangle_expand):
+    each bucket holds two id-chunks and does one float64 matmul between
+    them — O(N²) similarity work spread over B(B+1)/2 buckets, O(N·B)
+    shuffle, no broadcast of the full matrix. lsh_topk's hyperplane
+    buckets are the subquadratic path when approximate recall is
+    acceptable."""
 
-    rows = emb_ds.select_columns(["vec_id", "embedding"]).take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    broadcast = ray.put((ids[order], mat[order]))
+    def expand(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["vec_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        bucket, chunk, take = _triangle_expand(ids, n_chunks)
+        take_arr = pa.array(take, pa.int64())
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int32()),
+            "chunk": pa.array(chunk, pa.int32()),
+            "vec_id": pa.array(ids[take], pa.int64()),
+            "embedding": pc.take(batch["embedding"], take_arr),
+        })
 
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(broadcast)
-        bid = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
-        bm = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        bm /= np.linalg.norm(bm, axis=1, keepdims=True)
-        sims = bm @ all_mat.T
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        left, right = _triangle_sides(batch, n_chunks)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         a_out, b_out, s_out = [], [], []
-        for r in range(len(bid)):
-            mask = (all_ids > bid[r]) & (np.round(sims[r], 6) >= threshold)
-            for j in np.nonzero(mask)[0]:
-                a_out.append(int(bid[r]))
-                b_out.append(int(all_ids[j]))
-                s_out.append(round(float(sims[r, j]), 6))
+        if right is None:
+            sims = np.round(mat @ mat.T, 6)
+            xs, ys = np.nonzero(np.triu(sims >= threshold, k=1))
+            for x, y in zip(xs, ys):
+                a, b = (ids[x], ids[y]) if ids[x] < ids[y] else (ids[y], ids[x])
+                a_out.append(int(a))
+                b_out.append(int(b))
+                s_out.append(float(sims[x, y]))
+        else:
+            sims = np.round(mat[left] @ mat[right].T, 6)
+            xs, ys = np.nonzero(sims >= threshold)
+            for x, y in zip(xs, ys):
+                ia, ib = ids[left[x]], ids[right[y]]
+                a, b = (ia, ib) if ia < ib else (ib, ia)
+                a_out.append(int(a))
+                b_out.append(int(b))
+                s_out.append(float(sims[x, y]))
         return pa.table({"vec_a": pa.array(a_out, pa.int64()),
                          "vec_b": pa.array(b_out, pa.int64()),
                          "cosine": pa.array(s_out, pa.float64())})
 
-    return emb_ds.map_batches(block_pairs, batch_format="pyarrow")
+    rows = (emb_ds.select_columns(["vec_id", "embedding"])
+            .map_batches(expand, batch_format="pyarrow"))
+    return rows.groupby("bucket").map_groups(bucket_pairs,
+                                             batch_format="pyarrow")

@@ -181,3 +181,65 @@ def test_dedup_clusters_transitive(ray_session):
         assert rep[a] == rep[b]            # pair members share a cluster
         assert rep[a] <= a and rep[a] <= b  # rep is the component min
     assert set(rep) == {d for p in pairs for d in p}
+
+
+# ---------------------------------------------------------------------------
+# bucketed exactness at 10x doc count (VERDICT r01 #2): the shuffle paths
+# must reproduce a local brute force bit-for-bit on a bigger corpus
+# ---------------------------------------------------------------------------
+
+SF10 = "/root/testdata/sf0.1"
+
+
+def test_simhash_band_shuffle_exact_at_10x(ray_session):
+    """Banded simhash_pairs == local all-pairs popcount on 5000 docs."""
+    import ray.data as rd
+    from skewer_ray.functions.dedup import simhash_pairs, simhash_signatures
+
+    docs = rd.read_parquet(f"{SF10}/documents.parquet",
+                           columns=["doc_id", "text"])
+    sig_rows = simhash_signatures(docs).take_all()
+    ids = np.array([r["doc_id"] for r in sig_rows], dtype=np.int64)
+    sigs = np.array([r["simhash"] for r in sig_rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids, sigs = ids[order], sigs[order]
+    expect = set()
+    for x in range(len(ids)):
+        ham = np.zeros(len(sigs) - x - 1, dtype=np.int64)
+        v = np.bitwise_xor(sigs[x + 1:], sigs[x])
+        while v.any():
+            ham += v & 1
+            v >>= 1
+        for d in np.nonzero(ham <= 3)[0]:
+            expect.add((int(ids[x]), int(ids[x + 1 + d])))
+
+    got = {(r["doc_a"], r["doc_b"])
+           for r in simhash_pairs(docs, max_hamming=3).take_all()}
+    assert got == expect
+    assert len(expect) > 0
+
+
+def test_embedding_triangle_exact_at_10x(ray_session):
+    """Triangle-partitioned cosine pairs == local matmul on 2000 vecs."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from skewer_ray.functions.dedup import embedding_dup_pairs
+
+    t = pq.read_table(f"{SF10}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    sims = np.round(mat @ mat.T, 6)
+    xs, ys = np.nonzero(np.triu(sims >= 0.45, k=1))
+    expect = {(int(ids[x]), int(ids[y]), float(sims[x, y]))
+              for x, y in zip(xs, ys)}
+
+    emb = rd.read_parquet(f"{SF10}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    got = {(r["vec_a"], r["vec_b"], r["cosine"])
+           for r in embedding_dup_pairs(emb, threshold=0.45).take_all()}
+    assert got == expect
+    assert len(expect) > 0
