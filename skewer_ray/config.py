@@ -48,7 +48,15 @@ def render_template(tmpl: str, rec) -> str:
 
 @dataclass(frozen=True)
 class HookSet:
-    """Filter/topic/partition hooks for one source config (ConfId)."""
+    """Filter/topic/partition hooks for one source config (ConfId).
+
+    The per-record callables mirror the reference's per-message JS hooks
+    and accept ANY Python function. The optional ``*_batch`` forms are
+    the Ray-native vectorized fast path: when topic_batch,
+    partition_key_batch and filter_batch are all provided (and the
+    stream uses a single HookSet), RouterStage skips the per-row loop
+    entirely. Both forms of the default hooks are asserted equivalent in
+    tests/test_route.py."""
 
     topic_fn: Optional[Callable[[dict], str]] = None
     topic_tmpl: str = ""
@@ -58,6 +66,20 @@ class HookSet:
     # filter_fn(rec) -> (result_code, mutations-or-None); PASS writes
     # mutations back (javascript/vm.go:427-436)
     filter_fn: Optional[Callable[[dict], tuple]] = None
+    # vectorized forms: fn(batch: pa.Table) -> pa.Array (topics must
+    # already be validated/defaulted — see finalize_topics);
+    # filter_batch(batch) -> (codes: int32 Array, mutations:
+    # dict[col, replacement Array] applied where code == PASS)
+    topic_batch: Optional[Callable] = None
+    partition_key_batch: Optional[Callable] = None
+    partition_number_batch: Optional[Callable] = None
+    filter_batch: Optional[Callable] = None
+
+    @property
+    def vectorized(self) -> bool:
+        return (self.topic_batch is not None
+                and self.partition_key_batch is not None
+                and self.filter_batch is not None)
 
     def topic(self, rec: dict) -> str:
         """JS func first, template fallback, empty/invalid → default-topic
@@ -145,6 +167,43 @@ TOOL_CATEGORY = {
 }
 
 
+_TOPIC_RE = r"^[A-Za-z0-9._-]{1,249}$"
+
+
+def finalize_topics(raw):
+    """Vectorized topic validation + default fallback
+    (javascript/vm.go:497-535 rules; mirrors HookSet.topic)."""
+    import pyarrow.compute as pc
+    valid = pc.match_substring_regex(raw, _TOPIC_RE)
+    return pc.if_else(valid, raw, DEFAULT_TOPIC)
+
+
+def default_topic_batch(batch):
+    import pyarrow.compute as pc
+    app = batch["appname"]
+    raw = pc.if_else(pc.equal(app, ""), DEFAULT_TOPIC,
+                     pc.binary_join_element_wise("syslog-", app, ""))
+    return finalize_topics(raw)
+
+
+def default_pk_batch(batch):
+    import pyarrow.compute as pc
+    return pc.binary_join_element_wise("pk-", batch["hostname"], "")
+
+
+def default_filter_batch(batch):
+    """Vectorized default_filter: codes + the PASS-only msgid-upper
+    mutation column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    codes = pc.if_else(
+        pc.equal(batch["severity"], 7), FILTER_DROPPED,
+        pc.if_else(pc.equal(batch["appname"], "reject-me"),
+                   FILTER_REJECTED, FILTER_PASS))
+    return (pc.cast(codes, pa.int32()),
+            {"msgid": pc.utf8_upper(batch["msgid"])})
+
+
 def default_filter(rec: dict):
     """Drop debug, reject 'reject-me', otherwise pass with msgid uppercased
     (exercises PASS mutation write-back, javascript/vm.go:427-436)."""
@@ -194,6 +253,9 @@ def default_config() -> PipelineConfig:
             topic_fn=default_topic_fn,
             partition_key_tmpl="pk-{hostname}",
             filter_fn=default_filter,
+            topic_batch=default_topic_batch,
+            partition_key_batch=default_pk_batch,
+            filter_batch=default_filter_batch,
         ),
         sinks=(
             SinkConfig(name="kafka", kind="kafka", encoder="rfc5424"),

@@ -11,10 +11,11 @@ passing). Routes: kafka-like sinks use the topic column; file-like sinks
 render the filename template (store/dests/filedest.go:218-235);
 catch-all sinks use "all". Parse errors appear once under sink="_parse".
 
-Hot-path layout: status masks and column selection are vectorized Arrow
-ops; only the actual per-record encoding (string build over a python
-dict, like the reference's per-message Encoder call) loops, and it loops
-once over the passing rows with the record dicts shared across sinks.
+Hot-path layout: status masks, column selection, encoding AND file-route
+template rendering are vectorized Arrow ops (encoders/vectorized.py —
+byte-identical to the per-row encoders); the per-row loop survives only
+for formats without a vectorized form (gelf/avro/protobuf/fulljson) and
+for templates with format specs.
 
 Downstream this single stream is written with
 ``partition_cols=["sink", "status", "route"]`` — the Ray-native
@@ -29,6 +30,7 @@ import pyarrow.compute as pc
 
 from ..config import SinkConfig, render_template
 from ..encoders import get_encoder, rfc3339_from_ns
+from ..encoders.vectorized import encode_batch, ts_date
 
 _KEEP = ["uid", "conv_id", "turn_idx", "sub_idx", "topic",
          "partition_key", "partition_number"]
@@ -58,11 +60,56 @@ def _tmpl_fields(tmpl: str) -> tuple[str, ...]:
     return tuple(f for _lit, f, _sp, _cv in Formatter().parse(tmpl) if f)
 
 
+def _tmpl_pieces(tmpl: str):
+    """(literal, field) pieces for plain substitution templates, or None
+    when the template uses format specs/conversions (per-row fallback)."""
+    from string import Formatter
+    pieces = []
+    for lit, f, spec, conv in Formatter().parse(tmpl):
+        if conv or (spec not in (None, "")):
+            return None
+        pieces.append((lit, f))
+    return pieces
+
+
 class FanoutEncodeStage:
     def __init__(self, sinks: tuple[SinkConfig, ...] | list[SinkConfig]):
         self.sinks = [(s, get_encoder(s.encoder),
                        _tmpl_fields(s.filename_tmpl) if s.kind == "file"
-                       else ()) for s in sinks]
+                       else (),
+                       _tmpl_pieces(s.filename_tmpl) if s.kind == "file"
+                       else None) for s in sinks]
+
+    @staticmethod
+    def _routes_vec(pieces, sub: pa.Table):
+        """Vectorized filename-template render + sanitize: Arrow string
+        join over literal scalars and field columns; the Python
+        sanitize runs once per DISTINCT rendered route."""
+        from ..encoders.vectorized import _render_unique
+        parts = []
+        has_array = False
+        for lit, field in pieces:
+            if lit:
+                parts.append(lit)
+            if field is None:
+                continue
+            if field == "date":
+                parts.append(ts_date(sub["time_reported"]))
+                has_array = True
+            elif field in sub.column_names:
+                col = sub[field]
+                if not pa.types.is_string(col.type):
+                    col = pc.cast(col, pa.string())
+                parts.append(col)
+                has_array = True
+            # missing fields render empty (config._SafeView semantics)
+        if not has_array:
+            return _sanitize_route("".join(p for p in parts))
+        if len(parts) == 1:
+            out = parts[0]
+        else:
+            out = pc.binary_join_element_wise(*parts, "")
+        return _render_unique(out, _sanitize_route)
 
     @staticmethod
     def _with_consts(sub: pa.Table, sink, status, route, encoded) -> pa.Table:
@@ -107,54 +154,67 @@ class FanoutEncodeStage:
             st = sub["filter_status"]
             # dropped → ACK, rejected → NACK, once per destination
             # (store/forwarder.go:192-208)
-            for s, _enc, _tf in self.sinks:
+            for s, _enc, _tf, _tp in self.sinks:
                 parts.append(self._with_consts(sub, s.name, st, "-", None))
 
         if m_pass.any():
-            from .route import Row
             sub = batch.filter(pa.array(m_pass))
             n = sub.num_rows
-            colmap = {c: sub[c].to_pylist()
-                      for c in _REC_COLS + ["uid", "conv_id", "turn_idx",
-                                            "role"]}
-            # lazy views: encoders read 5-10 of these fields per call
-            recs = [Row(colmap, i) for i in range(n)]
             topics = sub["topic"]
-            dates = None
-            for s, encode, tmpl_fields in self.sinks:
-                enc = [encode(r) for r in recs]
-                ok = np.fromiter((e is not None for e in enc), dtype=bool, count=n)
+            colmap = recs = None
+            for s, encode, tmpl_fields, pieces in self.sinks:
+                enc_arr = encode_batch(s.encoder, sub)
+                if enc_arr is None:
+                    # no vectorized form for this format: per-row loop
+                    # over lazy column views (built once, shared across
+                    # all fallback sinks in the batch)
+                    if recs is None:
+                        from .route import Row
+                        colmap = {c: sub[c].to_pylist()
+                                  for c in _REC_COLS + ["uid", "conv_id",
+                                                        "turn_idx", "role"]}
+                        recs = [Row(colmap, i) for i in range(n)]
+                    enc_arr = pa.array([encode(r) for r in recs],
+                                       pa.string())
                 if s.kind == "kafka":
                     route_vals = topics
                 elif s.kind == "file":
                     # filename template over msg fields
-                    # (store/dests/filedest.go:218-235); only the fields
-                    # the template names are materialized per row
-                    if dates is None and "date" in tmpl_fields:
-                        dates = [rfc3339_from_ns(t)[:10]
-                                 for t in colmap["time_reported"]]
-                        colmap = {**colmap, "date": dates}
-                        recs = [Row(colmap, i) for i in range(n)]
-                    tmpl = s.filename_tmpl
-                    routes = [_sanitize_route(render_template(tmpl, r))
-                              for r in recs]
-                    route_vals = pa.array(routes, pa.string())
+                    # (store/dests/filedest.go:218-235)
+                    if pieces is not None:
+                        route_vals = self._routes_vec(pieces, sub)
+                    else:
+                        if recs is None or ("date" in tmpl_fields
+                                            and "date" not in colmap):
+                            from .route import Row
+                            colmap = {c: sub[c].to_pylist()
+                                      for c in _REC_COLS + ["uid", "conv_id",
+                                                            "turn_idx",
+                                                            "role"]}
+                            if "date" in tmpl_fields:
+                                colmap["date"] = [
+                                    rfc3339_from_ns(t)[:10]
+                                    for t in colmap["time_reported"]]
+                            recs = [Row(colmap, i) for i in range(n)]
+                        route_vals = pa.array(
+                            [_sanitize_route(
+                                render_template(s.filename_tmpl, r))
+                             for r in recs], pa.string())
                 else:
                     route_vals = "all"
-                if ok.all():
+                ok = pc.is_valid(enc_arr)
+                if pc.all(ok).as_py():
                     parts.append(self._with_consts(
-                        sub, s.name, "passing", route_vals,
-                        pa.array(enc, pa.string())))
+                        sub, s.name, "passing", route_vals, enc_arr))
                 else:
                     # encoding errors → PermError rows with no route/bytes
-                    okarr = pa.array(ok)
-                    good = sub.filter(okarr)
+                    good = sub.filter(ok)
                     rv = (route_vals if isinstance(route_vals, str)
-                          else pc.filter(route_vals, okarr))
+                          else pc.filter(route_vals, ok))
                     parts.append(self._with_consts(
                         good, s.name, "passing", rv,
-                        pa.array([e for e in enc if e is not None], pa.string())))
-                    bad = sub.filter(pa.array(~ok))
+                        enc_arr.filter(ok)))
+                    bad = sub.filter(pc.invert(ok))
                     parts.append(self._with_consts(
                         bad, s.name, "permerror", "-", None))
 

@@ -154,3 +154,39 @@ def test_avro_binary_roundtrip():
     from skewer_ray.encoders import get_encoder
     s = get_encoder("avro")(rec)
     assert s.encode("latin-1") == wire
+
+
+def test_vectorized_encoders_match_per_row():
+    """encode_batch output is byte-identical to the per-row encoders
+    across validation failures, nil fields, SD bags, escapes, unicode,
+    fractional timestamps, and single-digit days."""
+    import pyarrow as pa
+    from skewer_ray.encoders import ENCODERS
+    from skewer_ray.encoders.vectorized import encode_batch
+
+    jan2 = (1767312000 + 2 * 86400) * 10**9  # 2026-01-04 (space-pad day)
+    cases = [
+        rec(),
+        rec(message=""),
+        rec(hostname="", appname="", procid="", msgid=""),
+        rec(hostname="bad\nhost"),                     # invalid rfc5424
+        rec(hostname="h" * 256),                       # too long
+        rec(appname="app\n"),                          # trailing newline
+        rec(msgid="Ħ"),                                # non-ascii msgid
+        rec(properties=props_dumps({"ex@32473": {"k": 'va"l]ue\\'}})),
+        rec(properties=props_dumps({"bad=name": {"k": "v"}})),  # SD invalid
+        rec(message='quote " back \\ ctrl \n tab \t'),
+        rec(message="unicode é 世界"),
+        rec(time_reported=TS + 123_456_789),           # fractional secs
+        rec(time_reported=jan2, time_generated=jan2),
+        rec(procid="  99  ", hostname="   "),
+        rec(priority=191, facility=23, severity=7),
+        rec(facility=99, severity=9),                  # out-of-range names
+    ]
+    cols = {k: [c[k] for c in cases] for k in cases[0]}
+    tbl = pa.table({k: pa.array(v) for k, v in cols.items()})
+    for name in ("rfc5424", "rfc3164", "file", "json"):
+        want = [ENCODERS[name](c) for c in cases]
+        got = encode_batch(name, tbl).to_pylist()
+        assert got == want, f"{name}: {got} != {want}"
+    assert encode_batch("gelf", tbl) is None  # no vectorized form

@@ -137,3 +137,28 @@ def test_per_conf_hook_selection():
             assert t == "family-two"
         else:
             assert t.startswith("default-") or t == "default-topic"
+
+
+def test_vectorized_hooks_match_loop_path():
+    """The all-Arrow fast path and the per-row loop must produce
+    identical route columns over a real parsed batch (all 12 families,
+    parse errors, drops, rejects, mutations)."""
+    import dataclasses
+    from skewer_ray.config import default_config
+    from skewer_ray.gen import generate_table
+    from skewer_ray.stages import ParseStage
+
+    cfg = default_config()
+    tbl = generate_table(3000)
+    parsed = ParseStage(decoder_for_family=cfg.decoder_for_family,
+                        custom_parsers=cfg.custom_parsers)(tbl)
+    assert cfg.hooks.vectorized
+    fast = RouterStage(hooks=cfg.hooks)(parsed)
+    loop_hooks = dataclasses.replace(
+        cfg.hooks, topic_batch=None, partition_key_batch=None,
+        filter_batch=None)
+    assert not loop_hooks.vectorized
+    slow = RouterStage(hooks=loop_hooks)(parsed)
+    for col in ("topic", "partition_key", "partition_number",
+                "filter_result", "filter_status", "msgid"):
+        assert fast[col].to_pylist() == slow[col].to_pylist(), col
