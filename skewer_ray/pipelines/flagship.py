@@ -147,13 +147,18 @@ def run_flagship(input_path: str, out_dir: str,
     fan.write_parquet(os.path.join(out_dir, "data"),
                       partition_cols=["sink", "status", "route"],
                       min_rows_per_file=10_000)
-    # metrics from the written output (cheap column scan; no recompute of
-    # the parse/route stages)
-    from ..stages.agg import grouped_count
-    written = rd.read_parquet(os.path.join(out_dir, "data"),
-                              columns=["sink", "status", "route"])
-    counts = grouped_count(written, ["sink", "status", "route"]).to_pandas()
-    counts = counts.sort_values(["sink", "status", "route"]).reset_index(drop=True)
+    # metrics from the WRITTEN bytes (the ack is the row's presence) via
+    # parquet footer metadata only — one scan of the input per run, no
+    # re-read of the output data pages (VERDICT r01 #6)
+    import pandas as pd
+    from ..state.manifest import hive_counts
+    rows = [{"sink": s, "status": st, "route": r, "n": n}
+            for (s, st, r), n in hive_counts(
+                os.path.join(out_dir, "data"),
+                ("sink", "status", "route")).items()]
+    counts = (pd.DataFrame(rows, columns=["sink", "status", "route", "n"])
+              .sort_values(["sink", "status", "route"])
+              .reset_index(drop=True))
     os.makedirs(os.path.join(out_dir, "metrics"), exist_ok=True)
     counts.to_json(os.path.join(out_dir, "metrics", "sink_counts.json"),
                    orient="records")

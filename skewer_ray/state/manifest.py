@@ -104,22 +104,29 @@ def _part_id_of_path(id_for_file: dict[str, int]):
     return fn
 
 
-def _count_written(part_dir: str) -> dict[str, int]:
-    """Rows per "sink/status" under one partition dir, from parquet footer
-    metadata alone (hive layout part_id=<p>/sink=<s>/status=<st>/...)."""
+def hive_counts(data_dir: str, keys: tuple[str, ...]) -> dict[tuple, int]:
+    """Row counts per hive-partition key tuple from parquet FOOTER
+    metadata alone — no data pages are read, so deriving metrics from
+    written output costs directory walks + footers, not a second scan."""
     import pyarrow.parquet as pq
-    counts: dict[str, int] = {}
-    for root, _dirs, fnames in os.walk(part_dir):
-        rel = os.path.relpath(root, part_dir)
+    counts: dict[tuple, int] = {}
+    for root, _dirs, fnames in os.walk(data_dir):
+        rel = os.path.relpath(root, data_dir)
         kv = dict(p.split("=", 1) for p in rel.split(os.sep) if "=" in p)
-        if "sink" not in kv or "status" not in kv:
+        if not all(k in kv for k in keys):
             continue
-        key = f"{kv['sink']}/{kv['status']}"
+        key = tuple(kv[k] for k in keys)
         for fn in fnames:
             if fn.endswith(".parquet"):
                 n = pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
                 counts[key] = counts.get(key, 0) + n
     return counts
+
+
+def _count_written(part_dir: str) -> dict[str, int]:
+    """Rows per "sink/status" under one partition dir (footers only)."""
+    return {f"{s}/{st}": n
+            for (s, st), n in hive_counts(part_dir, ("sink", "status")).items()}
 
 
 def run_partitioned(input_path: str, out_dir: str, config=None,
