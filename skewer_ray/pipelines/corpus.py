@@ -200,7 +200,77 @@ def q_source_journald(sf_dir: str):
     return read_journald_export([path])
 
 
+def collectd_fixture_metric(i: int):
+    """Deterministic collectd metric for record i (pure function — the
+    DuckDB oracle re-derives every field from range(n))."""
+    k = i % 4
+    if k == 0:
+        return ("cpu", "", "cpu", "idle", [("derive", i * 100)])
+    if k == 1:
+        return ("interface", "eth0", "if_octets", "",
+                [("derive", i), ("derive", 2 * i)])
+    if k == 2:
+        return ("memory", "", "memory", "used", [("gauge", i + 0.5)])
+    return ("load", "", "load", "",
+            [("gauge", (i % 10) + 0.25), ("gauge", float(i % 10)),
+             ("gauge", (i % 10) / 2)])
+
+
+def q_parse_collectd(sf_dir: str):
+    """collectd binary decoder over a deterministic packet stream:
+    types.db DS naming, gauge/derive property domains, value-list JSON
+    message (decoders/collectd.go:52-92 parity)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ..decoders import DecoderConfig
+    from ..decoders.collectd import encode_packet
+    from ..stages.parse import ParseStage
+
+    n = 200 if "0.001" in sf_dir else 2000
+    texts, tss = [], []
+    for i in range(n):
+        time_s = 1_700_000_000 + i * 10
+        pkt = encode_packet(f"cnode{i % 5}", time_s,
+                            [collectd_fixture_metric(i)], interval_s=10)
+        texts.append(pkt.decode("latin-1"))
+        tss.append(time_s * 1_000_000)
+    chunks = []
+    for off in range(0, n, 256):
+        m = min(256, n - off)
+        chunks.append(pa.table({
+            "conv_id": pa.array(["collectd"] * m),
+            "turn_idx": pa.array(range(off, off + m), pa.int32()),
+            "role": pa.array([""] * m),
+            "text": pa.array(texts[off:off + m]),
+            "tool": pa.array([""] * m),
+            "ts": pa.array(tss[off:off + m], pa.timestamp("us")),
+        }))
+    ds = rd.from_arrow(chunks)
+    stage = ParseStage(single=DecoderConfig(format="collectd"))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        b = stage(batch)
+        return pa.table({
+            "rec_idx": pc.cast(b["turn_idx"], pa.int64()),
+            "hostname": b["hostname"],
+            "procid": b["procid"],
+            "priority": b["priority"],
+            "facility": b["facility"],
+            "severity": b["severity"],
+            "time_reported": pc.cast(
+                pc.divide(b["time_reported"], 1000), pa.timestamp("us")),
+            "message": b["message"],
+            "properties": b["properties"],
+        })
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+from .edge_corpus import q_parse_edge_syslog  # noqa: E402
+
 QUERIES = {
+    "parse_collectd": q_parse_collectd,
+    "parse_edge_syslog": q_parse_edge_syslog,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "doc_fingerprints": q_doc_fingerprints,

@@ -238,6 +238,42 @@ SELECT query_id,
 FROM s
 QUALIFY rank <= 5"""
 
+    # --- adversarial syslog edge corpus (hand-written expectations) --
+    from .edge_corpus import edge_oracle_sql
+    q["parse_edge_syslog"] = edge_oracle_sql()
+
+    # --- collectd source oracle --------------------------------------
+    # The packet fixture is a pure function of the record index
+    # (corpus.collectd_fixture_metric), so SQL rebuilds the decoder's
+    # value-list JSON message and canonical property bag from range(n)
+    # without touching the binary wire — an independent second
+    # implementation of the generator+decoder pair.
+    n_cd = 200 if small else 2000
+    _t = "(1700000000 + i*10)"
+    _g = "printf('%.3f', {})"  # gauge / time / interval formatting
+    msg_case = f"""CASE i%4
+  WHEN 0 THEN '{{"values":[' || (i*100) || '],"dstypes":["derive"],"dsnames":["value"],"time":' || {_g.format(f"CAST({_t} AS DOUBLE)")} || ',"interval":10.000,"host":"cnode' || (i%5) || '","plugin":"cpu","plugin_instance":"","type":"cpu","type_instance":"idle"}}'
+  WHEN 1 THEN '{{"values":[' || i || ',' || (2*i) || '],"dstypes":["derive","derive"],"dsnames":["rx","tx"],"time":' || {_g.format(f"CAST({_t} AS DOUBLE)")} || ',"interval":10.000,"host":"cnode' || (i%5) || '","plugin":"interface","plugin_instance":"eth0","type":"if_octets","type_instance":""}}'
+  WHEN 2 THEN '{{"values":[' || {_g.format("i + 0.5")} || '],"dstypes":["gauge"],"dsnames":["value"],"time":' || {_g.format(f"CAST({_t} AS DOUBLE)")} || ',"interval":10.000,"host":"cnode' || (i%5) || '","plugin":"memory","plugin_instance":"","type":"memory","type_instance":"used"}}'
+  ELSE '{{"values":[' || {_g.format("(i%10) + 0.25")} || ',' || {_g.format("CAST(i%10 AS DOUBLE)")} || ',' || {_g.format("(i%10) / 2.0")} || '],"dstypes":["gauge","gauge","gauge"],"dsnames":["shortterm","midterm","longterm"],"time":' || {_g.format(f"CAST({_t} AS DOUBLE)")} || ',"interval":10.000,"host":"cnode' || (i%5) || '","plugin":"load","plugin_instance":"","type":"load","type_instance":""}}'
+  END"""
+    props_case = f"""CASE i%4
+  WHEN 0 THEN '{{"collectd":{{"type":"cpu","type_instance":"idle"}},"derive":{{"value":"' || (i*100) || '"}}}}'
+  WHEN 1 THEN '{{"collectd":{{"plugin_instance":"eth0","type":"if_octets"}},"derive":{{"rx":"' || i || '","tx":"' || (2*i) || '"}}}}'
+  WHEN 2 THEN '{{"collectd":{{"type":"memory","type_instance":"used"}},"gauge":{{"value":"' || {_g.format("i + 0.5")} || '"}}}}'
+  ELSE '{{"collectd":{{"type":"load"}},"gauge":{{"longterm":"' || {_g.format("(i%10) / 2.0")} || '","midterm":"' || {_g.format("CAST(i%10 AS DOUBLE)")} || '","shortterm":"' || {_g.format("(i%10) + 0.25")} || '"}}}}'
+  END"""
+    q["parse_collectd"] = f"""
+SELECT i AS rec_idx,
+       'cnode' || (i%5) AS hostname,
+       CASE i%4 WHEN 0 THEN 'cpu' WHEN 1 THEN 'interface'
+                WHEN 2 THEN 'memory' ELSE 'load' END AS procid,
+       14 AS priority, 1 AS facility, 6 AS severity,
+       make_timestamp({_t}::BIGINT * 1000000) AS time_reported,
+       {msg_case} AS message,
+       {props_case} AS properties
+FROM (SELECT unnest(range(0, {n_cd})) AS i)"""
+
     # --- approximate-ANN oracles -------------------------------------
     # The LSH hyperplanes and the IVF probe rule are deterministic
     # functions of the stored embeddings, so both approximate paths have

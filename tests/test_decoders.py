@@ -279,21 +279,55 @@ def test_collectd_packet_roundtrip():
     from skewer_ray.decoders.collectd import encode_packet
     pkt = encode_packet("db01", 1_700_000_000, [
         ("cpu", "percent", [("gauge", 42.5)]),
-        ("if", "octets", [("derive", -3), ("counter", 9)]),
-    ])
+        ("interface", "eth0", "if_octets", "", [("derive", -3),
+                                                ("counter", 9)]),
+    ], interval_s=10)
     b = RecordBuilder()
     dec = get_decoder(DecoderConfig(format="collectd"))
     dec([pkt.decode("latin-1")], [0], b, DecoderConfig(format="collectd"))
     assert len(b) == 2  # one record per values part
     assert b.hostname == ["db01", "db01"]
     assert b.appname == ["collectd", "collectd"]
-    assert b.message == ["cpu.percent", "if.octets"]
+    # reference parity: procid = plugin, facility user(1), severity info
+    assert b.procid == ["cpu", "interface"]
+    assert b.facility == [1, 1] and b.severity == [6, 6]
     assert b.time_reported[0] == 1_700_000_000 * 1_000_000_000
-    p0 = json.loads(b.properties[0])["collectd"]
-    assert p0["value_0_gauge"] == "42.5"
-    p1 = json.loads(b.properties[1])["collectd"]
-    assert p1["value_0_derive"] == "-3.0" and p1["value_1_counter"] == "9.0"
+    # message = canonical value-list JSON
+    m0 = json.loads(b.message[0])
+    assert m0["values"] == [42.5] and m0["dsnames"] == ["value"]
+    assert m0["interval"] == 10.0 and m0["plugin"] == "cpu"
+    m1 = json.loads(b.message[1])
+    # if_octets resolves DS names through the embedded types.db
+    assert m1["dsnames"] == ["rx", "tx"]
+    assert m1["dstypes"] == ["derive", "counter"]
+    assert m1["plugin_instance"] == "eth0"
+    # properties: gauge/derive domains named via types.db; counter skipped
+    p0 = json.loads(b.properties[0])
+    assert p0["gauge"] == {"value": "42.500"}
+    assert p0["collectd"] == {"type": "percent"}
+    p1 = json.loads(b.properties[1])
+    assert p1["derive"] == {"rx": "-3"}
+    assert "counter" not in p1
+    assert p1["collectd"] == {"plugin_instance": "eth0",
+                              "type": "if_octets"}
     assert b.sub_idx == [0, 1]
+
+
+def test_collectd_truncated_packet_single_error_row():
+    """A packet failing mid-parse yields ONE error row, no partial
+    records (every turn accounted exactly once)."""
+    from skewer_ray.decoders import RecordBuilder, get_decoder, DecoderConfig
+    from skewer_ray.decoders.collectd import encode_packet
+    import struct
+    pkt = encode_packet("h", 1, [("cpu", "cpu", [("gauge", 1.0)])])
+    # append a values part claiming 2 values but carrying bytes for one
+    payload = struct.pack(">H", 2) + b"\x01\x01" + b"\x00" * 8
+    bad = pkt + struct.pack(">HH", 0x0006, 4 + len(payload)) + payload
+    b = RecordBuilder()
+    cfg = DecoderConfig(format="collectd")
+    get_decoder(cfg)([bad.decode("latin-1")], [7], b, cfg)
+    assert len(b) == 1
+    assert b.parse_ok == [False]
 
 
 def test_collectd_garbage_is_error():
