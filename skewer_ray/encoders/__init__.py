@@ -245,22 +245,11 @@ def encode_fulljson(rec: dict) -> str | None:
 
 
 def encode_protobuf(rec: dict) -> str | None:
-    """SyslogMessage in proto field names (decoders side stand-in wire;
-    see decoders/protobuf_format.py — real protobuf would swap dumps)."""
-    props = props_loads(rec["properties"])
-    d = {
-        "Priority": rec["priority"], "Facility": rec["facility"],
-        "Severity": rec["severity"], "Version": rec["version"],
-        "TimeReportedNum": rec["time_reported"],
-        "TimeGeneratedNum": rec["time_generated"],
-        "HostName": rec["hostname"], "AppName": rec["appname"],
-        "ProcId": rec["procid"], "MsgId": rec["msgid"],
-        "Structured": rec["structured"], "Message": rec["message"],
-    }
-    if props:
-        d["Properties"] = {k: dict(sorted(v.items()))
-                           for k, v in sorted(props.items())}
-    return json.dumps(d, separators=(",", ":"), ensure_ascii=False)
+    """Real SyslogMessage wire bytes (protowire.py, exact gogo layout of
+    model/types.pb.go:598-678) carried latin-1 in the string ``encoded``
+    column; ``.encode("latin-1")`` restores the bytes."""
+    from ..protowire import encode_syslog_message
+    return encode_syslog_message(rec).decode("latin-1")
 
 
 def encode_avro_str(rec: dict) -> str | None:

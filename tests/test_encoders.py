@@ -190,3 +190,55 @@ def test_vectorized_encoders_match_per_row():
         got = encode_batch(name, tbl).to_pylist()
         assert got == want, f"{name}: {got} != {want}"
     assert encode_batch("gelf", tbl) is None  # no vectorized form
+
+
+def test_protowire_golden_bytes():
+    """Hand-derived wire bytes for a known SyslogMessage (gogo layout,
+    model/types.pb.go:598-678): proto3 zero/empty omission, Properties
+    always emitted, nested map entries."""
+    from skewer_ray.protowire import (decode_syslog_message,
+                                      encode_syslog_message)
+    r = {"priority": 34, "facility": 0, "severity": 0, "version": 0,
+         "time_reported": 0, "time_generated": 0, "hostname": "h",
+         "appname": "", "procid": "", "msgid": "", "structured": "",
+         "message": "", "properties": '{"d":{"k":"v"}}'}
+    want = bytes.fromhex(
+        "0822"              # field1 varint 34
+        "3a0168"            # field7 "h"
+        "6a0f"              # field13 Properties, 15 bytes
+        "0a0d"              # map entry, 13 bytes
+        "0a0164"            # key "d"
+        "1208"              # value InnerProperties, 8 bytes
+        "0a06" "0a016b" "120176")  # inner entry k="k" v="v"
+    assert encode_syslog_message(r) == want
+    back = decode_syslog_message(want)
+    assert back["priority"] == 34 and back["hostname"] == "h"
+    assert back["properties"] == '{"d":{"k":"v"}}'
+    # empty message still carries the (empty) Properties field
+    r0 = {k: (0 if isinstance(v, int) else "") for k, v in r.items()}
+    r0["properties"] = "{}"
+    assert encode_syslog_message(r0) == bytes.fromhex("6a00")
+    # varint edge: 64-bit negative int64 roundtrips two's-complement
+    rneg = dict(r, time_reported=-5)
+    assert decode_syslog_message(
+        encode_syslog_message(rneg))["time_reported"] == -5
+
+
+def test_protowire_full_message_roundtrip():
+    from skewer_ray.protowire import decode_full_message, encode_full_message
+    import hashlib
+    rec = {"priority": 165, "facility": 20, "severity": 5, "version": 1,
+           "time_reported": 123, "time_generated": 456, "hostname": "h",
+           "appname": "a", "procid": "9", "msgid": "m", "structured": "",
+           "message": "payload", "properties": '{"d":{"k":"v"}}',
+           "uid": "conv-1:7:0"}
+    wire = encode_full_message(rec, txnr=42, client_addr="10.0.0.1:514",
+                               source_type="tcp", conf_id="cfg-a")
+    out = decode_full_message(wire)
+    assert out["txnr"] == 42 and out["client_addr"] == "10.0.0.1:514"
+    assert out["source_type"] == "tcp" and out["source_port"] == 0
+    assert out["uid"] == hashlib.md5(b"conv-1:7:0").hexdigest()
+    assert out["conf_id"] == hashlib.md5(b"cfg-a").hexdigest()
+    f = out["fields"]
+    assert f["priority"] == 165 and f["message"] == "payload"
+    assert f["properties"] == '{"d":{"k":"v"}}'
