@@ -189,11 +189,66 @@ def run_scaling(sf_dir: str, n_low: int = 4) -> dict:
     }
 
 
+def _mp_chain_worker(n_iters: int) -> float:
+    """One plain process running the full fused per-record chain (no
+    Ray) — the scaling CONTROL: per-process throughput vs process count
+    isolates the chain's intrinsic scalability from Ray-runtime and
+    single-box artifacts."""
+    import glob
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from skewer_ray.config import default_config
+    from skewer_ray.gen import ensure_transcripts
+    from skewer_ray.pipelines.flagship import _enrich_spec, _parse_spec
+    from skewer_ray.stages import FanoutEncodeStage, RouterStage
+    from skewer_ray.stages.fused import fused_task_fn
+
+    path = ensure_transcripts("/root/testdata/sf0.01")
+    t = pa.concat_tables([pq.read_table(f)
+                          for f in glob.glob(path + "/*.parquet")])
+    cfg = default_config()
+    specs = [_parse_spec(cfg), _enrich_spec(cfg),
+             (RouterStage, {"hooks": cfg.hooks}),
+             (FanoutEncodeStage, {"sinks": cfg.sinks})]
+    fn = fused_task_fn(specs)
+    fn(t.slice(0, 2000))  # warm caches
+    t0 = time.perf_counter()
+    rows = 0
+    for _ in range(n_iters):
+        for off in range(0, t.num_rows, 8192):
+            fn(t.slice(off, 8192))
+            rows += min(8192, t.num_rows - off)
+    return rows / (time.perf_counter() - t0)
+
+
+def run_mp_control() -> dict:
+    """Per-record-chain scaling control across plain processes (no Ray):
+    near-linear per-process throughput here demonstrates the chain has
+    no shared bottleneck; the residual Ray N→4N gap is runtime/box
+    contention that multi-node deployments distribute (each node brings
+    its own raylet, object store and memory system)."""
+    import multiprocessing as mp
+    out = {}
+    for p in (1, 4, 16):
+        with mp.get_context("fork").Pool(p) as pool:
+            rates = pool.map(_mp_chain_worker, [2] * p)
+        out[f"procs_{p}"] = {
+            "per_proc_rows_s": round(sum(rates) / len(rates), 1),
+            "aggregate_rows_s": round(sum(rates), 1)}
+    base = out["procs_1"]["per_proc_rows_s"]
+    out["per_proc_efficiency_16"] = round(
+        out["procs_16"]["per_proc_rows_s"] / base, 3)
+    return {"metric": "mp scaling control (fused chain, plain processes)",
+            "unit": "rows/s", **out}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--mp-control", action="store_true",
+                    help="plain-process scaling control (no Ray)")
     ap.add_argument("--scaling-base", type=int, default=4,
                     help="N for the N vs 4N scaling pair (default 4)")
     ap.add_argument("--single-run", action="store_true",
@@ -203,6 +258,8 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if args.scaling:
         result = run_scaling(args.sf_dir, n_low=args.scaling_base)
+    elif args.mp_control:
+        result = run_mp_control()
     else:
         result = run_once(args.sf_dir, args.cpus, args.single_run)
     print(json.dumps(result))

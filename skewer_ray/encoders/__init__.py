@@ -260,6 +260,30 @@ def encode_avro_str(rec: dict) -> str | None:
     return None if b is None else b.decode("latin-1")
 
 
+def frame_octet(payload: str) -> str:
+    """TcpOctetEncode (encoders/encoder.go:139-157): ``<len> <data>``
+    with len = wire BYTE length (utf-8 for text encoders; latin-1-carried
+    binary is 1 byte per char, so ``len(payload.encode("utf-8"))`` is
+    correct only for text — binary payloads use frame_octet_bytes)."""
+    if not payload:
+        return ""
+    return f"{len(payload.encode('utf-8'))} {payload}"
+
+
+def frame_octet_bytes(data: bytes) -> bytes:
+    if not data:
+        return b""
+    return str(len(data)).encode() + b" " + data
+
+
+def frame_relp(txnr: int, command: str, payload: str) -> str:
+    """RELPEncode (encoders/encoder.go:159-178):
+    ``<txnr> <command> <len> <data>\\n``; empty payload → len 0, no data."""
+    if not payload:
+        return f"{txnr} {command} 0\n"
+    return f"{txnr} {command} {len(payload.encode('utf-8'))} {payload}\n"
+
+
 ENCODERS = {
     "rfc5424": encode_rfc5424,
     "rfc3164": encode_rfc3164,

@@ -137,6 +137,31 @@ class FanoutEncodeStage:
                 cols[c] = sub[c]
         return pa.table(cols)
 
+    @staticmethod
+    def _frame(framing: str, enc_arr, sub: pa.Table):
+        """Vectorized wire framing of the encoded payload (nulls =
+        PermError propagate). Octet: '<len> <data>'; RELP:
+        '<txnr> syslog <len> <data>\\n' with deterministic
+        txnr = turn_idx (the per-connection counter has no meaning in a
+        batch re-run; ordering lineage lives in uid/manifests)."""
+        nbytes = pc.cast(pc.binary_length(enc_arr), pa.string())
+        empty = pc.equal(enc_arr, "")
+        if framing == "octet":
+            # empty payload frames to nothing (encoder.go:148-151)
+            return pc.if_else(
+                empty, "",
+                pc.binary_join_element_wise(nbytes, " ", enc_arr, ""))
+        if framing == "relp":
+            txnr = pc.cast(pc.cast(sub["turn_idx"], pa.int64()),
+                           pa.string())
+            framed = pc.binary_join_element_wise(
+                txnr, " syslog ", nbytes, " ", enc_arr, "\n", "")
+            return pc.if_else(
+                empty,
+                pc.binary_join_element_wise(txnr, " syslog 0\n", ""),
+                framed)
+        raise ValueError(f"unknown framing: {framing}")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         status_np = np.asarray(batch["filter_status"].to_pylist(), dtype=object)
         m_err = status_np == "parse_error"
@@ -176,6 +201,8 @@ class FanoutEncodeStage:
                         recs = [Row(colmap, i) for i in range(n)]
                     enc_arr = pa.array([encode(r) for r in recs],
                                        pa.string())
+                if s.framing:
+                    enc_arr = self._frame(s.framing, enc_arr, sub)
                 if s.kind == "kafka":
                     route_vals = topics
                 elif s.kind == "file":

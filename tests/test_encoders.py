@@ -242,3 +242,59 @@ def test_protowire_full_message_roundtrip():
     f = out["fields"]
     assert f["priority"] == 165 and f["message"] == "payload"
     assert f["properties"] == '{"d":{"k":"v"}}'
+
+
+def test_framing_encoders():
+    """Octet-counted and RELP frames (encoders/encoder.go:139-178):
+    per-row helpers and the vectorized fan-out form agree byte-for-byte,
+    lengths count utf-8 BYTES."""
+    import pyarrow as pa
+    from skewer_ray.encoders import frame_octet, frame_octet_bytes, frame_relp
+    from skewer_ray.stages.fanout import FanoutEncodeStage
+
+    assert frame_octet("abc") == "3 abc"
+    assert frame_octet("é") == "2 é"          # utf-8 bytes, not chars
+    assert frame_octet("") == ""
+    assert frame_octet_bytes(b"\x01\x02") == b"2 \x01\x02"
+    assert frame_relp(7, "syslog", "hello") == "7 syslog 5 hello\n"
+    assert frame_relp(8, "syslog", "") == "8 syslog 0\n"
+
+    sub = pa.table({"turn_idx": pa.array([7, 8], pa.int32())})
+    enc = pa.array(["hello", ""], pa.string())
+    oct_v = FanoutEncodeStage._frame("octet", enc, sub).to_pylist()
+    assert oct_v == [frame_octet("hello"), frame_octet("")]
+    relp_v = FanoutEncodeStage._frame("relp", enc, sub).to_pylist()
+    assert relp_v == [frame_relp(7, "syslog", "hello"),
+                      frame_relp(8, "syslog", "")]
+    # null payloads (PermError) stay null through framing
+    enc2 = pa.array(["x", None], pa.string())
+    assert FanoutEncodeStage._frame("octet", enc2, sub).to_pylist() == \
+        ["1 x", None]
+
+
+def test_framed_sink_through_fanout():
+    from skewer_ray.config import SinkConfig, default_config
+    from skewer_ray.gen import generate_table
+    from skewer_ray.stages import (EnrichStage, FanoutEncodeStage,
+                                   ParseStage, RouterStage)
+    import pyarrow.compute as pc
+
+    cfg = default_config()
+    tbl = generate_table(500)
+    b = ParseStage(decoder_for_family=cfg.decoder_for_family,
+                   custom_parsers=cfg.custom_parsers)(tbl)
+    b = EnrichStage(role_lookup=cfg.role_lookup,
+                    tool_lookup=cfg.tool_lookup)(b)
+    b = RouterStage(hooks=cfg.hooks)(b)
+    out = FanoutEncodeStage(sinks=(
+        SinkConfig(name="relp", kind="kafka", encoder="rfc5424",
+                   framing="relp"),))(b)
+    passing = out.filter(pc.equal(out["status"], "passing"))
+    assert passing.num_rows > 0
+    for t, e in zip(passing["turn_idx"].to_pylist()[:50],
+                    passing["encoded"].to_pylist()[:50]):
+        head, rest = e.split(" ", 1)
+        assert int(head) == t
+        assert rest.startswith("syslog ") and e.endswith("\n")
+        n, payload = rest[7:].split(" ", 1)
+        assert int(n) == len(payload[:-1].encode("utf-8"))
