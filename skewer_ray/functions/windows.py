@@ -48,6 +48,43 @@ def tumbling_counts(events_ds, window_us: int = HOUR_US):
     })
 
 
+def hopping_counts(events_ds, window_us: int = HOUR_US,
+                   hop_us: int = HOUR_US // 2):
+    """(window_start, event_type, n, sum_value): HOPPING (sliding)
+    windows — each event lands in ``window_us / hop_us`` overlapping
+    windows. The flat_map-style replication happens inside the same
+    combiner pre-transform (rows × overlap factor, then immediate
+    partial aggregation), so the shuffle still only carries partial
+    rows. Window starts are hop-aligned."""
+    overlap = window_us // hop_us
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        # first hop-aligned window containing ts: floor(ts/hop)*hop -
+        # (overlap-1) hops ... floor(ts/hop)*hop
+        base = (ts // hop_us) * hop_us
+        n = len(ts)
+        k = np.arange(overlap, dtype=np.int64)
+        starts = (base[:, None] - (overlap - 1 - k)[None, :] * hop_us)
+        starts = starts.reshape(-1)
+        take = pa.array(np.repeat(np.arange(n, dtype=np.int64), overlap))
+        return pa.table({
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            "event_type": pc.take(batch["event_type"], take),
+            "value": pc.take(batch["value"], take),
+        })
+
+    out = grouped_stats(events_ds, ["window_start", "event_type"],
+                        [("value", "count"), ("value", "sum")], pre=pre,
+                        combine="driver")
+    return pa.table({
+        "window_start": out["window_start"],
+        "event_type": out["event_type"],
+        "n": out["n"],
+        "sum_value": pc.round(out["sum_value"], 6),
+    })
+
+
 def gap_sessions(events_ds, gap_us: int = SESSION_GAP_US):
     """(user_id, n_sessions, n_events): gap-based sessionization. A new
     session starts when the inter-event gap within a user exceeds

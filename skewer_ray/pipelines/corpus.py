@@ -200,6 +200,51 @@ def q_source_journald(sf_dir: str):
     return read_journald_export([path])
 
 
+TOPK_TERMS = 20
+
+
+def q_topk_terms(sf_dir: str):
+    """Distributed heavy hitters: top-K most frequent words over the
+    corpus. Shape: per-batch explode+partial-count → term-keyed shuffle
+    combine (term cardinality scales with data) → per-block top-K (each
+    term's TOTAL lives in exactly one block after the keyed combine, so
+    block-local top-K is exact) → tiny driver merge. Tie-break
+    (n DESC, term ASC) is deterministic on both engine and SQL sides."""
+    import numpy as np
+    import pyarrow as pa
+    from ..functions.textstats import norm_words
+    from ..stages.agg import grouped_count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        for t in batch["text"].to_pylist():
+            terms.extend(norm_words(t))
+        return pa.table({"term": pa.array(terms, pa.string())})
+
+    counts = grouped_count(
+        _docs(sf_dir).map_batches(explode, batch_format="pyarrow"),
+        ["term"], combine="shuffle")
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"].to_pylist(), dtype=np.int64)
+        terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+        idx = np.lexsort((terms, -n))[:TOPK_TERMS]
+        return pa.table({"term": pa.array(list(terms[idx]), pa.string()),
+                         "n": pa.array(n[idx], pa.int64())})
+
+    rows = (counts.map_batches(block_topk, batch_format="pyarrow")
+            .take_all())  # bounded: ≤ K × blocks
+    rows.sort(key=lambda r: (-r["n"], r["term"]))
+    rows = rows[:TOPK_TERMS]
+    return pa.table({"term": pa.array([r["term"] for r in rows]),
+                     "n": pa.array([r["n"] for r in rows], pa.int64())})
+
+
+def q_events_hopping(sf_dir: str):
+    from ..functions.windows import hopping_counts
+    return hopping_counts(_events(sf_dir, ["ts", "event_type", "value"]))
+
+
 def collectd_fixture_metric(i: int):
     """Deterministic collectd metric for record i (pure function — the
     DuckDB oracle re-derives every field from range(n))."""
@@ -271,6 +316,8 @@ from .edge_corpus import q_parse_edge_syslog  # noqa: E402
 QUERIES = {
     "parse_collectd": q_parse_collectd,
     "parse_edge_syslog": q_parse_edge_syslog,
+    "topk_terms": q_topk_terms,
+    "events_hopping": q_events_hopping,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "doc_fingerprints": q_doc_fingerprints,

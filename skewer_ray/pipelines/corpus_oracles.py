@@ -350,6 +350,19 @@ SELECT query_id,
        vec_id, cosine
 FROM s QUALIFY rank <= 5"""
 
+    q["topk_terms"] = _W + """,
+t AS (SELECT unnest(words) AS term FROM w),
+c AS (SELECT term, count(*) AS n FROM t GROUP BY term)
+SELECT term, n FROM c ORDER BY n DESC, term LIMIT 20"""
+
+    # hopping windows: window 1h, hop 30min → every event lands in 2
+    # hop-aligned windows (base and base-hop)
+    q["events_hopping"] = """
+SELECT make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000)
+         AS window_start,
+       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events, range(2) t(k) GROUP BY 1, 2"""
+
     q["events_tumbling"] = """
 SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
          AS window_start,

@@ -243,3 +243,32 @@ def test_embedding_triangle_exact_at_10x(ray_session):
            for r in embedding_dup_pairs(emb, threshold=0.45).take_all()}
     assert got == expect
     assert len(expect) > 0
+
+
+def test_hopping_windows_cover_each_event_twice(ray_session):
+    """1h windows hopping every 30min: every event lands in exactly 2
+    windows, so total hopping count = 2x tumbling count."""
+    from skewer_ray.pipelines.corpus import (q_events_hopping,
+                                             q_events_tumbling)
+    hop = q_events_hopping(SF)
+    tum = q_events_tumbling(SF)
+    assert sum(hop["n"].to_pylist()) == 2 * sum(tum["n"].to_pylist())
+    # hop-aligned starts: 30-minute boundaries
+    for ws in hop["window_start"].to_pylist()[:100]:
+        assert (ws.minute, ws.second) in ((0, 0), (30, 0))
+
+
+def test_topk_terms_matches_local_count(ray_session):
+    from collections import Counter
+    import pyarrow.parquet as pq
+    from skewer_ray.functions.textstats import norm_words
+    from skewer_ray.pipelines.corpus import q_topk_terms
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    c = Counter()
+    for txt in t["text"].to_pylist():
+        c.update(norm_words(txt))
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = list(zip(q_topk_terms(SF)["term"].to_pylist(),
+                   q_topk_terms(SF)["n"].to_pylist()))
+    assert got == expect
