@@ -85,13 +85,31 @@ def hopping_counts(events_ds, window_us: int = HOUR_US,
     })
 
 
-def gap_sessions(events_ds, gap_us: int = SESSION_GAP_US):
-    """(user_id, n_sessions, n_events): gap-based sessionization. A new
-    session starts when the inter-event gap within a user exceeds
-    ``gap_us``. Requires all of a user's events in one group — the
-    groupby(user_id) shuffle provides exactly that co-location."""
+SESSION_BUCKET_US = 24 * 3_600_000_000  # segment width for the two-phase form
 
-    def sessions(batch: pa.Table) -> pa.Table:
+
+def gap_sessions(events_ds, gap_us: int = SESSION_GAP_US,
+                 bucket_us: int = SESSION_BUCKET_US):
+    """(user_id, n_sessions, n_events): gap-based sessionization, WHALE-
+    SAFE two-phase form (segmented scan):
+
+    phase 1 — groupby (user_id, time-bucket): per segment, sort the
+    segment's events and compute (session count, min ts, max ts,
+    n events). A user owning half the corpus now splits across many
+    segments, so no single group must hold the whole user.
+
+    phase 2 — groupby user_id over the per-segment SUMMARIES (tiny:
+    one row per user per active segment): walk segments in time order
+    and subtract one session per adjacent pair whose boundary gap is
+    ≤ gap_us (sessions are additive across segments except at merged
+    boundaries — exact, because events never cross segment boundaries
+    out of order).
+
+    Requires bucket_us ≥ gap_us so a session can only span ADJACENT
+    segments."""
+    assert bucket_us >= gap_us
+
+    def segment_summary(batch: pa.Table) -> pa.Table:
         ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         eid = pc.cast(batch["event_id"], pa.int64()).to_numpy(
             zero_copy_only=False)
@@ -100,9 +118,40 @@ def gap_sessions(events_ds, gap_us: int = SESSION_GAP_US):
         n_sessions = 1 + int((np.diff(st) > gap_us).sum()) if len(st) else 0
         return pa.table({
             "user_id": batch["user_id"].slice(0, 1),
+            "bucket": batch["bucket"].slice(0, 1),
             "n_sessions": pa.array([n_sessions], pa.int64()),
+            "first_ts": pa.array([int(st[0]) if len(st) else 0], pa.int64()),
+            "last_ts": pa.array([int(st[-1]) if len(st) else 0], pa.int64()),
             "n_events": pa.array([len(st)], pa.int64()),
         })
 
-    return events_ds.groupby("user_id").map_groups(
-        sessions, batch_format="pyarrow")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64())
+        return batch.append_column(
+            "bucket", pc.cast(pc.divide(ts, bucket_us), pa.int64()))
+
+    summaries = (events_ds
+                 .map_batches(add_bucket, batch_format="pyarrow")
+                 .groupby(["user_id", "bucket"])
+                 .map_groups(segment_summary, batch_format="pyarrow"))
+
+    def merge_user(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[("bucket", "ascending")])
+        b = batch.take(order)
+        ns = np.asarray(b["n_sessions"].to_pylist(), dtype=np.int64)
+        first = np.asarray(b["first_ts"].to_pylist(), dtype=np.int64)
+        last = np.asarray(b["last_ts"].to_pylist(), dtype=np.int64)
+        total = int(ns.sum())
+        if len(ns) > 1:
+            # merge sessions spanning adjacent segment boundaries
+            total -= int((first[1:] - last[:-1] <= gap_us).sum())
+        return pa.table({
+            "user_id": b["user_id"].slice(0, 1),
+            "n_sessions": pa.array([total], pa.int64()),
+            "n_events": pa.array(
+                [int(np.asarray(b["n_events"].to_pylist()).sum())],
+                pa.int64()),
+        })
+
+    return summaries.groupby("user_id").map_groups(
+        merge_user, batch_format="pyarrow")

@@ -57,3 +57,35 @@ def test_grouped_count_partials_bound_hot_key(ray_session):
     assert hot_partials <= 32  # ≈ number of batches, not 15k rows
     counts = grouped_count(ds, ["conv_id"]).to_pandas()
     assert int(counts[counts.conv_id == "conv-00000000"]["n"].iloc[0]) == 15_000
+
+
+def test_gap_sessions_whale_user_segmented(ray_session):
+    """The two-phase sessionizer splits a whale user across time-bucket
+    segments (no group ever holds the whole user) and still produces
+    the exact session count, including sessions spanning segment
+    boundaries."""
+    import numpy as np
+    import pyarrow as pa
+    from skewer_ray.functions.windows import gap_sessions
+
+    # whale: 20k events over ~40 days, gaps alternating 10min (same
+    # session) / 2h (new session); some gaps straddle day boundaries
+    gaps = np.where(np.arange(19_999) % 3 == 2, 7200, 600) * 1_000_000
+    ts = np.concatenate([[0], np.cumsum(gaps)]) + 1_700_000_000_000_000
+    n_expected = 1 + int((gaps > 30 * 60 * 1_000_000).sum())
+    minnow_ts = ts[:5] + 3_600_000_000  # a small user too
+    tbl = pa.table({
+        "event_id": pa.array(range(len(ts) + 5), pa.int64()),
+        "ts": pa.array([int(x) for x in list(ts) + list(minnow_ts)],
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(["whale"] * len(ts) + ["minnow"] * 5),
+    })
+    out = {r["user_id"]: r for r in
+           gap_sessions(rd.from_arrow(tbl).repartition(8)).take_all()}
+    assert out["whale"]["n_events"] == 20_000
+    assert out["whale"]["n_sessions"] == n_expected
+    assert out["minnow"]["n_sessions"] == 1 + int(
+        (np.diff(minnow_ts) > 30 * 60 * 1_000_000).sum())
+    # phase-1 segments: the whale contributes one summary row per
+    # active day-bucket, so the largest phase-2 group is ~#days rows
+    assert len(set((ts // (24 * 3_600_000_000)).tolist())) > 10
