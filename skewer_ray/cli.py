@@ -42,6 +42,9 @@ def main(argv=None):
                      help="transcript parquet dir (or testdata sf dir)")
     run.add_argument("--out", default=None,
                      help="output dir (required unless --test)")
+    run.add_argument("--config", default=None,
+                     help="skewer-style TOML pipeline config "
+                          "(toml_config.config_from_toml)")
     run.add_argument("--resume", action="store_true",
                      help="partitioned run with lineage manifests; "
                           "skips partitions already recorded done")
@@ -75,9 +78,14 @@ def main(argv=None):
     _ensure_ray(args.num_cpus)
     try:
         if args.cmd == "run":
+            config = None
+            if getattr(args, "config", None):
+                from .toml_config import config_from_toml
+                config = config_from_toml(args.config)
             if args.test:
                 from .pipelines.flagship import build_routed, read_transcripts
                 ds = build_routed(read_transcripts(args.input),
+                                  config=config,
                                   use_actors=args.use_actors)
                 rows = ds.limit(args.test_rows).to_pandas()
                 cols = ["conv_id", "turn_idx", "priority", "hostname",
@@ -88,12 +96,13 @@ def main(argv=None):
             if args.resume:
                 from .state import run_partitioned
                 metrics = run_partitioned(args.input, args.out,
+                                          config=config,
                                           use_actors=args.use_actors)
                 agg = (metrics.groupby(["sink", "status"])["n"].sum()
                        .reset_index())
             else:
                 from .pipelines.flagship import run_flagship
-                agg = run_flagship(args.input, args.out,
+                agg = run_flagship(args.input, args.out, config=config,
                                    ordered=args.ordered,
                                    use_actors=args.use_actors)
             print(agg.to_string(index=False))
