@@ -272,3 +272,29 @@ def test_topk_terms_matches_local_count(ray_session):
     got = list(zip(q_topk_terms(SF)["term"].to_pylist(),
                    q_topk_terms(SF)["n"].to_pylist()))
     assert got == expect
+
+
+def test_kmeans_trained_ivf(ray_session):
+    """Trained spherical k-means quantizer: deterministic across runs,
+    and the trained-IVF top-k keeps high recall vs brute force."""
+    import ray.data as rd
+    from skewer_ray.functions.similarity import ivf_topk_trained, kmeans_train
+    from skewer_ray.pipelines.corpus import q_ann_topk
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    c1 = kmeans_train(emb, n_cells=8, iters=3)
+    c2 = kmeans_train(emb, n_cells=8, iters=3)
+    assert c1.shape == (8, 64)
+    assert np.array_equal(c1, c2)  # deterministic
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    exact = {(r["query_id"], r["vec_id"]) for r in q_ann_topk(SF).take_all()}
+    approx = ivf_topk_trained(emb, list(range(10)), k=5, nprobe=4,
+                              n_cells=8, iters=3).take_all()
+    hits = sum((r["query_id"], r["vec_id"]) in exact for r in approx)
+    assert hits / len(exact) >= 0.5  # nprobe=4 of 8 cells
+    # full probe == brute force
+    full = ivf_topk_trained(emb, list(range(10)), k=5, nprobe=8,
+                            n_cells=8, iters=3).take_all()
+    assert {(r["query_id"], r["vec_id"]) for r in full} == exact
