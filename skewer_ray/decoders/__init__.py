@@ -72,6 +72,23 @@ _NATIVE = {
     "ltsv_stub": ltsv.decode_stub_block,
 }
 
+# vectorized fast paths (same semantics; unexpressible rows fall back
+# to the per-row decoder inside ParseStage)
+_NATIVE_VEC = {
+    "rfc5424": rfc5424.decode_block_vec,
+    "rfc3164": rfc3164.decode_block_vec,
+}
+
+
+def get_decoder_vec(cfg: DecoderConfig):
+    """Arrow fast-path decoder for this config, or None. Only plain-UTF8
+    streams qualify (the charset wrapper implies a per-row re-decode)."""
+    if cfg.charset.lower() in ("utf8", "utf-8") \
+            and cfg.format in _NATIVE_VEC:
+        return _NATIVE_VEC[cfg.format]
+    return None
+
+
 _CACHE: dict[tuple, callable] = {}
 
 

@@ -178,3 +178,97 @@ def decode_block(texts, ts_ns, out: RecordBuilder, cfg=None):
         if line is None or line == "":
             continue  # ParsersEnv.Parse: empty input → no message (decode.go:104-106)
         decode_one(line, n, out, row)
+
+
+# ---------------------------------------------------------------------------
+# vectorized fast path for the CANONICAL ladder shape only:
+#   <pri>(stamp|rfc3339) host tag[: or [pid]:] msg...
+# i.e. the ≥3-token branch with an ASCII hostname and a simple tag — every
+# other ladder branch (2-token quirks, IP sniffing, tagless, bad dates,
+# unicode hostnames, extra spaces after the PRI) falls back to decode_one.
+# Parity is asserted against decode_block over generated + edge corpora.
+# ---------------------------------------------------------------------------
+
+_VEC_3164 = (
+    r"(?s)^<(?P<pri>\d{1,5})>"
+    r"(?:(?P<stamp>[A-Z][a-z]{2} +\d{1,2} \d{2}:\d{2}:\d{2})|(?P<iso>\d\S*))"
+    r" (?P<host>[A-Za-z0-9_.\-]+)"
+    r" (?P<tag>[A-Za-z0-9_.\-]+(?:\[[^\]\s]*\])?):"
+    r" (?P<msg>.+)$")
+_TAG_SPLIT = r"^(?P<app>[^\[]*)(?:\[(?P<proc>[^\]]*)\])?$"
+
+
+def decode_block_vec(texts, ts_ns, cfg=None):
+    """Arrow fast path; returns (cols-with-row_idx, fallback rows) like
+    rfc5424.decode_block_vec."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    stripped = pc.utf8_trim_whitespace(texts)  # ladder strips first
+    st = pc.extract_regex(stripped, _VEC_3164)
+    ok = pc.is_valid(st).to_numpy(zero_copy_only=False)
+    if not ok.any():
+        return None, list(range(n))
+
+    # timestamps: distinct (stamp, year) / distinct iso string
+    stamp = pc.struct_field(st, "stamp")
+    iso = pc.struct_field(st, "iso")
+    years = pc.year(pc.cast(pa.array(ts_ns // 1000, pa.int64()),
+                            pa.timestamp("us"))).to_numpy(
+        zero_copy_only=False)
+    key = pc.binary_join_element_wise(
+        pc.fill_null(stamp, ""), pc.fill_null(iso, ""),
+        pa.array([str(y) for y in years]), "|")
+    d = pc.dictionary_encode(key)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    tr_of = []
+    for v in d.dictionary.to_pylist():
+        # key = stamp + "|" + iso + "|" + year; exactly one of stamp/iso
+        # is non-empty, and a stamp never starts with "|"
+        rem, y = v.rsplit("|", 1)
+        t = None
+        if rem.startswith("|"):
+            t = _parse_rfc3339_ns(rem[1:])
+        else:
+            m = _STAMP_RE.match(rem[:-1])
+            t = _stamp_groups_ns(m, int(y)) if m else None
+        tr_of.append(-1 if t is None else t)
+    idx = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    tr = np.asarray(tr_of, dtype=np.int64)[idx]
+    good = ok & (tr >= 0)
+    fallback = np.nonzero(~good)[0]
+    if not good.any():
+        return None, list(fallback)
+
+    gmask = pa.array(good)
+
+    def f(name):
+        return pc.filter(pc.struct_field(st, name), gmask)
+
+    tagm = pc.extract_regex(f("tag"), _TAG_SPLIT)
+    pri = pc.cast(f("pri"), pa.int32())
+    fac = pc.cast(pc.divide(pri, 8), pa.int32())
+    ng = int(good.sum())
+    cols = {
+        "row_idx": np.nonzero(good)[0],
+        "parse_ok": pa.array([True] * ng, pa.bool_()),
+        "priority": pri,
+        "facility": fac,
+        "severity": pc.cast(pc.subtract(pri, pc.multiply(fac, 8)),
+                            pa.int32()),
+        "version": pa.array([0] * ng, pa.int32()),
+        "time_reported": pa.array(tr[good], pa.int64()),
+        "time_generated": pa.array(ts_ns[good], pa.int64()),
+        "hostname": f("host"),
+        "appname": pc.fill_null(pc.struct_field(tagm, "app"), ""),
+        "procid": pc.fill_null(pc.struct_field(tagm, "proc"), ""),
+        "msgid": pa.array([""] * ng, pa.string()),
+        "structured": pa.array([""] * ng, pa.string()),
+        "message": f("msg"),
+    }
+    cols["properties"] = pa.array(["{}"] * ng, pa.string())
+    return cols, list(fallback)

@@ -128,3 +128,124 @@ def decode_block(texts, ts_ns, out: RecordBuilder, cfg=None):
         if not line:
             continue
         decode_one(line, n, out, row)
+
+
+# ---------------------------------------------------------------------------
+# vectorized fast path (identical semantics; rows it can't express fall
+# back to decode_one — asserted by the edge-corpus oracle and parity tests)
+# ---------------------------------------------------------------------------
+
+# (?s) so '.' crosses newlines inside MSG; RE2 '$' is end-of-text
+_HEAD_VEC = (r"(?s)^<(?P<pri>\d{1,5})>(?P<ver>\d{1,2}) (?P<ts>\S+)"
+             r" (?P<host>\S+) (?P<app>\S+) (?P<proc>\S+) (?P<msgid>\S+)"
+             r"(?P<rest>(?: .*)?)$")
+_NIL_SD_VEC = r"(?s)^ -(?: (?P<msg>.*))?$"
+# SD elements without escapes or brackets inside values (the common
+# shape); anything with '\' or ']' inside falls back to the state machine
+_SD_FAST_VEC = (r"(?s)^ (?P<sd>\[[^\]\\]*\](?:\[[^\]\\]*\])*)"
+                r"(?: (?P<msg>.*))?$")
+
+
+def _render_sd_cached(sd: str):
+    """Full-consumption _parse_sd of one DISTINCT SD string → canonical
+    props JSON, or None when the coarse regex over-matched."""
+    r = _parse_sd(sd, 0)
+    if r is None or r[1] != len(sd):
+        return None
+    return props_dumps(r[0])
+
+
+def decode_block_vec(texts, ts_ns, cfg=None):
+    """Arrow fast path over a string array of lines.
+
+    Returns (cols, fallback_rows): ``cols`` is a dict of arrays for the
+    rows decoded vectorized (including ``row_idx`` into the input), and
+    ``fallback_rows`` the local indices that must go through
+    decode_one (malformed headers — which ERROR there —, SD with
+    escapes, exotic timestamps)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    st = pc.extract_regex(texts, _HEAD_VEC)
+    head_ok = pc.is_valid(st).to_numpy(zero_copy_only=False)
+    if not head_ok.any():
+        return None, list(range(n))
+
+    rest = pc.struct_field(st, "rest")
+    nil_m = pc.extract_regex(rest, _NIL_SD_VEC)
+    sd_m = pc.extract_regex(rest, _SD_FAST_VEC)
+    nil_ok = pc.is_valid(nil_m).to_numpy(zero_copy_only=False) & head_ok
+    sd_ok = (pc.is_valid(sd_m).to_numpy(zero_copy_only=False) & head_ok
+             & ~nil_ok)
+
+    # timestamps: '-' → the row's ts_ns; else parse per DISTINCT value
+    ts_f = pc.struct_field(st, "ts")
+    d = pc.dictionary_encode(ts_f)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    parsed = []
+    for v in d.dictionary.to_pylist():
+        if v == "-":
+            parsed.append(-1)          # sentinel: use row ts_ns
+        else:
+            p = _parse_rfc3339_ns(v)
+            parsed.append(-2 if p is None else p)
+    tr_by_idx = np.asarray(parsed, dtype=np.int64)
+    idx = pc.fill_null(d.indices, 0).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    tr = np.where(head_ok, tr_by_idx[idx], -2)
+    ts_bad = tr == -2
+
+    # SD: render per DISTINCT string; un-renderable → fallback
+    sd_col = pc.struct_field(sd_m, "sd")
+    dsd = pc.dictionary_encode(sd_col)
+    if isinstance(dsd, pa.ChunkedArray):
+        dsd = dsd.combine_chunks()
+    sd_json = [None if v is None else _render_sd_cached(v)
+               for v in dsd.dictionary.to_pylist()]
+    sd_json_arr = pc.take(pa.array(sd_json, pa.string()), dsd.indices)
+    sd_bad = sd_ok & ~pc.is_valid(sd_json_arr).to_numpy(zero_copy_only=False)
+
+    good = (nil_ok | sd_ok) & ~ts_bad & ~sd_bad
+    fallback = np.nonzero(~good)[0]
+    if not good.any():
+        return None, list(fallback)
+
+    gmask = pa.array(good)
+
+    def f(name):
+        return pc.filter(pc.struct_field(st, name), gmask)
+
+    def nil(col):
+        return pc.if_else(pc.equal(col, "-"), "", col)
+
+    pri = pc.cast(f("pri"), pa.int32())
+    msg = pc.if_else(
+        pa.array(nil_ok[good]),
+        pc.filter(pc.struct_field(nil_m, "msg"), gmask),
+        pc.filter(pc.struct_field(sd_m, "msg"), gmask))
+    msg = pc.fill_null(msg, "")
+    props = pc.fill_null(pc.filter(sd_json_arr, gmask), "{}")
+    tr_g = tr[good]
+    tr_g = np.where(tr_g == -1, ts_ns[good], tr_g)
+    cols = {
+        "row_idx": np.nonzero(good)[0],
+        "parse_ok": pa.array([True] * int(good.sum()), pa.bool_()),
+        "priority": pri,
+        "facility": pc.cast(pc.divide(pri, 8), pa.int32()),
+        "severity": pc.cast(pc.subtract(pri, pc.multiply(
+            pc.cast(pc.divide(pri, 8), pa.int32()), 8)), pa.int32()),
+        "version": pc.cast(f("ver"), pa.int32()),
+        "time_reported": pa.array(tr_g, pa.int64()),
+        "time_generated": pa.array(ts_ns[good], pa.int64()),
+        "hostname": nil(f("host")),
+        "appname": nil(f("app")),
+        "procid": nil(f("proc")),
+        "msgid": nil(f("msgid")),
+        "structured": pa.array([""] * int(good.sum()), pa.string()),
+        "message": msg,
+        "properties": props,
+    }
+    return cols, list(fallback)

@@ -46,7 +46,9 @@ class ParseStage:
             self.cfgs = {f: single for f in range(N_FAMILIES)}
         else:
             self.cfgs = dict(decoder_for_family or {})
-        self.decoders = {f: (get_decoder(c), c) for f, c in self.cfgs.items()}
+        from ..decoders import get_decoder_vec
+        self.decoders = {f: (get_decoder(c), c, get_decoder_vec(c))
+                         for f, c in self.cfgs.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.single:
@@ -56,16 +58,32 @@ class ParseStage:
             fam = np.zeros(batch.num_rows, dtype=np.int64)
         else:
             fam = family_array(batch["conv_id"])
-        texts = batch["text"].to_pylist()
         ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         ts_ns_all = ts_us * 1000
 
         out_parts = []
         for f in np.unique(fam):
-            dec, cfg = self.decoders[int(f)]
+            dec, cfg, vec = self.decoders[int(f)]
             rows = np.nonzero(fam == f)[0]
-            sub_texts = [texts[i] for i in rows]
             sub_ns = ts_ns_all[rows]
+            fb_local = None
+            if vec is not None:
+                sub_arr = pc.take(batch["text"], pa.array(rows))
+                if isinstance(sub_arr, pa.ChunkedArray):
+                    sub_arr = sub_arr.combine_chunks()
+                cols, fb_local = vec(sub_arr, sub_ns, cfg)
+                if cols is not None:
+                    src = rows[cols.pop("row_idx")]
+                    sub = pa.array(np.zeros(len(src), dtype=np.int32))
+                    out_parts.append(self._finish(batch, pa.array(src),
+                                                  sub, cols))
+                rows = rows[np.asarray(fb_local, dtype=np.int64)] \
+                    if fb_local else rows[:0]
+                sub_ns = ts_ns_all[rows]
+            if len(rows) == 0:
+                continue
+            sub_texts = pc.take(batch["text"],
+                                pa.array(rows)).to_pylist()
             b = RecordBuilder()
             dec(sub_texts, sub_ns.tolist(), b, cfg)
             if not len(b):
@@ -77,11 +95,12 @@ class ParseStage:
         return pa.concat_tables(out_parts)
 
     @staticmethod
-    def _assemble(batch: pa.Table, src: np.ndarray, b: RecordBuilder) -> pa.Table:
-        take = pa.array(src)
+    def _finish(batch: pa.Table, take: pa.Array, sub: pa.Array,
+                rec_cols: dict) -> pa.Table:
+        """Record table from (source-row take indices, sub_idx array,
+        the 14 record value columns)."""
         conv = pc.take(batch["conv_id"], take)
         turn = pc.take(batch["turn_idx"], take)
-        sub = pa.array(b.sub_idx, pa.int32())
         uid = pc.binary_join_element_wise(
             pc.cast(conv, pa.string()),
             pc.cast(pc.cast(turn, pa.int64()), pa.string()),
@@ -96,20 +115,7 @@ class ParseStage:
             "role": pc.take(batch["role"], take),
             "tool": pc.take(batch["tool"], take),
             "ts": pc.take(batch["ts"], take),
-            "parse_ok": pa.array(b.parse_ok, pa.bool_()),
-            "priority": pa.array(b.priority, pa.int32()),
-            "facility": pa.array(b.facility, pa.int32()),
-            "severity": pa.array(b.severity, pa.int32()),
-            "version": pa.array(b.version, pa.int32()),
-            "time_reported": pa.array(b.time_reported, pa.int64()),
-            "time_generated": pa.array(b.time_generated, pa.int64()),
-            "hostname": pa.array(b.hostname, pa.string()),
-            "appname": pa.array(b.appname, pa.string()),
-            "procid": pa.array(b.procid, pa.string()),
-            "msgid": pa.array(b.msgid, pa.string()),
-            "structured": pa.array(b.structured, pa.string()),
-            "message": pa.array(b.message, pa.string()),
-            "properties": pa.array(b.properties, pa.string()),
+            **rec_cols,
         }
         out = pa.table(cols, schema=RECORD_SCHEMA)
         # passthrough: any extra input column (e.g. part_id lineage from
@@ -119,3 +125,24 @@ class ParseStage:
             if name not in known:
                 out = out.append_column(name, pc.take(batch[name], take))
         return out
+
+    @staticmethod
+    def _assemble(batch: pa.Table, src: np.ndarray, b: RecordBuilder) -> pa.Table:
+        return ParseStage._finish(
+            batch, pa.array(src), pa.array(b.sub_idx, pa.int32()),
+            {
+                "parse_ok": pa.array(b.parse_ok, pa.bool_()),
+                "priority": pa.array(b.priority, pa.int32()),
+                "facility": pa.array(b.facility, pa.int32()),
+                "severity": pa.array(b.severity, pa.int32()),
+                "version": pa.array(b.version, pa.int32()),
+                "time_reported": pa.array(b.time_reported, pa.int64()),
+                "time_generated": pa.array(b.time_generated, pa.int64()),
+                "hostname": pa.array(b.hostname, pa.string()),
+                "appname": pa.array(b.appname, pa.string()),
+                "procid": pa.array(b.procid, pa.string()),
+                "msgid": pa.array(b.msgid, pa.string()),
+                "structured": pa.array(b.structured, pa.string()),
+                "message": pa.array(b.message, pa.string()),
+                "properties": pa.array(b.properties, pa.string()),
+            })

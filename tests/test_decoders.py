@@ -358,3 +358,92 @@ def test_protobuf_decoder_direct_fields():
     assert (b.priority[0], b.facility[0], b.severity[0]) == (165, 20, 5)
     assert b.time_reported[0] == 123 and b.hostname[0] == "h"
     assert _json.loads(b.properties[0]) == {"d": {"k": "v"}}
+
+
+def test_rfc5424_vec_parity_with_per_row():
+    """decode_block_vec + fallback == pure decode_block over generated
+    lines AND the adversarial edge corpus (field-for-field)."""
+    import numpy as np
+    import pyarrow as pa
+    from skewer_ray.decoders import RecordBuilder
+    from skewer_ray.decoders.rfc5424 import decode_block, decode_block_vec
+    from skewer_ray.gen import generate_table, family_of_conv, conv_index
+    from skewer_ray.pipelines.edge_corpus import EDGE_5424, NOW_S
+
+    tbl = generate_table(3000)
+    fams = [family_of_conv(conv_index(c))
+            for c in tbl["conv_id"].to_pylist()]
+    lines = [t for t, f in zip(tbl["text"].to_pylist(), fams)
+             if f in (0, 1)]
+    lines += [c[0] for c in EDGE_5424]
+    ns = np.array([NOW_S * 10**9] * len(lines), dtype=np.int64)
+
+    ref = RecordBuilder()
+    decode_block(lines, ns.tolist(), ref)
+
+    cols, fb = decode_block_vec(pa.array(lines, pa.string()), ns)
+    got = {}
+    fields = ("parse_ok", "priority", "facility", "severity", "version",
+              "time_reported", "time_generated", "hostname", "appname",
+              "procid", "msgid", "structured", "message", "properties")
+    if cols is not None:
+        ridx = cols.pop("row_idx")
+        for k, r in enumerate(ridx):
+            got[int(r)] = tuple(
+                cols[f][k].as_py() for f in fields)
+    fbb = RecordBuilder()
+    decode_block([lines[i] for i in fb],
+                 [int(ns[i]) for i in fb], fbb)
+    for k, local in enumerate(fbb.row_idx):
+        got[fb[local]] = tuple(getattr(fbb, f)[k] for f in fields)
+
+    want = {ref.row_idx[k]: tuple(getattr(ref, f)[k] for f in fields)
+            for k in range(len(ref))}
+    assert got == want
+    assert len(want) == len(lines)  # nothing silently dropped
+
+
+def test_rfc3164_vec_parity_with_per_row():
+    """3164 vec fast path + fallback == pure ladder over generated
+    (families 2,3,4) and edge-corpus lines."""
+    import numpy as np
+    import pyarrow as pa
+    from skewer_ray.decoders.rfc3164 import decode_block, decode_block_vec
+    from skewer_ray.gen import generate_table, family_of_conv, conv_index
+    from skewer_ray.pipelines.edge_corpus import EDGE_3164, NOW_S
+
+    tbl = generate_table(6000)
+    fams = [family_of_conv(conv_index(c))
+            for c in tbl["conv_id"].to_pylist()]
+    lines = [t for t, f in zip(tbl["text"].to_pylist(), fams)
+             if f in (2, 3, 4)]
+    lines += [c[0] for c in EDGE_3164]
+    lines += ["<34>Jan 15 05:10:02 host app msg",       # tagless 3-token
+              "<34>Feb 30 12:00:00 host app[1]: m",     # bad date
+              "<34>Jan 15 05:10:02 host app[1]:",       # 2-token quirk
+              "<34>Jan  4 05:10:02 host a.b-c[x7]: m1  m2",
+              "  <13>Jan 15 05:10:02 h t[1]: padded  "]
+    ns = np.array([NOW_S * 10**9] * len(lines), dtype=np.int64)
+
+    ref = RecordBuilder()
+    decode_block(lines, ns.tolist(), ref)
+
+    cols, fb = decode_block_vec(pa.array(lines, pa.string()), ns)
+    got = {}
+    fields = ("parse_ok", "priority", "facility", "severity", "version",
+              "time_reported", "time_generated", "hostname", "appname",
+              "procid", "msgid", "structured", "message", "properties")
+    if cols is not None:
+        ridx = cols.pop("row_idx")
+        for k, r in enumerate(ridx):
+            got[int(r)] = tuple(cols[f][k].as_py() for f in fields)
+    fbb = RecordBuilder()
+    decode_block([lines[i] for i in fb], [int(ns[i]) for i in fb], fbb)
+    for k, local in enumerate(fbb.row_idx):
+        got[fb[local]] = tuple(getattr(fbb, f)[k] for f in fields)
+
+    want = {ref.row_idx[k]: tuple(getattr(ref, f)[k] for f in fields)
+            for k in range(len(ref))}
+    assert got == want
+    assert len(want) == len(lines)
+    assert cols is not None and len(got) - len(fb) > 0  # fast path used
