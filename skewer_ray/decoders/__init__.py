@@ -56,9 +56,10 @@ def _custom_block(name: str):
     return block
 
 
-from . import collectd, protobuf_format
+from . import collectd, macos, protobuf_format
 
 _NATIVE = {
+    "macos": macos.decode_block,
     "rfc3164": rfc3164.decode_block,
     "rfc5424": rfc5424.decode_block,
     "json": json_format.decode_json_block,

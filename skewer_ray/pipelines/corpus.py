@@ -261,6 +261,76 @@ def collectd_fixture_metric(i: int):
              ("gauge", (i % 10) / 2)])
 
 
+def macos_fixture_line(i: int) -> str:
+    """One deterministic `log stream --style json` event (pure function
+    of i; the SQL oracle re-derives every field from range(n))."""
+    import json as _json
+    d = {
+        "timestamp": f"2026-01-15 05:10:{i % 60:02d}.{(i * 137) % 1000000:06d}+0100",
+        "eventMessage": f"macos event {i}",
+        "processImagePath": f"/usr/bin/proc{i % 7}",
+        "processID": 300 + i % 50,
+        "messageType": ["Default", "Info", "Error"][i % 3],
+        "processUniqueID": 1000 + i,
+        "threadID": i,
+        "traceID": i * 3,
+        "activityID": i % 11,
+        "machTimestamp": 10_000_000_000 + i,
+        "senderProgramCounter": i * 7,
+    }
+    if i % 4:
+        d["category"] = f"cat{i % 4}"
+    if i % 5:
+        d["subsystem"] = f"com.example.s{i % 3}"
+    return _json.dumps(d, separators=(",", ":"))
+
+
+def q_parse_macos(sf_dir: str):
+    """macOS unified-log JSON decoder over a deterministic event stream
+    (services/macos/macoslogs.go:135-195 parity)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ..decoders import DecoderConfig
+    from ..stages.parse import ParseStage
+
+    n = 200 if "0.001" in sf_dir else 2000
+    chunks = []
+    for off in range(0, n, 256):
+        m = min(256, n - off)
+        chunks.append(pa.table({
+            "conv_id": pa.array(["macos"] * m),
+            "turn_idx": pa.array(range(off, off + m), pa.int32()),
+            "role": pa.array([""] * m),
+            "text": pa.array([macos_fixture_line(i)
+                              for i in range(off, off + m)]),
+            "tool": pa.array([""] * m),
+            "ts": pa.array([1_700_000_000_000_000 + i
+                            for i in range(off, off + m)],
+                           pa.timestamp("us")),
+        }))
+    ds = rd.from_arrow(chunks)
+    stage = ParseStage(single=DecoderConfig(format="macos"))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        b = stage(batch)
+        return pa.table({
+            "rec_idx": pc.cast(b["turn_idx"], pa.int64()),
+            "hostname": b["hostname"],
+            "appname": b["appname"],
+            "procid": b["procid"],
+            "priority": b["priority"],
+            "facility": b["facility"],
+            "severity": b["severity"],
+            "version": b["version"],
+            "time_reported": pc.cast(
+                pc.divide(b["time_reported"], 1000), pa.timestamp("us")),
+            "message": b["message"],
+            "properties": b["properties"],
+        })
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
 def q_parse_collectd(sf_dir: str):
     """collectd binary decoder over a deterministic packet stream:
     types.db DS naming, gauge/derive property domains, value-list JSON
@@ -315,6 +385,7 @@ from .edge_corpus import q_parse_edge_syslog  # noqa: E402
 
 QUERIES = {
     "parse_collectd": q_parse_collectd,
+    "parse_macos": q_parse_macos,
     "parse_edge_syslog": q_parse_edge_syslog,
     "topk_terms": q_topk_terms,
     "events_hopping": q_events_hopping,

@@ -274,6 +274,30 @@ SELECT i AS rec_idx,
        {props_case} AS properties
 FROM (SELECT unnest(range(0, {n_cd})) AS i)"""
 
+    # --- macOS unified-log source oracle ------------------------------
+    # fixture is a pure function of i (corpus.macos_fixture_line);
+    # 05:10:SS+0100 → UTC 04:10:SS on 2026-01-15 = 1768450200 + SS
+    n_mac = 200 if small else 2000
+    _mac_props = """'{"macos":{"activityID":"' || (i%11) || '"' ||
+  CASE WHEN i%4 <> 0 THEN ',"category":"cat' || (i%4) || '"' ELSE '' END ||
+  ',"machTimestamp":"' || (10000000000 + i) || '"' ||
+  ',"messageType":"' || CASE i%3 WHEN 0 THEN 'Default' WHEN 1 THEN 'Info' ELSE 'Error' END || '"' ||
+  ',"processUniqueID":"' || (1000 + i) || '"' ||
+  ',"senderProgramCounter":"' || (i*7) || '"' ||
+  CASE WHEN i%5 <> 0 THEN ',"subsystem":"com.example.s' || (i%3) || '"' ELSE '' END ||
+  ',"threadID":"' || i || '","traceID":"' || (i*3) || '"}}'"""
+    q["parse_macos"] = f"""
+SELECT i AS rec_idx,
+       'localhost' AS hostname,
+       '/usr/bin/proc' || (i%7) AS appname,
+       CAST(300 + i%50 AS VARCHAR) AS procid,
+       14 AS priority, 1 AS facility, 6 AS severity, 1 AS version,
+       make_timestamp((1768450200 + i%60)::BIGINT * 1000000
+                      + (i*137)%1000000) AS time_reported,
+       'macos event ' || i AS message,
+       {_mac_props} AS properties
+FROM (SELECT unnest(range(0, {n_mac})) AS i)"""
+
     # --- approximate-ANN oracles -------------------------------------
     # The LSH hyperplanes and the IVF probe rule are deterministic
     # functions of the stored embeddings, so both approximate paths have

@@ -447,3 +447,30 @@ def test_rfc3164_vec_parity_with_per_row():
     assert got == want
     assert len(want) == len(lines)
     assert cols is not None and len(got) - len(fb) > 0  # fast path used
+
+
+def test_macos_log_stream_decode():
+    """macOS unified-log JSON mapping (macoslogs.go:135-195 parity)."""
+    line = ('{"timestamp":"2026-01-15 05:10:02.123456+0100",'
+            '"eventMessage":"hello","processImagePath":"/usr/bin/x",'
+            '"processID":42,"messageType":"Error","subsystem":"com.a.b",'
+            '"category":"net","threadID":7,"traceID":21,"activityID":3,'
+            '"machTimestamp":99,"processUniqueID":1234,'
+            '"senderProgramCounter":5}')
+    r = one("macos", line)
+    assert (r["priority"], r["facility"], r["severity"], r["version"]) == \
+        (14, 1, 6, 1)
+    assert r["hostname"] == "localhost"
+    assert r["appname"] == "/usr/bin/x" and r["procid"] == "42"
+    assert r["message"] == "hello"
+    # +0100 → UTC 04:10:02.123456
+    assert r["time_reported"] == \
+        (1768435200 + 4 * 3600 + 600 + 2) * 10**9 + 123456000
+    p = json.loads(r["properties"])["macos"]
+    assert p["subsystem"] == "com.a.b" and p["category"] == "net"
+    assert p["threadID"] == "7" and p["machTimestamp"] == "99"
+    # bad timestamp → falls back to ts; bad JSON → error row
+    r2 = one("macos", '{"timestamp":"nope","eventMessage":"m"}')
+    assert r2["time_reported"] == TS and r2["parse_ok"]
+    r3 = one("macos", "not json")
+    assert not r3["parse_ok"]
