@@ -1,0 +1,94 @@
+"""HTTP pull-sink semantics over stored partitions
+(store/dests/httpserver.go:36-140 re-expression)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+
+from skewer_ray.sinks_pull import (NDJSON_MIME, OCTET_MIME, PLAIN_MIME,
+                                   negotiate, page_content_type,
+                                   pull_pages)
+
+OUT = "/tmp/skewer_pull_test"
+
+
+@pytest.fixture(scope="module")
+def written_out(ray_session):
+    """Flagship run whose config includes a STORE sink (protobuf wire in
+    the encoded column — the reference's badger-store encoding)."""
+    import dataclasses
+    from skewer_ray.config import SinkConfig, default_config
+    from skewer_ray.pipelines.flagship import run_flagship
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, sinks=cfg.sinks + (SinkConfig(name="store", kind="stderr",
+                                           encoder="protobuf"),))
+    shutil.rmtree(OUT, ignore_errors=True)
+    run_flagship("/root/testdata/sf0.001", OUT, config=cfg)
+    return OUT
+
+
+def test_negotiation():
+    assert negotiate("") == NDJSON_MIME
+    assert negotiate("text/plain") in (PLAIN_MIME, "text/plain")
+    assert negotiate("application/json;q=0.9, text/html") == \
+        "application/json"
+    assert negotiate("text/html") == NDJSON_MIME  # default
+
+
+def test_content_type_rules():
+    # httpserver.go:58-88
+    assert page_content_type("json", 100, True, "\n") == (NDJSON_MIME, True)
+    assert page_content_type("json", 100, True, "|") == (PLAIN_MIME, True)
+    assert page_content_type("json", 100, False, "\n") == (PLAIN_MIME, False)
+    # protobuf is not self-delimiting → octet-stream + octet framing
+    assert page_content_type("protobuf", 100, True, "\n") == \
+        (OCTET_MIME, False)
+    assert page_content_type("rfc5424", 100, True, "\n") == \
+        (PLAIN_MIME, True)
+
+
+def test_pull_ndjson_pages(written_out):
+    pages = list(pull_pages(written_out, sink="store",
+                            accept="application/x-ndjson",
+                            n_messages=1000))
+    assert pages
+    total = 0
+    for ctype, body in pages:
+        assert ctype == NDJSON_MIME
+        lines = body.decode("utf-8").splitlines()
+        assert len(lines) <= 1000
+        d = json.loads(lines[0])
+        assert "severity" in d and "timereported" in d
+        total += len(lines)
+    assert total == 5417  # every passing row served exactly once
+
+
+def test_pull_rfc5424_plain(written_out):
+    ctype, body = next(iter(pull_pages(written_out, sink="store",
+                                       fmt="rfc5424", n_messages=50)))
+    assert ctype == PLAIN_MIME
+    first = body.decode("utf-8").splitlines()[0]
+    assert first.startswith("<") and ">1 " in first
+
+
+def test_pull_protobuf_octet_frames(written_out):
+    from skewer_ray.protowire import decode_syslog_message
+    ctype, body = next(iter(pull_pages(written_out, sink="store",
+                                       fmt="protobuf", n_messages=20)))
+    assert ctype == OCTET_MIME
+    # parse octet-counted frames: "<len> <payload>"
+    n = 0
+    pos = 0
+    while pos < len(body) and n < 20:
+        sp = body.index(b" ", pos)
+        ln = int(body[pos:sp])
+        payload = body[sp + 1:sp + 1 + ln]
+        rec = decode_syslog_message(payload)
+        assert rec["appname"] != "" or rec["message"] != ""
+        pos = sp + 1 + ln
+        n += 1
+    assert n == 20
