@@ -70,20 +70,34 @@ def _count_turns(sf_dir: str) -> int:
 
 
 def bench_flagship(sf_dir: str, num_cpus: int) -> tuple[float, int]:
-    """Headline: parse→enrich→route→fanout→per-sink counts (turns/sec)."""
+    """Headline: parse→enrich→route→fanout→per-sink counts (turns/sec).
+
+    Steady-state protocol: one UNTIMED pass spawns/warms every worker
+    kind (read + map) and the plasma arena, then the MEDIAN of 3 timed
+    passes is reported. First-pass fixed costs (~2 s regardless of
+    width) measure process startup, not the pipeline, and — being a
+    larger fraction of the faster arm's wall time — systematically
+    deflate measured N→4N efficiency."""
+    import statistics
     import ray.data as rd
     from skewer_ray.gen import ensure_transcripts
     from skewer_ray.pipelines.flagship import build_fanout, sink_counts
     n_turns = _count_turns(sf_dir)
     path = ensure_transcripts(sf_dir)
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    t0 = time.perf_counter()
-    # fixed block count (not cpus*k): both scaling arms see identical
-    # task granularity, so the comparison isolates parallelism
-    ds = rd.read_parquet(path, columns=cols, override_num_blocks=64)
-    counts = sink_counts(build_fanout(ds)).to_pandas()
-    dt = time.perf_counter() - t0
-    assert len(counts) > 0
+
+    def one_pass() -> float:
+        t0 = time.perf_counter()
+        # fixed block count (not cpus*k): both scaling arms see
+        # identical task granularity, so the comparison isolates
+        # parallelism
+        ds = rd.read_parquet(path, columns=cols, override_num_blocks=64)
+        counts = sink_counts(build_fanout(ds)).to_pandas()
+        assert len(counts) > 0
+        return time.perf_counter() - t0
+
+    one_pass()  # warm (untimed)
+    dt = statistics.median(one_pass() for _ in range(3))
     return dt, n_turns
 
 

@@ -239,7 +239,7 @@ def transcripts_path(sf_dir: str) -> str:
     return os.path.join(DATA_ROOT, sf_name, "transcripts.parquet")
 
 
-def ensure_transcripts(sf_dir: str, rows_per_file: int = 200_000) -> str:
+def ensure_transcripts(sf_dir: str, rows_per_file: int = 50_000) -> str:
     """Idempotently materialize the transcript table for a scale factor.
 
     Returns a directory of one-or-more parquet files (multiple files give
@@ -256,7 +256,13 @@ def ensure_transcripts(sf_dir: str, rows_per_file: int = 200_000) -> str:
     nfiles = max(1, (table.num_rows + rows_per_file - 1) // rows_per_file)
     per = (table.num_rows + nfiles - 1) // nfiles
     for k in range(nfiles):
-        pq.write_table(table.slice(k * per, per), os.path.join(tmp, f"part-{k:05d}.parquet"))
+        # small-ish files AND row groups: the read stage parallelizes at
+        # row-group granularity, and a handful of monolithic files idles
+        # every worker beyond ~4 during the read phase (measured: 34% of
+        # 16-CPU wall time spent in a 4-way read)
+        pq.write_table(table.slice(k * per, per),
+                       os.path.join(tmp, f"part-{k:05d}.parquet"),
+                       row_group_size=12_500)
     with open(os.path.join(tmp, "_DONE"), "w") as fh:
         fh.write("ok\n")
     if os.path.isdir(path):

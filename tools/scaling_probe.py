@@ -83,6 +83,10 @@ def main():
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
     row = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        # v2 = steady-state protocol (untimed warm pass + median of 3)
+        # + row-group-parallel read layout; earlier rows are v1 (cold
+        # single pass, 3-file read bottleneck)
+        "protocol": "v2",
         "base": args.base,
         "probe_before_s": round(p, 3),
         "probe_after_s": round(p2, 3),
