@@ -256,11 +256,64 @@ def run_mp_control() -> dict:
             "unit": "rows/s", **out}
 
 
+def run_stats(sf_dir: str, num_cpus: int) -> dict:
+    """Per-operator breakdown of the flagship pipeline from ds.stats():
+    tasks, total remote wall, per-task mean, and achieved concurrency —
+    the feedback loop for keeping wall time dominated by useful
+    compute."""
+    import re
+    import ray.data as rd
+    from skewer_ray.gen import ensure_transcripts
+    from skewer_ray.pipelines.flagship import build_fanout
+    from skewer_ray.stages.agg import partial_count_fn
+
+    _init_ray(num_cpus)
+    _warmup(num_cpus)
+    path = ensure_transcripts(sf_dir)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def one():
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(path, columns=cols, override_num_blocks=64)
+        m = (build_fanout(ds)
+             .map_batches(partial_count_fn(["sink", "status", "route"]),
+                          batch_format="pyarrow")).materialize()
+        return time.perf_counter() - t0, m
+
+    one()  # warm
+    wall, m = one()
+    ops = []
+    cur = None
+    for ln in m.stats().splitlines():
+        om = re.match(r"Operator (\d+) (\S+): (\d+) tasks executed.*in "
+                      r"([0-9.]+)s", ln.strip())
+        if om:
+            cur = {"operator": om.group(2), "tasks": int(om.group(3)),
+                   "span_s": float(om.group(4))}
+            ops.append(cur)
+        elif cur is not None and "Remote wall time" in ln:
+            tm = re.search(r"([0-9.]+)(m?s) total", ln)
+            if tm:
+                tot = float(tm.group(1)) / (1000 if tm.group(2) == "ms"
+                                            else 1)
+                cur["remote_wall_total_s"] = round(tot, 2)
+                cur["achieved_concurrency"] = round(
+                    tot / cur["span_s"], 1) if cur["span_s"] else None
+    import ray
+    ray.shutdown()
+    return {"metric": "flagship per-operator stats", "wall_s": round(wall, 2),
+            "num_cpus": num_cpus,
+            "sf": os.path.basename(os.path.normpath(sf_dir)),
+            "operators": ops}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--stats", action="store_true",
+                    help="per-operator ds.stats() breakdown")
     ap.add_argument("--mp-control", action="store_true",
                     help="plain-process scaling control (no Ray)")
     ap.add_argument("--scaling-base", type=int, default=4,
@@ -272,6 +325,8 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if args.scaling:
         result = run_scaling(args.sf_dir, n_low=args.scaling_base)
+    elif args.stats:
+        result = run_stats(args.sf_dir, args.cpus)
     elif args.mp_control:
         result = run_mp_control()
     else:

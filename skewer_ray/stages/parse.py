@@ -49,6 +49,12 @@ class ParseStage:
         from ..decoders import get_decoder_vec
         self.decoders = {f: (get_decoder(c), c, get_decoder_vec(c))
                          for f, c in self.cfgs.items()}
+        # families without a configured source decode with the FIRST
+        # configured section — the "format=auto" catch-all listener
+        # semantics (a TOML config with fewer sections than the corpus
+        # has families must not crash the stream)
+        self.default_decoder = (next(iter(self.decoders.values()))
+                                if self.decoders else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.single:
@@ -63,7 +69,7 @@ class ParseStage:
 
         out_parts = []
         for f in np.unique(fam):
-            dec, cfg, vec = self.decoders[int(f)]
+            dec, cfg, vec = self.decoders.get(int(f)) or self.default_decoder
             rows = np.nonzero(fam == f)[0]
             sub_ns = ts_ns_all[rows]
             fb_local = None
