@@ -87,7 +87,11 @@ def write_acct_fixture(path: str, n: int = 100, seed_base: int = 7) -> None:
 def read_accounting(paths):
     """Dataset of decoded accounting records from acct(2) files."""
     import os
-    ds = rd.read_binary_files(paths, include_paths=True)
+    nf = len(paths) if isinstance(paths, (list, tuple)) else 1
+    # one block per file: Ray otherwise over-splits tiny reads into
+    # empty schema-less blocks that pollute downstream RefBundles
+    ds = rd.read_binary_files(paths, include_paths=True,
+                              override_num_blocks=nf)
 
     def parse(batch: pa.Table) -> pa.Table:
         parts = []

@@ -84,7 +84,11 @@ def read_journald_export(paths):
     """Dataset of parsed records from journald export files (one file =
     one stream)."""
     import os
-    ds = rd.read_binary_files(paths, include_paths=True)
+    nf = len(paths) if isinstance(paths, (list, tuple)) else 1
+    # one block per file: Ray otherwise over-splits tiny reads into
+    # empty schema-less blocks that pollute downstream RefBundles
+    ds = rd.read_binary_files(paths, include_paths=True,
+                              override_num_blocks=nf)
 
     def parse(batch: pa.Table) -> pa.Table:
         parts = []

@@ -52,7 +52,11 @@ def read_raw_log_lines(paths, base_ts_us: int = 0):
     """Dataset of transcript-shaped rows from raw ``.log``/``.txt`` files:
     (conv_id=file stem, turn_idx=frame index, role="", text, tool="",
     ts). One read task per file; framing is a per-file flat_map."""
-    ds = rd.read_binary_files(paths, include_paths=True)
+    nf = len(paths) if isinstance(paths, (list, tuple)) else 1
+    # one block per file: Ray otherwise over-splits tiny reads into
+    # empty schema-less blocks that pollute downstream RefBundles
+    ds = rd.read_binary_files(paths, include_paths=True,
+                              override_num_blocks=nf)
 
     def frame(batch: pa.Table) -> pa.Table:
         convs, idxs, texts, tss = [], [], [], []
