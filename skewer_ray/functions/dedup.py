@@ -432,3 +432,54 @@ def embedding_dup_pairs(emb_ds, threshold: float = 0.45,
             .map_batches(expand, batch_format="pyarrow"))
     return rows.groupby("bucket").map_groups(bucket_pairs,
                                              batch_format="pyarrow")
+
+
+def embedding_lsh_pairs(emb_ds, threshold: float = 0.45,
+                        n_planes: int | None = None):
+    """Subquadratic embedding near-dup pairs: random-hyperplane LSH
+    buckets as the shuffle key (the scale path next to the exact
+    triangle join above).
+
+    Each vector lands in exactly ONE bucket (the sign pattern of its
+    dots with ``n_planes`` fixed Gaussian hyperplanes — deterministic in
+    LSH_SEED, so the DuckDB oracle replicates the buckets with a literal
+    plane matrix). Pairs are scored only within a bucket: candidate work
+    is sum over buckets of |bucket|² ≈ N²/2^planes, shuffle volume is
+    exactly N rows, and no dedup pass is needed since a pair can meet in
+    at most one bucket. Near-dups split by a plane are the recall cost —
+    the standard LSH trade, quantified in tests against the exact
+    triangle output."""
+    from .similarity import LSH_PLANES, LSH_SEED, _bucket_of
+
+    if n_planes is None:
+        n_planes = LSH_PLANES
+    planes = np.random.default_rng(LSH_SEED).standard_normal((n_planes, 64))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        buckets = _bucket_of(mat, planes) if len(mat) else \
+            np.array([], dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
+            "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+            "embedding": batch["embedding"],
+        })
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        sims = np.round(mat @ mat.T, 6)
+        xs, ys = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pa.table({
+            "vec_a": pa.array(ids[xs].astype(np.int64), pa.int64()),
+            "vec_b": pa.array(ids[ys].astype(np.int64), pa.int64()),
+            "cosine": pa.array([float(sims[x, y]) for x, y in zip(xs, ys)],
+                               pa.float64())})
+
+    rows = (emb_ds.select_columns(["vec_id", "embedding"])
+            .map_batches(bucketize, batch_format="pyarrow"))
+    return rows.groupby("bucket").map_groups(bucket_pairs,
+                                             batch_format="pyarrow")

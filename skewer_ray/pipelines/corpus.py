@@ -71,6 +71,16 @@ def q_dedup_embedding(sf_dir: str):
     return embedding_dup_pairs(_emb(sf_dir), threshold=COSINE_THRESHOLD)
 
 
+def q_dedup_embedding_lsh(sf_dir: str):
+    """Subquadratic near-dup pairs: hyperplane-bucket shuffle (one
+    bucket per vector), pairs scored in-bucket only. Deterministic
+    planes → exact SQL mirror (corpus_oracles.py
+    "dedup_embedding_lsh"); recall vs the exact triangle join asserted
+    in tests/test_corpus.py."""
+    from ..functions.dedup import embedding_lsh_pairs
+    return embedding_lsh_pairs(_emb(sf_dir), threshold=COSINE_THRESHOLD)
+
+
 def q_ann_topk(sf_dir: str):
     return brute_force_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
 
@@ -398,6 +408,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

@@ -342,6 +342,25 @@ SELECT query_id,
        vec_id, cosine
 FROM s QUALIFY rank <= 5"""
 
+    # LSH-bucketed near-dup pairs: one bucket per vector (sign pattern
+    # vs the same literal planes), pairs scored within buckets only —
+    # the SQL mirror of dedup.embedding_lsh_pairs.
+    q["dedup_embedding_lsh"] = f"""
+WITH pl(b, p) AS (VALUES {_plane_rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+bk AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN list_dot_product(emb, p) > 0
+                       THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bucket
+  FROM e CROSS JOIN pl GROUP BY vec_id
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id
+JOIN e eb ON eb.vec_id = b.vec_id
+WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6) >= 0.45"""
+
     q["ann_ivf"] = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
 cm AS (

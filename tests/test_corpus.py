@@ -245,6 +245,41 @@ def test_embedding_triangle_exact_at_10x(ray_session):
     assert len(expect) > 0
 
 
+def test_embedding_lsh_pairs_subset_of_exact(ray_session):
+    """LSH-bucketed pairs are exactly the exact pairs whose endpoints
+    share a hyperplane bucket (no false positives; recall loss only
+    from bucket splits), and every pair appears once."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from skewer_ray.functions.dedup import embedding_lsh_pairs
+    from skewer_ray.functions.similarity import (LSH_PLANES, LSH_SEED,
+                                                 _bucket_of)
+
+    t = pq.read_table(f"{SF10}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    planes = np.random.default_rng(LSH_SEED).standard_normal(
+        (LSH_PLANES, 64))
+    bucket = dict(zip(ids.tolist(), _bucket_of(mat, planes).tolist()))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    sims = np.round(mat @ mat.T, 6)
+    xs, ys = np.nonzero(np.triu(sims >= 0.45, k=1))
+    expect = {(int(ids[x]), int(ids[y]), float(sims[x, y]))
+              for x, y in zip(xs, ys)
+              if bucket[int(ids[x])] == bucket[int(ids[y])]}
+
+    emb = rd.read_parquet(f"{SF10}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    rows = embedding_lsh_pairs(emb, threshold=0.45).take_all()
+    got = {(r["vec_a"], r["vec_b"], r["cosine"]) for r in rows}
+    assert got == expect
+    assert len(rows) == len(got)          # no duplicate pair rows
+    assert len(expect) > 0
+
+
 def test_hopping_windows_cover_each_event_twice(ray_session):
     """1h windows hopping every 30min: every event lands in exactly 2
     windows, so total hopping count = 2x tumbling count."""

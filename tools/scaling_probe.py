@@ -46,11 +46,12 @@ def probe_seconds() -> float:
     return best
 
 
-def one_bench(cpus: int) -> dict:
-    proc = subprocess.run(
-        [sys.executable, os.path.join(ROOT, "bench.py"), "--single-run",
-         "--cpus", str(cpus)],
-        capture_output=True, text=True, cwd=ROOT)
+def one_bench(cpus: int, sf_dir: str | None = None) -> dict:
+    cmd = [sys.executable, os.path.join(ROOT, "bench.py"), "--single-run",
+           "--cpus", str(cpus)]
+    if sf_dir:
+        cmd += ["--sf-dir", sf_dir]
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(proc.stderr[-1500:])
@@ -60,6 +61,9 @@ def one_bench(cpus: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", type=int, default=4)
+    ap.add_argument("--sf-dir", default=None,
+                    help="larger input (e.g. a synthetic sf0.5) so each "
+                    "pass runs long enough to be ramp-free steady state")
     ap.add_argument("--force", action="store_true",
                     help="record a round even on a noisy box")
     args = ap.parse_args()
@@ -77,16 +81,20 @@ def main():
     if not quiet and not args.force:
         return
 
-    lo = one_bench(args.base)
-    hi = one_bench(args.base * 4)
+    lo = one_bench(args.base, args.sf_dir)
+    hi = one_bench(args.base * 4, args.sf_dir)
     p2 = probe_seconds()
     eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / 4.0
     row = {
         "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         # v2 = steady-state protocol (untimed warm pass + median of 3)
-        # + row-group-parallel read layout; earlier rows are v1 (cold
-        # single pass, 3-file read bottleneck)
-        "protocol": "v2",
+        # + row-group-parallel input layout; earlier rows are v1 (cold
+        # single pass, 3-file read bottleneck). v3 = v2 on a 5x larger
+        # input (sf0.5, 3M turns) so each timed pass is tens of seconds
+        # of steady state rather than 1-3s of mostly ramp.
+        "protocol": "v3" if args.sf_dir else "v2",
+        "sf": os.path.basename(os.path.normpath(args.sf_dir))
+              if args.sf_dir else "sf0.1",
         "base": args.base,
         "probe_before_s": round(p, 3),
         "probe_after_s": round(p2, 3),
