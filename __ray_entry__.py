@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": q.q_conv_stats,
         # ordered session reconstruction (RELP ordering applied to output)
         "conv_text": q.q_conv_text,
+        # Drain-style template mining over raw log text
+        "log_templates": q.q_log_templates,
     }
     # training-data corpus operators (documents/embeddings tables):
     # text analysis, dedup family, similarity search, multimodal stub

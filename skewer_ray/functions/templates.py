@@ -1,0 +1,72 @@
+"""Log template mining: Drain-style constant/variable masking over raw
+log text, then counting occurrences per template.
+
+The classic telemetry-pipeline reduction (log clustering / template
+extraction a la Drain/Spell): timestamps, quoted values, long hex ids
+and digit runs are replaced with typed placeholders, collapsing the
+unbounded raw-line space into a small set of message skeletons whose
+frequencies drive alerting, sampling, and anomaly baselines. The
+reference's closest surface is its per-topic metrics counters
+(store/store.go:77-123); template mining is the LLM-era generalization
+that also feeds training-data curation (dedup by template, balance by
+template frequency).
+
+Scale shape: masking is a pure vectorized per-batch map (Arrow RE2
+kernels, zero Python per row); counting reuses the map-side-combine
+aggregate (stages/agg.grouped_count), so only (template, n) partials —
+bounded by template cardinality, which is the op's premise — cross the
+exchange.
+
+The mask rules are RE2-compatible and applied in a fixed order so the
+DuckDB oracle (chained regexp_replace(..., 'g')) reproduces templates
+byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# (pattern, replacement), applied strictly in order. RE2 syntax only —
+# both pyarrow.compute and DuckDB regexp_replace run RE2.
+MASK_RULES: list[tuple[str, str]] = [
+    # RFC3339 / ISO timestamps (with optional fraction and zone)
+    (r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?"
+     r"(?:Z|[+-]\d{2}:?\d{2})?", "<TS>"),
+    # BSD syslog timestamps ("Jan  2 15:04:05")
+    (r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+     r" [ 0-9]\d \d{2}:\d{2}:\d{2}", "<TS>"),
+    # quoted values
+    (r'"[^"]*"', "<STR>"),
+    # long hex runs (ids, digests)
+    (r"\b[0-9a-f]{8,}\b", "<HEX>"),
+    # digit runs
+    (r"\d+", "<N>"),
+]
+
+
+def mask_templates(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Apply the mask chain to a string column (vectorized RE2)."""
+    for pat, repl in MASK_RULES:
+        col = pc.replace_substring_regex(col, pat, repl)
+    return col
+
+
+def _mask_pre(batch: pa.Table) -> pa.Table:
+    return pa.table({"template": mask_templates(batch["text"])})
+
+
+def log_templates(ds):
+    """(template, n) counts over ``ds.text`` — map-side combine, tiny
+    driver merge (template cardinality is bounded by construction)."""
+    from ..stages.agg import grouped_count
+    return grouped_count(ds, ["template"], pre=_mask_pre)
+
+
+def mask_rules_sql(col_expr: str) -> str:
+    """The identical mask chain as a DuckDB expression over col_expr."""
+    expr = col_expr
+    for pat, repl in MASK_RULES:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
+    return expr

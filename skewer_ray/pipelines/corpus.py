@@ -27,6 +27,11 @@ def _docs(sf_dir: str):
                            columns=["doc_id", "text"])
 
 
+def _docs_full(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "source"])
+
+
 def _emb(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"])
@@ -69,6 +74,30 @@ def q_dedup_simhash_pairs(sf_dir: str):
 
 def q_dedup_embedding(sf_dir: str):
     return embedding_dup_pairs(_emb(sf_dir), threshold=COSINE_THRESHOLD)
+
+
+def q_sample_docs(sf_dir: str):
+    """Deterministic md5-prefix sampling (~10% of the corpus): keep is
+    a pure function of doc_id, so the sample is reproducible across
+    engines and partitionings (functions/curation.sample_docs)."""
+    from ..functions.curation import sample_docs
+    return sample_docs(_docs_full(sf_dir))
+
+
+def q_cap_per_source(sf_dir: str):
+    """Per-source quota capping (≤10 smallest doc_ids per source) via
+    two-phase top-K — partial top-K per batch, keyed combine
+    (functions/curation.cap_per_group)."""
+    from ..functions.curation import cap_per_group
+    return cap_per_group(_docs_full(sf_dir), group_col="source",
+                         order_col="doc_id", k=10)
+
+
+def q_chunk_docs(sf_dir: str):
+    """Sliding-window chunking (size 200 / stride 150, 1→N) —
+    vectorized Arrow slices (functions/curation.chunk_docs)."""
+    from ..functions.curation import chunk_docs
+    return chunk_docs(_docs(sf_dir), size=200, stride=150)
 
 
 def q_dedup_embedding_lsh(sf_dir: str):
@@ -409,6 +438,9 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "sample_docs": q_sample_docs,
+    "cap_per_source": q_cap_per_source,
+    "chunk_docs": q_chunk_docs,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

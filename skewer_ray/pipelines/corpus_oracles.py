@@ -460,6 +460,25 @@ SELECT 'journal_{n_j}' AS conv_id, i AS turn_idx, 0 AS sub_idx,
          || '.service"}}}}' AS properties
 FROM (SELECT unnest(range(0, {n_j})) AS i)"""
 
+    # --- curation operators ------------------------------------------
+    # deterministic md5-prefix sample: first digest byte < 0x1a ↔
+    # 2-char lowercase hex prefix < '1a' lexicographically
+    q["sample_docs"] = """
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'"""
+
+    # per-source quota: K smallest doc_ids per source (K=10)
+    q["cap_per_source"] = """
+SELECT doc_id, source, lang FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10"""
+
+    # sliding-window chunking, size 200 / stride 150 (range bound 64
+    # comfortably exceeds max doc length / stride)
+    q["chunk_docs"] = """
+SELECT doc_id, i AS chunk_idx, substr(text, i*150 + 1, 200) AS chunk
+FROM documents, range(0, 64) t(i)
+WHERE i*150 < length(text)"""
+
     q["media_features"] = """
 SELECT doc_id,
   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

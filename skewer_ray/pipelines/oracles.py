@@ -296,4 +296,11 @@ SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':0' AS uid,
        topic, partition_key
 FROM routed WHERE filter_status = 'passing'"""
 
+    # template mining: the identical RE2 mask chain, same order
+    from ..functions.templates import mask_rules_sql
+    q["log_templates"] = f"""
+SELECT {mask_rules_sql('text')} AS template, count(*) AS n
+FROM read_parquet('{_tpath(sf_name)}')
+GROUP BY 1"""
+
     return q

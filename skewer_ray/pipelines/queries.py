@@ -289,6 +289,15 @@ def q_conv_text(sf_dir: str):
     return ds.groupby("conv_id").map_groups(assemble, batch_format="pyarrow")
 
 
+def q_log_templates(sf_dir: str):
+    """Drain-style log template mining over the raw transcript text:
+    vectorized RE2 mask chain → (template, n) with map-side combine
+    (functions/templates.py; oracle = same chain as DuckDB
+    regexp_replace)."""
+    from ..functions.templates import log_templates
+    return log_templates(read_transcripts(sf_dir))
+
+
 def q_routed_rows_kafka(sf_dir: str):
     """Routed-row set equality surface: uids delivered to the kafka sink."""
     ds = build_fanout(read_transcripts(sf_dir))

@@ -1,0 +1,104 @@
+"""Curation operators (functions/curation.py) and template mining
+(functions/templates.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+from skewer_ray.functions.templates import MASK_RULES, mask_templates
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# template mining
+# ---------------------------------------------------------------------------
+
+def test_mask_templates_collapses_variables():
+    col = pa.array([
+        '2026-01-02T03:04:05.123Z GET "/api/v1/users/42" took 17ms',
+        '2026-03-04 05:06:07+01:00 GET "/api/v2/users/9000" took 3ms',
+        "Jan  2 15:04:05 host sshd[123]: session deadbeef01 opened",
+    ])
+    out = mask_templates(col).to_pylist()
+    assert out[0] == out[1] == "<TS> GET <STR> took <N>ms"
+    assert out[2] == "<TS> host sshd[<N>]: session <HEX> opened"
+
+
+def test_mask_rules_are_re2_and_ordered():
+    # every rule must compile under RE2 semantics in DuckDB too —
+    # checked by the oracle; here: stable order and no backrefs
+    for pat, _ in MASK_RULES:
+        assert "\\1" not in pat and "(?P<" not in pat
+
+
+def test_log_templates_counts(ray_session):
+    from skewer_ray.pipelines.queries import q_log_templates
+    t = q_log_templates(SF)  # pyarrow Table (tiny driver-side merge)
+    total = sum(t["n"].to_pylist())
+    assert total > 0
+    # masking collapses the space: far fewer templates than lines
+    assert t.num_rows < total / 2
+
+
+# ---------------------------------------------------------------------------
+# curation
+# ---------------------------------------------------------------------------
+
+def test_sample_docs_is_deterministic_membership(ray_session):
+    from skewer_ray.functions.curation import SAMPLE_PREFIX
+    from skewer_ray.pipelines.corpus import q_sample_docs
+    ids = sorted(r["doc_id"] for r in q_sample_docs(SF).take_all())
+    assert ids == sorted(set(ids))
+    for d in ids[:50]:
+        assert hashlib.md5(str(d).encode()).digest()[0] < SAMPLE_PREFIX
+    # roughly keep_below/256 of the corpus (loose bound: 2x either way)
+    import ray.data as rd
+    n = rd.read_parquet(f"{SF}/documents.parquet").count()
+    frac = len(ids) / n
+    assert 0.5 * SAMPLE_PREFIX / 256 < frac < 2.0 * SAMPLE_PREFIX / 256
+
+
+def test_cap_per_group_exact_vs_sort(ray_session):
+    """Two-phase top-K equals the naive global sort-then-rank answer."""
+    import ray.data as rd
+
+    from skewer_ray.functions.curation import cap_per_group
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang", "source"])
+    got = {(r["source"], r["doc_id"])
+           for r in cap_per_group(ds, "source", "doc_id", k=7).take_all()}
+    df = ds.to_pandas()
+    want = set()
+    for src, sub in df.groupby("source"):
+        for d in sorted(sub["doc_id"])[:7]:
+            want.add((src, d))
+    assert got == want
+
+
+def test_chunk_docs_covers_text(ray_session):
+    """Chunks reassemble the original text: stride < size overlap."""
+    import ray.data as rd
+
+    from skewer_ray.functions.curation import chunk_docs
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    docs = {r["doc_id"]: r["text"] for r in ds.take_all()}
+    out = chunk_docs(ds, size=200, stride=150).take_all()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    for d, text in docs.items():
+        if not text:
+            assert d not in by_doc
+            continue
+        chunks = sorted(by_doc[d])
+        # contiguous indices from 0; each chunk matches its slice
+        assert [i for i, _ in chunks] == list(range(len(chunks)))
+        for i, c in chunks:
+            assert c == text[i * 150:i * 150 + 200]
+        # final chunk reaches the end of the document
+        last_i = chunks[-1][0]
+        assert last_i * 150 + len(chunks[-1][1]) == len(text)
