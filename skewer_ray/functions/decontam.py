@@ -1,0 +1,116 @@
+"""Benchmark decontamination and TF-IDF term scoring over ``documents``.
+
+Both are two-pass, broadcast-small-side designs — the canonical shape
+for "per-row scoring against a global, bounded summary" at 100 TB:
+
+- ``decontaminate``: pass 1 collects the *benchmark* shingle set (eval
+  suites are KBs–MBs by premise — tiny next to the corpus) and
+  broadcasts it once via ``ray.put``; pass 2 is an embarrassingly
+  parallel map scoring every corpus doc's shingle overlap against the
+  broadcast set. No join, no shuffle: the classic held-out-eval
+  contamination check (as in open LLM training-data pipelines).
+- ``tfidf_top_terms``: pass 1 computes document frequency per term with
+  the map-side-combine counter (vocabulary-bounded result), broadcasts
+  the DF dict; pass 2 scores terms per doc and keeps the top-K. The
+  only exchange is the tiny DF partial table.
+
+md5-based shingles match functions/dedup.shingles_of so the DuckDB
+oracles share the shingle CTE.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pyarrow as pa
+
+import ray
+
+from .dedup import shingles_of
+from .textstats import norm_words
+
+BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 → benchmark member (test split)
+TFIDF_K = 3
+
+
+def benchmark_shingle_ref(docs_ds, mod: int = BENCH_MOD):
+    """Collect the benchmark docs' shingle set and broadcast it.
+
+    The driver-side union is over *benchmark* shingles only (small by
+    premise); the corpus itself is never materialized."""
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            if d % mod == 0:
+                out |= shingles_of(t)
+        return pa.table({"s": pa.array(sorted(out), pa.string())})
+
+    rows = docs_ds.map_batches(bench_shingles,
+                               batch_format="pyarrow").take_all()
+    return ray.put(frozenset(r["s"] for r in rows))
+
+
+def decontaminate(docs_ds, mod: int = BENCH_MOD):
+    """(doc_id, n_overlap, contaminated) for every non-benchmark doc:
+    n_overlap = |shingles(doc) ∩ shingles(benchmark)|."""
+    ref = benchmark_shingle_ref(docs_ds, mod)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bench = ray.get(ref)  # plasma-cached per node, fetched once
+        ids, n_ov = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            if d % mod == 0:
+                continue
+            ids.append(d)
+            n_ov.append(len(shingles_of(t) & bench))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_overlap": pa.array(n_ov, pa.int64()),
+            "contaminated": pa.array([n > 0 for n in n_ov], pa.bool_()),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _df_pre(batch: pa.Table) -> pa.Table:
+    terms: list[str] = []
+    for t in batch["text"].to_pylist():
+        terms.extend(set(norm_words(t)))
+    return pa.table({"term": pa.array(terms, pa.string())})
+
+
+def tfidf_top_terms(docs_ds, k: int = TFIDF_K):
+    """Top-K terms per doc by tf·ln(N/df); ties broken by term asc.
+
+    Output: (doc_id, rank, term, tfidf) with tfidf rounded to 6 dp.
+    N counts every document (including empty ones); docs with no words
+    emit no rows."""
+    from ..stages.agg import grouped_count
+    df_tbl = grouped_count(docs_ds, ["term"], pre=_df_pre)
+    n_docs = docs_ds.count()
+    df_ref = ray.put(dict(zip(df_tbl["term"].to_pylist(),
+                              df_tbl["n"].to_pylist())))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        df = ray.get(df_ref)
+        ids, ranks, terms, scores = [], [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            tf = Counter(norm_words(t))
+            scored = sorted(
+                ((-c * math.log(n_docs / df[w]), w) for w, c in tf.items()))
+            for r, (neg, w) in enumerate(scored[:k], start=1):
+                ids.append(d)
+                ranks.append(r)
+                terms.append(w)
+                scores.append(round(-neg, 6))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "rank": pa.array(ranks, pa.int64()),
+                         "term": pa.array(terms, pa.string()),
+                         "tfidf": pa.array(scores, pa.float64())})
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

@@ -100,6 +100,23 @@ def q_chunk_docs(sf_dir: str):
     return chunk_docs(_docs(sf_dir), size=200, stride=150)
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: shingle overlap of every corpus doc
+    against the broadcast benchmark shingle set (docs with
+    doc_id % 97 == 0 play the held-out eval set)
+    (functions/decontam.decontaminate)."""
+    from ..functions.decontam import decontaminate
+    return decontaminate(_docs(sf_dir))
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per doc — DF table via map-side combine,
+    broadcast once, then an embarrassingly parallel scoring map
+    (functions/decontam.tfidf_top_terms)."""
+    from ..functions.decontam import tfidf_top_terms
+    return tfidf_top_terms(_docs(sf_dir))
+
+
 def q_dedup_embedding_lsh(sf_dir: str):
     """Subquadratic near-dup pairs: hyperplane-bucket shuffle (one
     bucket per vector), pairs scored in-bucket only. Deterministic
@@ -441,6 +458,8 @@ QUERIES = {
     "sample_docs": q_sample_docs,
     "cap_per_source": q_cap_per_source,
     "chunk_docs": q_chunk_docs,
+    "decontaminate": q_decontaminate,
+    "tfidf_terms": q_tfidf_terms,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

@@ -460,6 +460,35 @@ SELECT 'journal_{n_j}' AS conv_id, i AS turn_idx, 0 AS sub_idx,
          || '.service"}}}}' AS properties
 FROM (SELECT unnest(range(0, {n_j})) AS i)"""
 
+    # --- decontamination / TF-IDF ------------------------------------
+    q["decontaminate"] = _shingle_ctes() + """,
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+ov AS (
+  SELECT sh.doc_id, count(*) AS n
+  FROM sh JOIN bench USING (s)
+  WHERE sh.doc_id % 97 <> 0
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id, coalesce(ov.n, 0) AS n_overlap,
+       coalesce(ov.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
+WHERE d.doc_id % 97 <> 0"""
+
+    q["tfidf_terms"] = _W + """,
+tok AS (
+  SELECT doc_id, t, count(*) AS c
+  FROM (SELECT doc_id, unnest(words) AS t FROM w) GROUP BY doc_id, t
+),
+df AS (SELECT t, count(*) AS dfn FROM tok GROUP BY t),
+nn AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT doc_id, t AS term, round(c * ln(n / dfn), 6) AS tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY c * ln(n / dfn) DESC, t) AS rank
+  FROM tok JOIN df USING (t) CROSS JOIN nn
+)
+SELECT doc_id, rank, term, tfidf FROM s WHERE rank <= 3"""
+
     # --- curation operators ------------------------------------------
     # deterministic md5-prefix sample: first digest byte < 0x1a ↔
     # 2-char lowercase hex prefix < '1a' lexicographically

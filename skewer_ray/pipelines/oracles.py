@@ -296,6 +296,16 @@ SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':0' AS uid,
        topic, partition_key
 FROM routed WHERE filter_status = 'passing'"""
 
+    # anonymization: identical pseudonym rule + PII scrub chain
+    from ..functions.anonymize import pii_rules_sql
+    q["anonymize_hosts"] = C + f"""
+SELECT conv_id, turn_idx,
+       CASE WHEN hostname = '' THEN ''
+            ELSE 'h-' || substr(md5(hostname), 1, 8) END AS hostname,
+       appname,
+       {pii_rules_sql('message')} AS message
+FROM parsed WHERE fam IN (0, 1, 2, 3)"""
+
     # template mining: the identical RE2 mask chain, same order
     from ..functions.templates import mask_rules_sql
     q["log_templates"] = f"""

@@ -298,6 +298,14 @@ def q_log_templates(sf_dir: str):
     return log_templates(read_transcripts(sf_dir))
 
 
+def q_anonymize_hosts(sf_dir: str):
+    """GDPR-ish sanitization over the syslog families: deterministic
+    host pseudonyms + vectorized PII scrub chain
+    (functions/anonymize.py; oracle = same chain in DuckDB)."""
+    from ..functions.anonymize import anonymize_hosts
+    return anonymize_hosts(build_parsed(read_transcripts(sf_dir)))
+
+
 def q_routed_rows_kafka(sf_dir: str):
     """Routed-row set equality surface: uids delivered to the kafka sink."""
     ds = build_fanout(read_transcripts(sf_dir))
