@@ -112,6 +112,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("sink_counts", q.q_sink_counts),
         ("encode_rfc5424", q.q_encode_rfc5424),
         ("metrics_incoming", q.q_metrics_incoming),
+        ("log_templates", q.q_log_templates),
+        ("anonymize_hosts", q.q_anonymize_hosts),
     ]
     # training-data ops (documents/embeddings), present from later phases
     try:
