@@ -91,7 +91,7 @@ def bench_flagship(sf_dir: str, num_cpus: int) -> tuple[float, int]:
         # fixed block count (not cpus*k): both scaling arms see
         # identical task granularity, so the comparison isolates
         # parallelism
-        ds = rd.read_parquet(path, columns=cols, override_num_blocks=64)
+        ds = rd.read_parquet(path, columns=cols, override_num_blocks=128)
         counts = sink_counts(build_fanout(ds)).to_pandas()
         assert len(counts) > 0
         return time.perf_counter() - t0
@@ -276,7 +276,7 @@ def run_stats(sf_dir: str, num_cpus: int) -> dict:
 
     def one():
         t0 = time.perf_counter()
-        ds = rd.read_parquet(path, columns=cols, override_num_blocks=64)
+        ds = rd.read_parquet(path, columns=cols, override_num_blocks=128)
         m = (build_fanout(ds)
              .map_batches(partial_count_fn(["sink", "status", "route"]),
                           batch_format="pyarrow")).materialize()

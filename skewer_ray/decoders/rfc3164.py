@@ -40,14 +40,23 @@ _EPOCH0 = datetime(1970, 1, 1, tzinfo=timezone.utc)
 from functools import lru_cache
 
 
+# Go's time.Parse(RFC3339) shape exactly: uppercase 'T', dot fraction,
+# 'Z' or ±HH:MM (fromisoformat alone is looser: lowercase t/z, comma
+# fractions, bare offsets — all rejected by the reference).
+_RFC3339_SHAPE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:\d{2})$")
+
+
 @lru_cache(maxsize=1 << 17)
 def _parse_rfc3339_ns(s: str):
     """time.Parse(RFC3339Nano / RFC3339) → UnixNano, or None. Cached:
     distinct timestamp strings ≪ rows in real log streams (shared by
     the rfc3164/rfc5424/json/ltsv decoders)."""
+    if not _RFC3339_SHAPE.match(s):
+        return None
     try:
         x = s
-        if x.endswith(("Z", "z")):
+        if x.endswith("Z"):
             x = x[:-1] + "+00:00"
         dt = datetime.fromisoformat(x)
         if dt.tzinfo is None:

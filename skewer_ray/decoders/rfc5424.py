@@ -22,8 +22,12 @@ from .base import RecordBuilder
 from .rfc3164 import _parse_rfc3339_ns
 from ..schema import props_dumps
 
+# Grammar parity (RFC5424.g4:4,12-13): PRI/VERSION are DIGIT+ (Atoi —
+# leading zeros fine, version 0 fine, no RFC 2-digit cap) and every
+# separator is SP+ (multiple spaces between header fields are valid).
+# {1,9} keeps the Atoi result inside int32 like the reference's model.
 _HEAD_RE = re.compile(
-    r"^<(\d{1,5})>(\d{1,2}) (\S+) (\S+) (\S+) (\S+) (\S+)"
+    r"^<(\d{1,9})>(\d{1,9}) +(\S+) +(\S+) +(\S+) +(\S+) +(\S+)"
 )
 _SD_NAME_RE = re.compile(r"[^ =\]\"]+")
 
@@ -93,9 +97,10 @@ def decode_one(line: str, ts_ns: int, out: RecordBuilder, row: int):
             return out.add_error(row, line, ts_ns)
 
     pos = m.end()
-    # structured data: "-" or one-or-more [..] groups
+    # structured data after SP+: "-" or one-or-more [..] groups
     if pos < len(line) and line[pos] == " ":
-        pos += 1
+        while pos < len(line) and line[pos] == " ":
+            pos += 1
     else:
         return out.add_error(row, line, ts_ns)
     props = {}
@@ -113,7 +118,9 @@ def decode_one(line: str, ts_ns: int, out: RecordBuilder, row: int):
     if pos < len(line):
         if line[pos] != " ":
             return out.add_error(row, line, ts_ns)
-        msg = line[pos + 1:]
+        # (SP+ msg)?: the greedy SP+ absorbs every leading space, so a
+        # message can never start with ' ' (grammar, not RFC, semantics)
+        msg = line[pos:].lstrip(" ")
 
     def nil(x):
         return "" if x == "-" else x
@@ -135,15 +142,19 @@ def decode_block(texts, ts_ns, out: RecordBuilder, cfg=None):
 # back to decode_one — asserted by the edge-corpus oracle and parity tests)
 # ---------------------------------------------------------------------------
 
-# (?s) so '.' crosses newlines inside MSG; RE2 '$' is end-of-text
-_HEAD_VEC = (r"(?s)^<(?P<pri>\d{1,5})>(?P<ver>\d{1,2}) (?P<ts>\S+)"
+# (?s) so '.' crosses newlines inside MSG; RE2 '$' is end-of-text.
+# Single-space separators only (the overwhelmingly common shape) —
+# SP+-separated headers fall back to decode_one, which accepts them.
+# {1,9} digit fields keep the int32 cast safe; longer runs fall back.
+_HEAD_VEC = (r"(?s)^<(?P<pri>\d{1,9})>(?P<ver>\d{1,9}) (?P<ts>\S+)"
              r" (?P<host>\S+) (?P<app>\S+) (?P<proc>\S+) (?P<msgid>\S+)"
              r"(?P<rest>(?: .*)?)$")
-_NIL_SD_VEC = r"(?s)^ -(?: (?P<msg>.*))?$"
+# ' +' before msg: the grammar's (SP+ msg)? absorbs every leading space
+_NIL_SD_VEC = r"(?s)^ -(?: +(?P<msg>.*))?$"
 # SD elements without escapes or brackets inside values (the common
 # shape); anything with '\' or ']' inside falls back to the state machine
 _SD_FAST_VEC = (r"(?s)^ (?P<sd>\[[^\]\\]*\](?:\[[^\]\\]*\])*)"
-                r"(?: (?P<msg>.*))?$")
+                r"(?: +(?P<msg>.*))?$")
 
 
 def _render_sd_cached(sd: str):

@@ -80,6 +80,30 @@ EDGE_5424 = [
     # empty param value
     _ok(f'<34>1 {T} h a - - [e@1 v=""] m',
         34, 1, T_NS, "h", "a", "", "", "m", '{"e@1":{"v":""}}'),
+    # version 0 and 3-digit version: grammar is DIGIT+ → Atoi, no
+    # NONZERODIGIT / 2-digit cap (RFC5424.g4:13, rfc5424_format.go:124-134)
+    _ok(f"<34>0 {T} h a - - - m", 34, 0, T_NS, "h", "a", "", "", "m"),
+    _ok(f"<34>123 {T} h a - - - m", 34, 123, T_NS, "h", "a", "", "", "m"),
+    # leading zeros in PRI: Atoi("001") = 1
+    _ok(f"<001>1 {T} h a - - - m", 1, 1, T_NS, "h", "a", "", "", "m"),
+    # SP+ separators between every header field (grammar headr :4)
+    _ok(f"<34>1  {T}   h  a  -  -  -   msg",
+        34, 1, T_NS, "h", "a", "", "", "msg"),
+    # (SP+ msg)? absorbs every leading space before MSG
+    _ok(f"<34>1 {T} h a - - -  x", 34, 1, T_NS, "h", "a", "", "", "x"),
+    # lowercase 't' separator: grammar would lex it, but the listener's
+    # time.Parse(RFC3339) rejects it (rfc5424_format.go:146) → error
+    _err("<34>1 2026-01-15t05:10:02Z h a - - - m"),
+    # comma fraction: RFC3339 requires '.', Go Parse rejects ','
+    _err("<34>1 2026-01-15T05:10:02,123Z h a - - - m"),
+    # offset without colon: Go RFC3339 layout requires ±HH:MM
+    _err("<34>1 2026-01-15T05:10:02+0200 h a - - - m"),
+    # unescaped brackets are fine inside MSG (msg: .*?)
+    _ok(f'<34>1 {T} h a - - [x@1 k="v"] arr[3]=y ]',
+        34, 1, T_NS, "h", "a", "", "", "arr[3]=y ]",
+        '{"x@1":{"k":"v"}}'),
+    # '=' and '"' are legal hostname chars (grammar hostname :15)
+    _ok(f'<34>1 {T} h="q a - - - m', 34, 1, T_NS, 'h="q', "a", "", "", "m"),
 ]
 
 # --- RFC3164 fallback ladder ----------------------------------------------
