@@ -42,9 +42,11 @@ from functools import lru_cache
 
 # Go's time.Parse(RFC3339) shape exactly: uppercase 'T', dot fraction,
 # 'Z' or ±HH:MM (fromisoformat alone is looser: lowercase t/z, comma
-# fractions, bare offsets — all rejected by the reference).
+# fractions, bare offsets — all rejected by the reference). The fraction
+# is parsed by hand to keep full nanosecond precision — fromisoformat
+# silently truncates 7-9 digit fractions to microseconds.
 _RFC3339_SHAPE = re.compile(
-    r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:\d{2})$")
+    r"^(\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2})(\.\d+)?(Z|[+-]\d{2}:\d{2})$")
 
 
 @lru_cache(maxsize=1 << 17)
@@ -52,20 +54,19 @@ def _parse_rfc3339_ns(s: str):
     """time.Parse(RFC3339Nano / RFC3339) → UnixNano, or None. Cached:
     distinct timestamp strings ≪ rows in real log streams (shared by
     the rfc3164/rfc5424/json/ltsv decoders)."""
-    if not _RFC3339_SHAPE.match(s):
+    m = _RFC3339_SHAPE.match(s)
+    if not m:
         return None
+    base, frac, zone = m.groups()
     try:
-        x = s
-        if x.endswith("Z"):
-            x = x[:-1] + "+00:00"
-        dt = datetime.fromisoformat(x)
-        if dt.tzinfo is None:
-            return None  # RFC3339 requires an offset
-        delta = dt - _EPOCH0
-        return (delta.days * 86400 + delta.seconds) * 1_000_000_000 \
-            + delta.microseconds * 1000
+        dt = datetime.fromisoformat(
+            base + ("+00:00" if zone == "Z" else zone))
     except ValueError:
-        return None
+        return None  # shape ok but invalid calendar values (Feb 30 etc.)
+    delta = dt - _EPOCH0
+    # Go keeps at most 9 fraction digits (ns); extra digits are dropped
+    ns = int((frac[1:] + "000000000")[:9]) if frac else 0
+    return (delta.days * 86400 + delta.seconds) * 1_000_000_000 + ns
 
 
 def parse_tag(tag: str):

@@ -25,9 +25,10 @@ from ..schema import props_dumps
 # Grammar parity (RFC5424.g4:4,12-13): PRI/VERSION are DIGIT+ (Atoi —
 # leading zeros fine, version 0 fine, no RFC 2-digit cap) and every
 # separator is SP+ (multiple spaces between header fields are valid).
-# {1,9} keeps the Atoi result inside int32 like the reference's model.
+# Values above int32 are rejected in decode_one (documented deviation:
+# Go's int→int32 conversion would silently wrap; an error is saner).
 _HEAD_RE = re.compile(
-    r"^<(\d{1,9})>(\d{1,9}) +(\S+) +(\S+) +(\S+) +(\S+) +(\S+)"
+    r"^<(\d+)>(\d+) +(\S+) +(\S+) +(\S+) +(\S+) +(\S+)"
 )
 _SD_NAME_RE = re.compile(r"[^ =\]\"]+")
 
@@ -87,6 +88,8 @@ def decode_one(line: str, ts_ns: int, out: RecordBuilder, row: int):
         return out.add_error(row, line, ts_ns)
     pri = int(m.group(1))
     ver = int(m.group(2))
+    if pri > 0x7FFFFFFF or ver > 0x7FFFFFFF:
+        return out.add_error(row, line, ts_ns)
     ts_s, host, app, proc, msgid = m.group(3), m.group(4), m.group(5), m.group(6), m.group(7)
 
     if ts_s == "-":

@@ -21,7 +21,8 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
-import pyarrow.compute as pc
+
+from .regex_chain import apply_chain, chain_sql
 
 # (pattern, replacement), applied strictly in order; RE2 syntax only.
 PII_RULES: list[tuple[str, str]] = [
@@ -33,22 +34,19 @@ PII_RULES: list[tuple[str, str]] = [
 
 def scrub_pii(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     """Apply the PII scrub chain to a string column (vectorized RE2)."""
-    for pat, repl in PII_RULES:
-        col = pc.replace_substring_regex(col, pat, repl)
-    return col
+    return apply_chain(col, PII_RULES)
 
 
 def pii_rules_sql(col_expr: str) -> str:
     """The identical scrub chain as a DuckDB expression."""
-    expr = col_expr
-    for pat, repl in PII_RULES:
-        p = pat.replace("'", "''")
-        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
-    return expr
+    return chain_sql(col_expr, PII_RULES)
 
 
 def host_pseudonym(h: str) -> str:
-    return "" if h == "" else "h-" + hashlib.md5(h.encode()).hexdigest()[:8]
+    # 16 hex chars = 64 bits: birthday-bound collision odds stay
+    # negligible up to billions of distinct hosts (8 chars = 32 bits
+    # would start merging hosts around ~77k distinct values)
+    return "" if h == "" else "h-" + hashlib.md5(h.encode()).hexdigest()[:16]
 
 
 def pseudonymize_hosts(col: pa.ChunkedArray | pa.Array) -> pa.Array:

@@ -99,7 +99,7 @@ def chunk_docs(docs_ds, size: int = 200, stride: int = 150,
             chunks.append(sub_txt)
             i += 1
         if not ids:
-            return pa.table({id_col: pa.array([], pa.int64()),
+            return pa.table({id_col: pa.array([], batch[id_col].type),
                              "chunk_idx": pa.array([], pa.int64()),
                              "chunk": pa.array([], pa.string())})
         cat = lambda xs: pa.concat_arrays(  # noqa: E731

@@ -33,6 +33,23 @@ from .textstats import norm_words
 BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 → benchmark member (test split)
 TFIDF_K = 3
 
+# Broadcast objects deserialized once per WORKER PROCESS, not once per
+# batch: plasma caches the serialized bytes per node, but a bare
+# ray.get in the batch fn would rebuild the Python set/dict every call.
+_BCAST_CACHE: dict[str, object] = {}
+
+
+def _cached_get(ref):
+    key = ref.hex()
+    obj = _BCAST_CACHE.get(key)
+    if obj is None:
+        import ray as _ray
+        if len(_BCAST_CACHE) > 8:   # bound per-worker growth across refs
+            _BCAST_CACHE.clear()
+        obj = _ray.get(ref)
+        _BCAST_CACHE[key] = obj
+    return obj
+
 
 def benchmark_shingle_ref(docs_ds, mod: int = BENCH_MOD):
     """Collect the benchmark docs' shingle set and broadcast it.
@@ -59,7 +76,7 @@ def decontaminate(docs_ds, mod: int = BENCH_MOD):
     ref = benchmark_shingle_ref(docs_ds, mod)
 
     def fn(batch: pa.Table) -> pa.Table:
-        bench = ray.get(ref)  # plasma-cached per node, fetched once
+        bench = _cached_get(ref)
         ids, n_ov = [], []
         for d, t in zip(batch["doc_id"].to_pylist(),
                         batch["text"].to_pylist()):
@@ -88,7 +105,16 @@ def tfidf_top_terms(docs_ds, k: int = TFIDF_K):
 
     Output: (doc_id, rank, term, tfidf) with tfidf rounded to 6 dp.
     N counts every document (including empty ones); docs with no words
-    emit no rows."""
+    emit no rows.
+
+    Partitioning assumption: the DF table (one row per distinct term)
+    must fit the driver and the broadcast — true for bounded-vocabulary
+    corpora (logs, templated text), NOT for open web text at 100 TB
+    where Heaps'-law vocabulary growth makes the dict multi-GB. For
+    that regime, swap the driver combine for grouped_count(...,
+    combine="shuffle") plus a term-keyed join of (doc_id, term, tf)
+    against the DF dataset — two shuffles instead of a broadcast — and
+    prune with a min_df floor first."""
     from ..stages.agg import grouped_count
     df_tbl = grouped_count(docs_ds, ["term"], pre=_df_pre)
     n_docs = docs_ds.count()
@@ -96,7 +122,7 @@ def tfidf_top_terms(docs_ds, k: int = TFIDF_K):
                               df_tbl["n"].to_pylist())))
 
     def fn(batch: pa.Table) -> pa.Table:
-        df = ray.get(df_ref)
+        df = _cached_get(df_ref)
         ids, ranks, terms, scores = [], [], [], []
         for d, t in zip(batch["doc_id"].to_pylist(),
                         batch["text"].to_pylist()):

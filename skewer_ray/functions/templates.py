@@ -25,7 +25,18 @@ byte-for-byte.
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
+
+from .regex_chain import apply_chain, chain_sql
+
+# Hex run of ≥8 chars that contains AT LEAST ONE letter — a pure digit
+# run must stay a digit run (<N>), or '1234567890' and '123456789'
+# would land in different templates. RE2 has no lookahead, so the
+# ≥1-letter ∧ ≥8-total constraint is an alternation on the position f
+# of the first letter: exactly f digits, a letter, then ≥max(0, 7-f)
+# more hex chars.
+_HEX_RUN = "|".join(
+    ["[0-9]{%d}[a-f][0-9a-f]{%d,}" % (f, 7 - f) for f in range(7)]
+    + ["[0-9]{7,}[a-f][0-9a-f]*"])
 
 # (pattern, replacement), applied strictly in order. RE2 syntax only —
 # both pyarrow.compute and DuckDB regexp_replace run RE2.
@@ -38,8 +49,8 @@ MASK_RULES: list[tuple[str, str]] = [
      r" [ 0-9]\d \d{2}:\d{2}:\d{2}", "<TS>"),
     # quoted values
     (r'"[^"]*"', "<STR>"),
-    # long hex runs (ids, digests)
-    (r"\b[0-9a-f]{8,}\b", "<HEX>"),
+    # long hex runs with a letter (ids, digests)
+    (rf"\b(?:{_HEX_RUN})\b", "<HEX>"),
     # digit runs
     (r"\d+", "<N>"),
 ]
@@ -47,9 +58,7 @@ MASK_RULES: list[tuple[str, str]] = [
 
 def mask_templates(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Apply the mask chain to a string column (vectorized RE2)."""
-    for pat, repl in MASK_RULES:
-        col = pc.replace_substring_regex(col, pat, repl)
-    return col
+    return apply_chain(col, MASK_RULES)
 
 
 def _mask_pre(batch: pa.Table) -> pa.Table:
@@ -65,8 +74,4 @@ def log_templates(ds):
 
 def mask_rules_sql(col_expr: str) -> str:
     """The identical mask chain as a DuckDB expression over col_expr."""
-    expr = col_expr
-    for pat, repl in MASK_RULES:
-        p = pat.replace("'", "''")
-        expr = f"regexp_replace({expr}, '{p}', '{repl}', 'g')"
-    return expr
+    return chain_sql(col_expr, MASK_RULES)

@@ -501,12 +501,17 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'"""
 SELECT doc_id, source, lang FROM documents
 QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10"""
 
-    # sliding-window chunking, size 200 / stride 150 (range bound 64
-    # comfortably exceeds max doc length / stride)
+    # sliding-window chunking, size 200 / stride 150; the chunk count
+    # per doc is ceil(len/150), derived from the data (no fixed cap
+    # that a longer document could silently exceed)
     q["chunk_docs"] = """
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / 150.0) AS BIGINT))) AS i
+  FROM documents
+)
 SELECT doc_id, i AS chunk_idx, substr(text, i*150 + 1, 200) AS chunk
-FROM documents, range(0, 64) t(i)
-WHERE i*150 < length(text)"""
+FROM c"""
 
     q["media_features"] = """
 SELECT doc_id,

@@ -104,6 +104,11 @@ EDGE_5424 = [
         '{"x@1":{"k":"v"}}'),
     # '=' and '"' are legal hostname chars (grammar hostname :15)
     _ok(f'<34>1 {T} h="q a - - - m', 34, 1, T_NS, 'h="q', "a", "", "", "m"),
+    # 10-digit zero-padded PRI: Atoi strips zeros, value fits int32
+    _ok(f"<0000000034>1 {T} h a - - - m", 34, 1, T_NS, "h", "a", "", "", "m"),
+    # PRI above int32: rejected (documented deviation — Go would
+    # silently wrap the int→int32 conversion)
+    _err(f"<4294967296>1 {T} h a - - - m"),
 ]
 
 # --- RFC3164 fallback ladder ----------------------------------------------

@@ -301,7 +301,7 @@ FROM routed WHERE filter_status = 'passing'"""
     q["anonymize_hosts"] = C + f"""
 SELECT conv_id, turn_idx,
        CASE WHEN hostname = '' THEN ''
-            ELSE 'h-' || substr(md5(hostname), 1, 8) END AS hostname,
+            ELSE 'h-' || substr(md5(hostname), 1, 16) END AS hostname,
        appname,
        {pii_rules_sql('message')} AS message
 FROM parsed WHERE fam IN (0, 1, 2, 3)"""

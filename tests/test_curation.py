@@ -27,6 +27,20 @@ def test_mask_templates_collapses_variables():
     assert out[2] == "<TS> host sshd[<N>]: session <HEX> opened"
 
 
+def test_hex_mask_requires_a_letter():
+    """Pure digit runs must stay <N> regardless of length — epoch
+    timestamps and 8+-digit counters must not fragment into <HEX>."""
+    col = pa.array([
+        "ts=1734567890 id 12345678 x deadbeef01",
+        "took 1234567ms and 12345678ms",
+        "mixed 12ab34cd99 short cafe beef",
+    ])
+    out = mask_templates(col).to_pylist()
+    assert out[0] == "ts=<N> id <N> x <HEX>"
+    assert out[1] == "took <N>ms and <N>ms"
+    assert out[2] == "mixed <HEX> short cafe beef"
+
+
 def test_mask_rules_are_re2_and_ordered():
     # every rule must compile under RE2 semantics in DuckDB too —
     # checked by the oracle; here: stable order and no backrefs

@@ -44,6 +44,27 @@ def test_3164_rfc3339():
     assert r["time_reported"] == TS + (5 * 3600 + 10 * 60 + 2) * 10**9
 
 
+def test_rfc3339_go_parity():
+    """_parse_rfc3339_ns mirrors Go time.Parse(RFC3339Nano): full ns
+    precision kept, loose ISO forms fromisoformat accepts rejected."""
+    from skewer_ray.decoders.rfc3164 import _parse_rfc3339_ns as p
+    base = 1768453802  # 2026-01-15T05:10:02Z
+    assert p("2026-01-15T05:10:02Z") == base * 10**9
+    assert p("2026-01-15T05:10:02.123456789Z") == base * 10**9 + 123456789
+    assert p("2026-01-15T05:10:02.5Z") == base * 10**9 + 500000000
+    # >9 fraction digits: extra digits dropped (Go keeps ns)
+    assert p("2026-01-15T05:10:02.1234567891Z") == base * 10**9 + 123456789
+    assert p("2026-01-15T05:10:02+02:00") == (base - 7200) * 10**9
+    for bad in ("2026-01-15t05:10:02Z",      # lowercase t
+                "2026-01-15 05:10:02Z",      # space separator
+                "2026-01-15T05:10:02z",      # lowercase z
+                "2026-01-15T05:10:02,123Z",  # comma fraction
+                "2026-01-15T05:10:02+0200",  # offset without colon
+                "2026-01-15T05:10:02",       # no offset
+                "2026-02-30T05:10:02Z"):     # invalid calendar date
+        assert p(bad) is None, bad
+
+
 def test_3164_no_pri():
     r = one("rfc3164", "plain message no pri")
     assert r["priority"] == 0 and r["message"] == "plain message no pri"

@@ -31,7 +31,7 @@ def test_pseudonyms_are_consistent_and_nonreversible_shape():
     out = pseudonymize_hosts(col).to_pylist()
     assert out[0] == out[2] == host_pseudonym("host01")
     assert out[0] != out[1]
-    assert out[0].startswith("h-") and len(out[0]) == 10
+    assert out[0].startswith("h-") and len(out[0]) == 18
     assert out[3] == ""  # nil hostname stays nil, not pseudonymized
 
 
