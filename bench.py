@@ -69,7 +69,8 @@ def _count_turns(sf_dir: str) -> int:
     return total
 
 
-def bench_flagship(sf_dir: str, num_cpus: int) -> tuple[float, int]:
+def bench_flagship(sf_dir: str, num_cpus: int,
+                   passes: int = 3) -> tuple[float, int]:
     """Headline: parse→enrich→route→fanout→per-sink counts (turns/sec).
 
     Steady-state protocol: one UNTIMED pass spawns/warms every worker
@@ -97,7 +98,7 @@ def bench_flagship(sf_dir: str, num_cpus: int) -> tuple[float, int]:
         return time.perf_counter() - t0
 
     one_pass()  # warm (untimed)
-    dt = statistics.median(one_pass() for _ in range(3))
+    dt = statistics.median(one_pass() for _ in range(passes))
     return dt, n_turns
 
 
@@ -130,10 +131,11 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_once(sf_dir: str, num_cpus: int, flagship_only: bool) -> dict:
+def run_once(sf_dir: str, num_cpus: int, flagship_only: bool,
+             passes: int = 3) -> dict:
     _init_ray(num_cpus)
     _warmup(num_cpus)
-    flag_sec, n_turns = bench_flagship(sf_dir, num_cpus)
+    flag_sec, n_turns = bench_flagship(sf_dir, num_cpus, passes)
     queries = {"flagship": round(flag_sec, 3)}
     if not flagship_only:
         queries.update(bench_queries(sf_dir))
@@ -322,6 +324,9 @@ def main():
                     help="N for the N vs 4N scaling pair (default 4)")
     ap.add_argument("--single-run", action="store_true",
                     help="flagship only (used by --scaling subprocesses)")
+    ap.add_argument("--passes", type=int, default=3,
+                    help="timed flagship passes after the warm pass "
+                         "(1 for pass-level alternation protocols)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -332,7 +337,8 @@ def main():
     elif args.mp_control:
         result = run_mp_control()
     else:
-        result = run_once(args.sf_dir, args.cpus, args.single_run)
+        result = run_once(args.sf_dir, args.cpus, args.single_run,
+                          args.passes)
     print(json.dumps(result))
 
 

@@ -42,6 +42,34 @@ def _auto_concurrency():
     return (1, max(2, ncpu - 1))
 
 
+def _suggest_blocks(path: str, blocks_per_cpu: int = 8):
+    """Block-count override for SMALL inputs on wide sessions.
+
+    Ray's default layout under-splits small inputs: with few large
+    blocks the streaming executor's per-operator memory budget throttles
+    map concurrency (measured: 64 blocks at 16 CPUs ran the fused map at
+    ~10/16 concurrency; ~8 blocks/CPU restored it and halved wall time —
+    BASELINE.md §4). At real scale the default target_max_block_size
+    already yields ≫ cores blocks, so the override only engages when the
+    input is a small directory (≤512 files) we can cheaply inspect."""
+    import os
+    try:
+        import ray
+        if not ray.is_initialized() or not os.path.isdir(path):
+            return None
+        cpus = int(ray.cluster_resources().get("CPU", 0))
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not cpus or not files or len(files) > 512:
+            return None
+        import pyarrow.parquet as pq
+        rows = sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                   for f in files)
+        nb = min(max(64, blocks_per_cpu * cpus), max(1, rows // 1024))
+        return nb if nb > len(files) else None
+    except Exception:
+        return None
+
+
 def read_transcripts(path_or_sfdir: str):
     """Accepts either a testdata sf-dir (→ deterministic synthetic
     transcripts for that scale) or a path to transcript parquet."""
@@ -51,9 +79,11 @@ def read_transcripts(path_or_sfdir: str):
         path = ensure_transcripts(path_or_sfdir)
     else:
         path = path_or_sfdir
+    nb = _suggest_blocks(path)
     return rd.read_parquet(
         path,
         columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        **({"override_num_blocks": nb} if nb else {}),
     )
 
 

@@ -46,11 +46,14 @@ def probe_seconds() -> float:
     return best
 
 
-def one_bench(cpus: int, sf_dir: str | None = None) -> dict:
+def one_bench(cpus: int, sf_dir: str | None = None,
+              passes: int | None = None) -> dict:
     cmd = [sys.executable, os.path.join(ROOT, "bench.py"), "--single-run",
            "--cpus", str(cpus)]
     if sf_dir:
         cmd += ["--sf-dir", sf_dir]
+    if passes:
+        cmd += ["--passes", str(passes)]
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT)
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     if not lines:
@@ -66,6 +69,12 @@ def main():
                     "pass runs long enough to be ramp-free steady state")
     ap.add_argument("--force", action="store_true",
                     help="record a round even on a noisy box")
+    ap.add_argument("--alternate", type=int, default=0, metavar="K",
+                    help="protocol v4: K adjacent (N, 4N) single-pass "
+                         "subprocess pairs; per-pair efficiency, median "
+                         "reported. Pass-level alternation shrinks the "
+                         "window the box must stay stationary over from "
+                         "minutes (whole arm) to ~1 min (one pair).")
     args = ap.parse_args()
 
     p = probe_seconds()
@@ -79,6 +88,38 @@ def main():
     print(f"probe {p:.3f}s (best {best:.3f}s) -> "
           f"{'QUIET' if quiet else 'noisy'}")
     if not quiet and not args.force:
+        return
+
+    if args.alternate:
+        import statistics
+        pairs = []
+        for _ in range(args.alternate):
+            lo = one_bench(args.base, args.sf_dir, passes=1)
+            hi = one_bench(args.base * 4, args.sf_dir, passes=1)
+            pairs.append((lo["turns_per_sec"], hi["turns_per_sec"]))
+        p2 = probe_seconds()
+        effs = [(h / l) / 4.0 for l, h in pairs]
+        med = statistics.median(effs)
+        k = effs.index(sorted(effs)[len(effs) // 2])
+        row = {
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "protocol": "v4",
+            "sf": os.path.basename(os.path.normpath(args.sf_dir))
+                  if args.sf_dir else "sf0.1",
+            "base": args.base,
+            "probe_before_s": round(p, 3),
+            "probe_after_s": round(p2, 3),
+            "probe_best_s": round(best, 3),
+            "quiet": quiet and p2 <= best * QUIET_FACTOR,
+            "pairs": [[round(l, 1), round(h, 1)] for l, h in pairs],
+            "pair_efficiencies": [round(e, 3) for e in effs],
+            f"turns_per_sec_{args.base}cpu": pairs[k][0],
+            f"turns_per_sec_{args.base * 4}cpu": pairs[k][1],
+            "efficiency": round(med, 3),
+        }
+        with open(ARTIFACT, "a") as fh:
+            fh.write(json.dumps(row) + "\n")
+        print(json.dumps(row))
         return
 
     lo = one_bench(args.base, args.sf_dir)
