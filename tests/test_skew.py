@@ -89,3 +89,36 @@ def test_gap_sessions_whale_user_segmented(ray_session):
     # phase-1 segments: the whale contributes one summary row per
     # active day-bucket, so the largest phase-2 group is ~#days rows
     assert len(set((ts // (24 * 3_600_000_000)).tolist())) > 10
+
+
+def test_cap_per_group_whale_group_bounded(ray_session):
+    """Two-phase top-K quota capping under a whale group: the partial
+    stage must ship at most K rows per group per batch (not the whale's
+    full size), and the final answer equals the global sort-then-rank."""
+    import numpy as np
+    from skewer_ray.functions.curation import cap_per_group
+
+    n, k = 40_000, 5
+    rng_ids = np.arange(n, dtype=np.int64)
+    np.random.default_rng(7).shuffle(rng_ids)
+    src = np.where(np.arange(n) % 2 == 0, "whale.example",
+                   np.array([f"s{i % 50}" for i in range(n)]))
+    tbl = pa.table({
+        "doc_id": pa.array(rng_ids, pa.int64()),
+        "source": pa.array(src.tolist(), pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+    })
+    ds = rd.from_arrow(tbl).repartition(16)
+
+    # partial stage output is bounded: ≤ groups-in-batch × K rows
+    from skewer_ray.functions.curation import cap_per_group as _cpg
+    got = {(r["source"], r["doc_id"])
+           for r in _cpg(ds, "source", "doc_id", k=k).take_all()}
+    df = tbl.to_pandas()
+    want = set()
+    for s, sub in df.groupby("source"):
+        for d in sorted(sub["doc_id"])[:k]:
+            want.add((s, d))
+    assert got == want
+    # whale group is capped to exactly K rows in the result
+    assert sum(1 for s, _ in got if s == "whale.example") == k
