@@ -117,3 +117,37 @@ def fingerprint_batch(batch: pa.Table, k: int = 5) -> pa.Table:
     return pa.table({"doc_id": batch["doc_id"],
                      "exact_md5": pa.array(exact, pa.string()),
                      "winnow_fp": pa.array(winnow, pa.string())})
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style within-document repetition signals (map-only):
+
+    - ``dup_3gram_frac``: fraction of 3-word-shingle occurrences that
+      are repeats of an earlier shingle in the SAME doc — the classic
+      boilerplate/spam signal (Rae et al. 2021 §A1.1).
+    - ``top_word_frac``: occurrence share of the single most frequent
+      word — catches degenerate "word word word ..." docs.
+
+    Docs with <3 words have no shingles → dup_3gram_frac 0; empty docs
+    score 0 on both. Ratios of exact integer counts rounded to 6 dp on
+    both sides keep the DuckDB oracle bit-identical."""
+    from collections import Counter
+    ids, dup_f, top_f = [], [], []
+    for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        words = norm_words(t)
+        total = max(0, len(words) - 2)
+        if total:
+            sh = Counter(" ".join(words[i:i + 3]) for i in range(total))
+            dup = (total - len(sh)) / total
+        else:
+            dup = 0.0
+        if words:
+            top = Counter(words).most_common(1)[0][1] / len(words)
+        else:
+            top = 0.0
+        ids.append(d)
+        dup_f.append(round(dup, 6))
+        top_f.append(round(top, 6))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "dup_3gram_frac": pa.array(dup_f, pa.float64()),
+                     "top_word_frac": pa.array(top_f, pa.float64())})

@@ -100,6 +100,14 @@ def q_chunk_docs(sf_dir: str):
     return chunk_docs(_docs(sf_dir), size=200, stride=150)
 
 
+def q_text_repetition(sf_dir: str):
+    """Gopher-style within-doc repetition signals (dup-3-gram fraction,
+    top-word share) — map-only (functions/textstats.repetition_batch)."""
+    from ..functions.textstats import repetition_batch
+    return _docs(sf_dir).map_batches(repetition_batch,
+                                     batch_format="pyarrow")
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: shingle overlap of every corpus doc
     against the broadcast benchmark shingle set (docs with
@@ -460,6 +468,7 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "decontaminate": q_decontaminate,
     "tfidf_terms": q_tfidf_terms,
+    "text_repetition": q_text_repetition,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

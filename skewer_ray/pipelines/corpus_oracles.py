@@ -460,6 +460,33 @@ SELECT 'journal_{n_j}' AS conv_id, i AS turn_idx, 0 AS sub_idx,
          || '.service"}}}}' AS properties
 FROM (SELECT unnest(range(0, {n_j})) AS i)"""
 
+    # --- within-doc repetition (Gopher A1.1 signals) ------------------
+    # 3-gram occurrences here are NON-distinct (unlike the dedup sh CTE)
+    q["text_repetition"] = _W + """,
+p3 AS (
+  SELECT doc_id, words, unnest(range(0, len(words) - 2)) AS i
+  FROM w WHERE len(words) >= 3
+),
+g3 AS (
+  SELECT doc_id, count(*) AS total,
+         count(DISTINCT words[i+1] || ' ' || words[i+2] || ' '
+               || words[i+3]) AS uniq
+  FROM p3 GROUP BY doc_id
+),
+tw AS (
+  SELECT doc_id, max(c) AS maxc, sum(c) AS nw
+  FROM (SELECT doc_id, t, count(*) AS c
+        FROM (SELECT doc_id, unnest(words) AS t FROM w)
+        GROUP BY doc_id, t)
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       round(coalesce((g3.total - g3.uniq) / g3.total, 0), 6)
+         AS dup_3gram_frac,
+       round(coalesce(tw.maxc / tw.nw, 0), 6) AS top_word_frac
+FROM w LEFT JOIN g3 ON g3.doc_id = w.doc_id
+       LEFT JOIN tw ON tw.doc_id = w.doc_id"""
+
     # --- decontamination / TF-IDF ------------------------------------
     q["decontaminate"] = _shingle_ctes() + """,
 bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),

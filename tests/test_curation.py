@@ -116,3 +116,43 @@ def test_chunk_docs_covers_text(ray_session):
         # final chunk reaches the end of the document
         last_i = chunks[-1][0]
         assert last_i * 150 + len(chunks[-1][1]) == len(text)
+
+
+def test_repetition_signals_brute_force(ray_session):
+    """dup-3-gram fraction and top-word share vs a direct recompute,
+    plus hand cases: fully repetitive vs all-unique text."""
+    import pyarrow as pa
+    from collections import Counter
+
+    from skewer_ray.functions.textstats import norm_words, repetition_batch
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "spam spam spam spam spam spam",   # one distinct 3-gram
+            "one two three four five six",     # all unique
+            "ab",                              # <3 words
+            "",                                # empty
+        ]),
+    })
+    out = {r["doc_id"]: r for r in repetition_batch(tbl).to_pylist()}
+    assert out[1]["dup_3gram_frac"] == round(3 / 4, 6)  # 4 occ, 1 uniq
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[2]["dup_3gram_frac"] == 0.0
+    assert out[2]["top_word_frac"] == round(1 / 6, 6)
+    assert out[3]["dup_3gram_frac"] == 0.0 and out[3]["top_word_frac"] == 1.0
+    assert out[4]["dup_3gram_frac"] == 0.0 and out[4]["top_word_frac"] == 0.0
+
+    import ray.data as rd
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    docs = {r["doc_id"]: r["text"] for r in ds.take_all()}
+    got = {r["doc_id"]: r
+           for r in ds.map_batches(repetition_batch,
+                                   batch_format="pyarrow").take_all()}
+    for d in list(docs)[:30]:
+        w = norm_words(docs[d])
+        total = max(0, len(w) - 2)
+        sh = Counter(" ".join(w[i:i + 3]) for i in range(total))
+        want = round((total - len(sh)) / total, 6) if total else 0.0
+        assert got[d]["dup_3gram_frac"] == want
