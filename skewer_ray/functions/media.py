@@ -89,3 +89,63 @@ def media_features(docs_ds, concurrency=2):
                              concurrency=concurrency,
                              batch_size=MEDIA_BATCH_SIZE,
                              batch_format="pyarrow")
+
+
+N_FRAME_SAMPLES = 4
+FRAME_MS = 100  # fixed 10 fps for the deterministic fake container
+
+
+class FrameSampleStage:
+    """1→N frame sampling for video payloads (actor pool): each video
+    row expands to N_FRAME_SAMPLES evenly-spaced frame rows with a
+    per-frame feature. The container probe and frame decode are the
+    stubbed codec work (deterministic md5 fakes); the Ray shape — 1→N
+    expansion inside an actor-pool map_batches, small batches, bounded
+    output rows per input row — is the real deliverable.
+
+    Frame positions are floor(j·(n_frames-1)/3) for j in 0..3, so the
+    first and last frames are always sampled (n_frames ≥ 8 keeps the
+    four positions distinct)."""
+
+    def __init__(self):
+        pass  # real deployment: open the demuxer/codec once per actor
+
+    @staticmethod
+    def probe_frames(payload: bytes) -> int:
+        """Fake container metadata: 8..32 frames from the digest."""
+        return 8 + int(hashlib.md5(payload).hexdigest()[8:10], 16) % 25
+
+    @staticmethod
+    def frame_feature(payload: bytes, frame_idx: int) -> int:
+        """Fake per-frame decode: one byte of md5(payload ':' idx)."""
+        h = hashlib.md5(payload + b":" + str(frame_idx).encode())
+        return int(h.hexdigest()[0:2], 16)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.cast(batch["media_type"], pa.string()), "video")
+        batch = batch.filter(keep)
+        ids, idxs, ts, feat = [], [], [], []
+        for d, p in zip(batch["doc_id"].to_pylist(),
+                        batch["payload"].to_pylist()):
+            nf = self.probe_frames(p)
+            for j in range(N_FRAME_SAMPLES):
+                fi = (j * (nf - 1)) // (N_FRAME_SAMPLES - 1)
+                ids.append(d)
+                idxs.append(fi)
+                ts.append(fi * FRAME_MS)
+                feat.append(self.frame_feature(p, fi))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "frame_ts_ms": pa.array(ts, pa.int64()),
+            "brightness": pa.array(feat, pa.int64()),
+        })
+
+
+def frame_samples(docs_ds, concurrency=2):
+    """documents → synth multimodal table → video-only 1→N frame rows."""
+    media = docs_ds.map_batches(synth_media_batch, batch_format="pyarrow")
+    return media.map_batches(FrameSampleStage,
+                             concurrency=concurrency,
+                             batch_size=MEDIA_BATCH_SIZE,
+                             batch_format="pyarrow")

@@ -160,6 +160,14 @@ def q_media_features(sf_dir: str):
     return media_features(_docs(sf_dir))
 
 
+def q_media_frames(sf_dir: str):
+    """1→N video frame sampling: actor-pool stage expands each video
+    row to 4 evenly-spaced frame rows (functions/media.frame_samples;
+    codec work stubbed deterministically, Ray plumbing real)."""
+    from ..functions.media import frame_samples
+    return frame_samples(_docs(sf_dir))
+
+
 def q_dedup_filtered_docs(sf_dir: str):
     """Near-dup removal: drop any doc that is the higher id of a MinHash
     near-dup pair (deterministic keep-lowest rule; the broadcast drop
@@ -473,6 +481,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
     "dedup_filtered_docs": q_dedup_filtered_docs,
     "dedup_clusters": q_dedup_clusters,
     "events_tumbling": q_events_tumbling,

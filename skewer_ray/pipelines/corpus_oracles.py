@@ -540,6 +540,24 @@ WITH c AS (
 SELECT doc_id, i AS chunk_idx, substr(text, i*150 + 1, 200) AS chunk
 FROM c"""
 
+    # video frame sampling: positions floor(j*(nf-1)/3) for j in 0..3,
+    # nf = 8 + (md5 digits 9-10) % 25, feature = md5(text ':' idx)[0:2]
+    q["media_frames"] = """
+WITH v AS (
+  SELECT doc_id, text,
+         8 + CAST(('0x' || substr(md5(text), 9, 2)) AS INTEGER) % 25 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT doc_id, text,
+         CAST(floor(j * (nf - 1) / 3.0) AS BIGINT) AS frame_idx
+  FROM v, range(4) t(j)
+)
+SELECT doc_id, frame_idx, frame_idx * 100 AS frame_ts_ms,
+       CAST(('0x' || substr(md5(text || ':' ||
+             CAST(frame_idx AS VARCHAR)), 1, 2)) AS INTEGER) AS brightness
+FROM f"""
+
     q["media_features"] = """
 SELECT doc_id,
   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

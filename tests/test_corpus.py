@@ -135,6 +135,27 @@ def test_media_stage_plumbing(ray_session):
         MediaDecodeStage.decode_real(b"x", "image")
 
 
+def test_frame_sampling_1_to_n(ray_session):
+    """Video rows expand to exactly 4 distinct, ordered frame rows;
+    first and last frames always sampled; non-video rows emit none."""
+    from skewer_ray.functions.media import FrameSampleStage
+    from skewer_ray.pipelines.corpus import q_media_frames
+    rows = q_media_frames(SF).take_all()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(d % 3 == 2 for d in by_doc)       # video docs only
+    assert len(rows) == 4 * len(by_doc)
+    for d, fr in list(by_doc.items())[:20]:
+        idxs = sorted(r["frame_idx"] for r in fr)
+        assert len(set(idxs)) == 4 and idxs[0] == 0
+        nf_min = idxs[-1] + 1                    # last frame = nf-1
+        assert 8 <= nf_min <= 32
+        for r in fr:
+            assert r["frame_ts_ms"] == r["frame_idx"] * 100
+            assert 0 <= r["brightness"] <= 255
+
+
 def test_embedding_pairs_symmetric_free(ray_session):
     from skewer_ray.pipelines.corpus import q_dedup_embedding
     rows = q_dedup_embedding(SF).take_all()
