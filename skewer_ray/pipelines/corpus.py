@@ -100,6 +100,14 @@ def q_chunk_docs(sf_dir: str):
     return chunk_docs(_docs(sf_dir), size=200, stride=150)
 
 
+def q_distinct_kmv(sf_dir: str):
+    """KMV bottom-k cardinality sketch over the corpus vocabulary —
+    distinct count without a distinct shuffle; exchange is O(batches×k)
+    hashes (functions/sketches.kmv_distinct_terms)."""
+    from ..functions.sketches import kmv_distinct_terms
+    return kmv_distinct_terms(_docs(sf_dir))
+
+
 def q_text_repetition(sf_dir: str):
     """Gopher-style within-doc repetition signals (dup-3-gram fraction,
     top-word share) — map-only (functions/textstats.repetition_batch)."""
@@ -477,6 +485,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "tfidf_terms": q_tfidf_terms,
     "text_repetition": q_text_repetition,
+    "distinct_kmv": q_distinct_kmv,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,

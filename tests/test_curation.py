@@ -156,3 +156,23 @@ def test_repetition_signals_brute_force(ray_session):
         sh = Counter(" ".join(w[i:i + 3]) for i in range(total))
         want = round((total - len(sh)) / total, 6) if total else 0.0
         assert got[d]["dup_3gram_frac"] == want
+
+
+def test_kmv_estimate_tracks_exact_distinct(ray_session):
+    """KMV estimate within the ±1/sqrt(k) band of the true vocabulary
+    size; lossless when distinct < k."""
+    import ray.data as rd
+
+    from skewer_ray.functions.sketches import kmv_distinct_terms
+    from skewer_ray.functions.textstats import norm_words
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    vocab = set()
+    for r in ds.take_all():
+        vocab.update(norm_words(r["text"]))
+    t = kmv_distinct_terms(ds).to_pylist()[0]
+    if t["n_hashes"] < t["k"]:
+        assert t["estimate"] == float(len(vocab))  # lossless regime
+    else:
+        rel = abs(t["estimate"] - len(vocab)) / len(vocab)
+        assert rel < 3 / (t["k"] ** 0.5)  # 3 sigma of the KMV error
