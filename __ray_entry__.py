@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # text analysis, dedup family, similarity search, multimodal stub
     from skewer_ray.pipelines.corpus import QUERIES as corpus_queries
     out.update(corpus_queries)
+    # relational join/aggregate surface (TPC-H-shaped pipelines)
+    from skewer_ray.pipelines.analytics import QUERIES as analytics_queries
+    out.update(analytics_queries)
     return out
 
 

@@ -122,6 +122,12 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         subset += cq.bench_subset()
     except ImportError:
         pass
+    # relational join/aggregate surface
+    try:
+        from skewer_ray.pipelines import analytics as aq
+        subset += [("tpch_q1", aq.q_tpch_q1), ("tpch_q3", aq.q_tpch_q3)]
+    except ImportError:
+        pass
     for name, fn in subset:
         t0 = time.perf_counter()
         res = fn(sf_dir)

@@ -1,0 +1,306 @@
+"""TPC-H-shaped analytical pipelines over the driver's relational
+tables (lineitem/orders/customer/supplier/nation/region) — the join /
+aggregate surface of the engine, expressed Ray-Data-first:
+
+- dimension tables (region, nation, supplier-at-this-scale) broadcast
+  via ``ray.put`` and resolved inside ``map_batches`` — no shuffle;
+- fact⋈fact joins (orders⋈lineitem, customer⋈orders) use the native
+  hash-partitioned ``Dataset.join`` — ONE all-to-all each, partition
+  count sized by ``num_partitions``;
+- aggregations combine map-side (one partial row per key per batch)
+  and only the tiny partials cross the exchange.
+
+Money arithmetic is integer cents end-to-end (prices/discounts/taxes
+are exact 2-decimal values): partial sums are numpy int64 per batch
+(bounded), the driver combine is arbitrary-precision Python int, and
+the final division to dollars happens once — so the DuckDB oracles
+(same integer expressions, HUGEINT sums) match bit-for-bit, with no
+float-summation-order nondeterminism.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+Q1_CUTOFF = datetime(1999, 1, 1)        # l_shipdate < cutoff
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = datetime(1998, 6, 1)          # o_orderdate < D < l_shipdate
+Q5_REGION = "EUROPE"
+Q5_FROM = datetime(1995, 1, 1)
+Q5_TO = datetime(1997, 1, 1)
+def _join_partitions() -> int:
+    """Hash-join partition count: each partition is an aggregator actor
+    holding one bucket pair, so two chained joins need 2×N actors ≤
+    cluster CPUs or the pool deadlocks behind the map tasks. At real
+    scale this should instead be sized so a partition fits an
+    aggregator's heap (rows/partition ≈ budget)."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(2, min(16, cpus // 4))
+
+
+def _cents(col) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(col, 100)), pa.int64())
+
+
+def _pct(col) -> pa.Array:
+    """0.07 → 7 (discount/tax are exact percent steps)."""
+    return pc.cast(pc.round(pc.multiply(col, 100)), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Q1-shape: pricing summary (pure scan + grouped aggregate)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["l_shipdate"], Q1_CUTOFF))
+        ext_c = _cents(batch["l_extendedprice"])
+        d100 = _pct(batch["l_discount"])
+        t100 = _pct(batch["l_tax"])
+        disc_u = pc.multiply(ext_c, pc.subtract(100, d100))       # 1e-4 $
+        charge_u = pc.multiply(disc_u, pc.add(100, t100))         # 1e-6 $
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+            "ext_c": ext_c, "disc_u": disc_u, "charge_u": charge_u,
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+        })
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("ext_c", "sum"), ("disc_u", "sum"),
+             ("charge_u", "sum"), ("n", "sum")])
+
+    acc: dict[tuple, list] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            k = (r["l_returnflag"], r["l_linestatus"])
+            a = acc.setdefault(k, [0, 0, 0, 0, 0])
+            a[0] += r["qty_sum"]
+            a[1] += r["ext_c_sum"]
+            a[2] += r["disc_u_sum"]
+            a[3] += r["charge_u_sum"]
+            a[4] += r["n_sum"]
+    keys = sorted(acc)
+    return pa.table({
+        "l_returnflag": pa.array([k[0] for k in keys], pa.string()),
+        "l_linestatus": pa.array([k[1] for k in keys], pa.string()),
+        "sum_qty": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "sum_base_price": pa.array(
+            [round(acc[k][1] / 100.0, 6) for k in keys], pa.float64()),
+        "sum_disc_price": pa.array(
+            [round(acc[k][2] / 10000.0, 6) for k in keys], pa.float64()),
+        "sum_charge": pa.array(
+            [round(acc[k][3] / 1000000.0, 6) for k in keys], pa.float64()),
+        "avg_qty": pa.array(
+            [round(float(acc[k][0]) / acc[k][4], 6) for k in keys],
+            pa.float64()),
+        "count_order": pa.array([acc[k][4] for k in keys], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Q3-shape: shipping priority (two hash joins + aggregate + top-K)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q3(sf_dir: str):
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+
+    def f_cust(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["c_mktsegment"], Q3_SEGMENT)) \
+                .select(["c_custkey"])
+
+    cust = cust.map_batches(f_cust, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def f_orders(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["o_orderdate"], Q3_DATE))
+
+    orders = orders.map_batches(f_orders, batch_format="pyarrow")
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def f_line(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], Q3_DATE))
+        rev = pc.multiply(_cents(b["l_extendedprice"]),
+                          pc.subtract(100, _pct(b["l_discount"])))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev_u": rev})
+
+    line = line.map_batches(f_line, batch_format="pyarrow")
+
+    j1 = orders.join(cust, "inner", _join_partitions(),
+                     on=("o_custkey",), right_on=("c_custkey",))
+    j2 = line.join(j1, "inner", _join_partitions(),
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+    agg = j2.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
+            .sum("rev_u")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "revenue": pc.round(pc.divide(
+                pc.cast(b["sum(rev_u)"], pa.float64()), 10000.0),
+                ndigits=6),
+            "o_orderdate": b["o_orderdate"],
+            "o_orderpriority": b["o_orderpriority"],
+        })
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    out = out.sort(["revenue", "o_orderdate", "l_orderkey"],
+                   descending=[True, False, False]).limit(10)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Q5-shape: local supplier volume (broadcast dims + hash joins)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q5(sf_dir: str):
+    import ray
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    region = {r["r_regionkey"]: r["r_name"] for r in
+              rd.read_parquet(f"{sf_dir}/region.parquet").take_all()}
+    euro = {n["n_nationkey"]: n["n_name"] for n in nation
+            if region[n["n_regionkey"]] == Q5_REGION}
+    # supplier→nation: dim broadcast; assumes |supplier| ≪ facts (true
+    # for TPC-H's 1:60 supplier:customer ratio — revisit if not)
+    supp = {s["s_suppkey"]: s["s_nationkey"] for s in
+            rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+            .take_all()}
+    supp_ref = ray.put(supp)
+    euro_keys = set(euro)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+
+    def f_cust(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["c_nationkey"],
+                        value_set=pa.array(sorted(euro_keys), pa.int64()))
+        return b.filter(keep)
+
+    cust = cust.map_batches(f_cust, batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def f_orders(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], Q5_FROM),
+                    pc.less(b["o_orderdate"], Q5_TO))
+        return b.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(f_orders, batch_format="pyarrow")
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"])
+
+    def f_line(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(_cents(b["l_extendedprice"]),
+                          pc.subtract(100, _pct(b["l_discount"])))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"], "rev_u": rev})
+
+    line = line.map_batches(f_line, batch_format="pyarrow")
+
+    j1 = orders.join(cust, "inner", _join_partitions(),
+                     on=("o_custkey",), right_on=("c_custkey",))
+    j2 = line.join(j1, "inner", _join_partitions(),
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_only(b: pa.Table) -> pa.Table:
+        sd = ray.get(supp_ref)
+        s_nat = np.array([sd.get(k, -1)
+                          for k in b["l_suppkey"].to_pylist()],
+                         dtype=np.int64)
+        c_nat = np.asarray(b["c_nationkey"].to_pylist(), dtype=np.int64)
+        b = b.filter(pa.array(s_nat == c_nat))
+        return pa.table({"c_nationkey": b["c_nationkey"],
+                         "rev_u": b["rev_u"]})
+
+    j3 = j2.map_batches(local_only, batch_format="pyarrow")
+    acc: dict[int, int] = {}
+    for b in j3.iter_batches(batch_format="pyarrow"):
+        t = b.group_by("c_nationkey").aggregate([("rev_u", "sum")])
+        for r in t.to_pylist():
+            acc[r["c_nationkey"]] = acc.get(r["c_nationkey"], 0) \
+                + r["rev_u_sum"]
+    keys = sorted(acc, key=lambda k: (-acc[k], euro[k]))
+    return pa.table({
+        "n_name": pa.array([euro[k] for k in keys], pa.string()),
+        "revenue": pa.array([round(acc[k] / 10000.0, 6) for k in keys],
+                            pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (same integer-cents expressions; HUGEINT sums)
+# ---------------------------------------------------------------------------
+
+_REV = ("CAST(round(l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(round(l_discount*100) AS BIGINT))")
+
+ORACLES: dict[str, str] = {
+    "tpch_q1": f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+        / 100.0, 6) AS sum_base_price,
+  round(CAST(sum({_REV}) AS DOUBLE) / 10000.0, 6) AS sum_disc_price,
+  round(CAST(sum({_REV} * (100 + CAST(round(l_tax*100) AS BIGINT)))
+        AS DOUBLE) / 1000000.0, 6) AS sum_charge,
+  round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+        / count(*), 6) AS avg_qty,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY 1, 2""",
+
+    "tpch_q3": f"""
+SELECT l_orderkey,
+       round(CAST(sum({_REV}) AS DOUBLE) / 10000.0, 6) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10""",
+
+    "tpch_q5": f"""
+SELECT n_name,
+       round(CAST(sum({_REV}) AS DOUBLE) / 10000.0, 6) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
+}
+
+QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+}

@@ -51,6 +51,10 @@ sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)"""
 
 def corpus_oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
     q: dict[str, str] = {}
+
+    # relational join/aggregate pipelines (pre-registered TPC-H views)
+    from .analytics import ORACLES as analytics_oracles
+    q.update(analytics_oracles)
     en = _inlist(EN_STOP)
     small = "0.001" in sf_name
 
