@@ -155,3 +155,63 @@ def gap_sessions(events_ds, gap_us: int = SESSION_GAP_US,
 
     return summaries.groupby("user_id").map_groups(
         merge_user, batch_format="pyarrow")
+
+
+def asof_join_events(events_ds, left_type: str = "purchase",
+                     right_type: str = "click"):
+    """As-of join (an operator Ray Data lacks natively): for every
+    ``left_type`` event, the most recent ``right_type`` event of the
+    SAME user with ``r.ts <= l.ts`` — ties on ts broken by the larger
+    event_id. Inner semantics: lefts with no prior right are dropped.
+
+    Shape: pre-filter both sides to the two types (column- and
+    row-pruned), shuffle ONCE keyed by user_id, then a linear two-
+    pointer sweep inside each user group (sort by (ts, kind, id): at
+    equal ts the right side is processed first, so it is visible to the
+    left row). Partitioning assumption: one user's filtered events fit
+    a group — the same premise as the pre-segmented sessionizer; a
+    whale user would need the gap_sessions-style two-phase split.
+
+    Output: (p_event, user_id, p_ts, c_event, c_ts).
+    """
+
+    def pre(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        b = batch.filter(keep)
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_id": b["event_id"],
+            "ts": b["ts"],
+            "is_left": pc.equal(b["event_type"], left_type),
+        })
+
+    def sweep(tbl: pa.Table) -> pa.Table:
+        ts = pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        is_l = tbl["is_left"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, is_l, ts))  # ts, then rights first, id
+        uid = tbl["user_id"][0].as_py()
+        p_ev, p_ts, c_ev, c_ts = [], [], [], []
+        last_ev = last_ts = None
+        for i in order:
+            if is_l[i]:
+                if last_ev is not None:
+                    p_ev.append(int(eid[i]))
+                    p_ts.append(int(ts[i]))
+                    c_ev.append(last_ev)
+                    c_ts.append(last_ts)
+            else:
+                last_ev, last_ts = int(eid[i]), int(ts[i])
+        n = len(p_ev)
+        return pa.table({
+            "p_event": pa.array(p_ev, pa.int64()),
+            "user_id": pa.array([uid] * n, pa.int64()),
+            "p_ts": pa.array(p_ts, pa.int64()).cast(pa.timestamp("us")),
+            "c_event": pa.array(c_ev, pa.int64()),
+            "c_ts": pa.array(c_ts, pa.int64()).cast(pa.timestamp("us")),
+        })
+
+    pruned = events_ds.map_batches(pre, batch_format="pyarrow")
+    return pruned.groupby("user_id").map_groups(sweep,
+                                                batch_format="pyarrow")

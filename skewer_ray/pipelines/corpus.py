@@ -241,6 +241,15 @@ def q_events_sessions(sf_dir: str):
     return gap_sessions(_events(sf_dir, ["event_id", "ts", "user_id"]))
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join: each purchase ← most recent prior click of the same
+    user (functions/windows.asof_join_events; one user-keyed shuffle +
+    in-group two-pointer sweep)."""
+    from ..functions.windows import asof_join_events
+    return asof_join_events(
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
+
+
 FIXTURE_ROOT = "/tmp/skewer_ray_fixtures"
 
 
@@ -495,6 +504,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "events_tumbling": q_events_tumbling,
     "events_sessions": q_events_sessions,
+    "events_asof": q_events_asof,
     "source_accounting": q_source_accounting,
     "source_journald": q_source_journald,
 }

@@ -416,6 +416,23 @@ SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
        event_type, count(*) AS n, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2"""
 
+    # as-of join: most recent click at-or-before each purchase, same
+    # user; ties on ts broken by larger click event_id (the engine's
+    # sweep processes rights in event_id order and keeps the last)
+    q["events_asof"] = """
+WITH c AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.event_id AS p_event, p.user_id, p.ts AS p_ts,
+         c.event_id AS c_event, c.ts AS c_ts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT p_event, user_id, p_ts, c_event, c_ts FROM j WHERE rn = 1"""
+
     q["events_sessions"] = """
 WITH o AS (
   SELECT user_id, ts,

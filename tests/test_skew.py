@@ -122,3 +122,25 @@ def test_cap_per_group_whale_group_bounded(ray_session):
     assert got == want
     # whale group is capped to exactly K rows in the result
     assert sum(1 for s, _ in got if s == "whale.example") == k
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    """As-of join vs a per-user pandas recompute, incl. tie semantics."""
+    import ray.data as rd
+    from skewer_ray.functions.windows import asof_join_events
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    df = ds.to_pandas()
+    got = {(r["p_event"], r["c_event"])
+           for r in asof_join_events(ds).take_all()}
+    want = set()
+    clicks = df[df.event_type == "click"]
+    for _, p in df[df.event_type == "purchase"].iterrows():
+        c = clicks[(clicks.user_id == p.user_id) & (clicks.ts <= p.ts)]
+        if len(c):
+            best = c.sort_values(["ts", "event_id"]).iloc[-1]
+            want.add((p.event_id, best.event_id))
+    assert got == want and len(want) > 0
