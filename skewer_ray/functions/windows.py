@@ -215,3 +215,43 @@ def asof_join_events(events_ds, left_type: str = "purchase",
     pruned = events_ds.map_batches(pre, batch_format="pyarrow")
     return pruned.groupby("user_id").map_groups(sweep,
                                                 batch_format="pyarrow")
+
+
+def range_join_counts(events_ds, lookback_us: int = 30 * 60 * 1_000_000):
+    """Range self-join (the second temporal operator Ray Data lacks):
+    for every event, how many events of the SAME user fall in the
+    half-open window [ts - lookback, ts) — the per-event velocity /
+    burst feature of fraud and abuse pipelines.
+
+    Shape: ONE user-keyed shuffle, then a linear two-pointer sweep per
+    group over the (ts, event_id)-sorted events — O(n log n) per user
+    vs the O(n²) naive range join. Same whale-user caveat as
+    asof_join_events.
+
+    Output: (event_id, user_id, n_prior) — n_prior counts STRICTLY
+    earlier events in the window; simultaneous-ts events (and the event
+    itself) are excluded.
+    """
+
+    def sweep(tbl: pa.Table) -> pa.Table:
+        ts = pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts_s, eid_s = ts[order], eid[order]
+        n = len(ts_s)
+        # left edge of the window per event (two-pointer)
+        lo = np.searchsorted(ts_s, ts_s - lookback_us, side="left")
+        # strictly-earlier bound: first index with the same ts
+        hi = np.searchsorted(ts_s, ts_s, side="left")
+        uid = tbl["user_id"][0].as_py()
+        return pa.table({
+            "event_id": pa.array(eid_s, pa.int64()),
+            "user_id": pa.array([uid] * n, pa.int64()),
+            "n_prior": pa.array(hi - lo, pa.int64()),
+        })
+
+    pruned = events_ds.map_batches(
+        lambda b: b.select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow")
+    return pruned.groupby("user_id").map_groups(sweep,
+                                                batch_format="pyarrow")

@@ -241,6 +241,13 @@ def q_events_sessions(sf_dir: str):
     return gap_sessions(_events(sf_dir, ["event_id", "ts", "user_id"]))
 
 
+def q_events_range_counts(sf_dir: str):
+    """Range self-join: per-event count of same-user events in the
+    prior 30 minutes (functions/windows.range_join_counts)."""
+    from ..functions.windows import range_join_counts
+    return range_join_counts(_events(sf_dir, ["event_id", "ts", "user_id"]))
+
+
 def q_events_asof(sf_dir: str):
     """As-of join: each purchase ← most recent prior click of the same
     user (functions/windows.asof_join_events; one user-keyed shuffle +
@@ -505,6 +512,7 @@ QUERIES = {
     "events_tumbling": q_events_tumbling,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
+    "events_range_counts": q_events_range_counts,
     "source_accounting": q_source_accounting,
     "source_journald": q_source_journald,
 }

@@ -433,6 +433,15 @@ j AS (
 )
 SELECT p_event, user_id, p_ts, c_event, c_ts FROM j WHERE rn = 1"""
 
+    # range self-join: strictly-earlier same-user events within 30min
+    q["events_range_counts"] = """
+SELECT a.event_id, a.user_id,
+       (SELECT count(*) FROM events b
+        WHERE b.user_id = a.user_id
+          AND b.ts >= a.ts - INTERVAL 30 MINUTE
+          AND b.ts < a.ts) AS n_prior
+FROM events a"""
+
     q["events_sessions"] = """
 WITH o AS (
   SELECT user_id, ts,

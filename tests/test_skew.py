@@ -4,6 +4,7 @@ skew stress; the salted-repartition concern of the north rule)."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -144,3 +145,22 @@ def test_asof_join_matches_bruteforce(ray_session):
             best = c.sort_values(["ts", "event_id"]).iloc[-1]
             want.add((p.event_id, best.event_id))
     assert got == want and len(want) > 0
+
+
+def test_range_join_counts_bruteforce(ray_session):
+    """Per-event prior-30min count vs an O(n^2) pandas recompute."""
+    import ray.data as rd
+    from skewer_ray.functions.windows import range_join_counts
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+    df = ds.to_pandas()
+    got = {r["event_id"]: r["n_prior"]
+           for r in range_join_counts(ds).take_all()}
+    assert len(got) == len(df)
+    lb = pd.Timedelta(minutes=30)
+    for _, a in df.sample(100, random_state=1).iterrows():
+        n = ((df.user_id == a.user_id) & (df.ts >= a.ts - lb)
+             & (df.ts < a.ts)).sum()
+        assert got[a.event_id] == n
