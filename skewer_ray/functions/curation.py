@@ -71,43 +71,49 @@ def cap_per_group(docs_ds, group_col: str = "source",
         local_topk, batch_format="pyarrow")
 
 
+def chunk_table(batch: pa.Table, size: int, stride: int,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> pa.Table:
+    """One batch of 1→N sliding-window chunks (the per-batch kernel of
+    ``chunk_docs``; exposed for direct/property testing): one Arrow
+    utf8_slice_codeunits call per chunk index covers the whole batch;
+    rows too short for that index are filtered by a length mask."""
+    n = pc.utf8_length(batch[text_col])
+    max_len = pc.max(n).as_py() or 0
+    ids, idxs, chunks = [], [], []
+    i = 0
+    while i * stride < max_len:
+        off = i * stride
+        alive = pc.greater(n, off)
+        sub_ids = batch[id_col].filter(alive)
+        sub_txt = pc.utf8_slice_codeunits(
+            batch[text_col].filter(alive), off, off + size)
+        ids.append(sub_ids)
+        idxs.append(pa.array(
+            np.full(len(sub_ids), i, dtype=np.int64), pa.int64()))
+        chunks.append(sub_txt)
+        i += 1
+    if not ids:
+        return pa.table({id_col: pa.array([], batch[id_col].type),
+                         "chunk_idx": pa.array([], pa.int64()),
+                         "chunk": pa.array([], pa.string())})
+    cat = lambda xs: pa.concat_arrays(  # noqa: E731
+        [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+         for x in xs])
+    return pa.table({id_col: cat(ids),
+                     "chunk_idx": cat(idxs),
+                     "chunk": cat(chunks)})
+
+
 def chunk_docs(docs_ds, size: int = 200, stride: int = 150,
                id_col: str = "doc_id", text_col: str = "text"):
     """1→N sliding-window chunks: (doc_id, chunk_idx, chunk) with
     ``chunk = text[chunk_idx*stride : chunk_idx*stride + size]``, for
-    every chunk_idx with chunk_idx*stride < len(text).
-
-    Vectorized: one Arrow utf8_slice_codeunits call per chunk index
-    covers the whole batch; rows too short for that index are filtered
-    by a length mask. Chunk count per batch is bounded by the longest
-    document, not the row count."""
+    every chunk_idx with chunk_idx*stride < len(text). Chunk count per
+    batch is bounded by the longest document, not the row count."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        n = pc.utf8_length(batch[text_col])
-        max_len = pc.max(n).as_py() or 0
-        ids, idxs, chunks = [], [], []
-        i = 0
-        while i * stride < max_len:
-            off = i * stride
-            alive = pc.greater(n, off)
-            sub_ids = batch[id_col].filter(alive)
-            sub_txt = pc.utf8_slice_codeunits(
-                batch[text_col].filter(alive), off, off + size)
-            ids.append(sub_ids)
-            idxs.append(pa.array(
-                np.full(len(sub_ids), i, dtype=np.int64), pa.int64()))
-            chunks.append(sub_txt)
-            i += 1
-        if not ids:
-            return pa.table({id_col: pa.array([], batch[id_col].type),
-                             "chunk_idx": pa.array([], pa.int64()),
-                             "chunk": pa.array([], pa.string())})
-        cat = lambda xs: pa.concat_arrays(  # noqa: E731
-            [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
-             for x in xs])
-        return pa.table({id_col: cat(ids),
-                         "chunk_idx": cat(idxs),
-                         "chunk": cat(chunks)})
+        return chunk_table(batch, size, stride, id_col, text_col)
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")

@@ -222,3 +222,52 @@ def test_w3c_decode_property(fields, vals):
     assert b.parse_ok == [True]
     props = json.loads(b.properties[0])["w3c"]
     assert props == dict(zip(fields, vals[:len(fields)]))
+
+
+# ---------------------------------------------------------------------------
+# curation / scrub chains (pure-function properties, no Ray)
+# ---------------------------------------------------------------------------
+
+@given(text=st.text(min_size=0, max_size=600),
+       size=st.integers(50, 300), stride=st.integers(20, 250))
+@settings(max_examples=60, deadline=None)
+def test_chunking_covers_and_reassembles(text, size, stride):
+    """The real Arrow chunking kernel equals Python slicing, and when
+    stride <= size the chunks tile the document with no gaps."""
+    import pyarrow as pa
+    from skewer_ray.functions.curation import chunk_table
+
+    tbl = pa.table({"doc_id": pa.array([7], pa.int64()),
+                    "text": pa.array([text])})
+    out = chunk_table(tbl, size, stride)
+    got = sorted(zip(out["chunk_idx"].to_pylist(),
+                     out["chunk"].to_pylist()))
+    n = len(text)
+    want = []
+    i = 0
+    while i * stride < n:
+        want.append((i, text[i * stride:i * stride + size]))
+        i += 1
+    assert got == want
+    assert set(out["doc_id"].to_pylist()) <= {7}
+    if stride <= size and n:
+        pos = 0
+        for i, c in got:
+            assert i * stride <= pos  # no gap when stride <= size
+            pos = max(pos, i * stride + len(c))
+        assert pos == n  # chunks reach the end of the document
+
+
+@given(s=st.text(min_size=0, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_scrub_and_mask_are_idempotent(s):
+    """Applying the PII scrub / template mask twice equals once —
+    placeholders contain no characters their own rules match."""
+    import pyarrow as pa
+    from skewer_ray.functions.anonymize import scrub_pii
+    from skewer_ray.functions.templates import mask_templates
+    col = pa.array([s])
+    once = scrub_pii(col).to_pylist()[0]
+    assert scrub_pii(pa.array([once])).to_pylist()[0] == once
+    m1 = mask_templates(col).to_pylist()[0]
+    assert mask_templates(pa.array([m1])).to_pylist()[0] == m1
