@@ -46,6 +46,21 @@ def sample_docs(docs_ds, key_col: str = "doc_id",
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def local_topk_table(batch: pa.Table, group_col: str, order_col: str,
+                     k: int, cols: tuple[str, ...]) -> pa.Table:
+    """Per-batch top-K per group (the partial kernel of
+    ``cap_per_group``; exposed so the skew test can assert its output
+    bound directly): ≤ distinct-groups-in-batch × K rows out."""
+    t = batch.select(list(cols)).sort_by(
+        [(group_col, "ascending"), (order_col, "ascending")])
+    g = t[group_col].to_numpy(zero_copy_only=False)
+    # rank within consecutive group runs (input sorted by group)
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    rank = np.arange(len(g)) - np.repeat(
+        starts, np.diff(np.r_[starts, len(g)]))
+    return t.filter(pa.array(rank < k))
+
+
 def cap_per_group(docs_ds, group_col: str = "source",
                   order_col: str = "doc_id", k: int = 50,
                   cols: tuple[str, ...] = ("doc_id", "source", "lang")):
@@ -57,14 +72,7 @@ def cap_per_group(docs_ds, group_col: str = "source",
     top-K per group. Associative, so two-phase is exact."""
 
     def local_topk(batch: pa.Table) -> pa.Table:
-        t = batch.select(list(cols)).sort_by(
-            [(group_col, "ascending"), (order_col, "ascending")])
-        g = t[group_col].to_numpy(zero_copy_only=False)
-        # rank within consecutive group runs (input sorted by group)
-        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
-        rank = np.arange(len(g)) - np.repeat(
-            starts, np.diff(np.r_[starts, len(g)]))
-        return t.filter(pa.array(rank < k))
+        return local_topk_table(batch, group_col, order_col, k, cols)
 
     partials = docs_ds.map_batches(local_topk, batch_format="pyarrow")
     return partials.groupby(group_col).map_groups(

@@ -122,6 +122,10 @@ class FrameSampleStage:
         return int(h.hexdigest()[0:2], 16)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # defensive re-filter (frame_samples pre-filters video rows in a
+        # cheap task stage so non-video payload bytes never reach the
+        # actor pool; a caller feeding mixed batches still gets correct
+        # output)
         keep = pc.equal(pc.cast(batch["media_type"], pa.string()), "video")
         batch = batch.filter(keep)
         ids, idxs, ts, feat = [], [], [], []
@@ -143,8 +147,17 @@ class FrameSampleStage:
 
 
 def frame_samples(docs_ds, concurrency=2):
-    """documents → synth multimodal table → video-only 1→N frame rows."""
+    """documents → synth multimodal table → video-only 1→N frame rows.
+
+    Non-video rows are dropped in a cheap task-pool pre-filter so their
+    payload bytes are never serialized into the actor pool (2/3 of the
+    synthetic corpus — the same pruning rule as windows.py's pre())."""
     media = docs_ds.map_batches(synth_media_batch, batch_format="pyarrow")
+
+    def only_video(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["media_type"], "video"))
+
+    media = media.map_batches(only_video, batch_format="pyarrow")
     return media.map_batches(FrameSampleStage,
                              concurrency=concurrency,
                              batch_size=MEDIA_BATCH_SIZE,

@@ -56,14 +56,20 @@ def kmv_distinct_terms(docs_ds, k: int = KMV_K):
                      "estimate": pa.array([est], pa.float64())})
 
 
-def kmv_oracle_sql(k: int = KMV_K) -> str:
-    """The identical estimator in DuckDB over the documents view."""
-    return f"""
+def kmv_oracle_sql(k: int = KMV_K, words_cte: str | None = None) -> str:
+    """The identical estimator in DuckDB over the documents view.
+
+    ``words_cte`` lets the caller supply the canonical shared words CTE
+    (corpus_oracles._W) so the word-split definition cannot drift from
+    the other text oracles."""
+    if words_cte is None:
+        words_cte = """
 WITH w AS (
   SELECT CASE WHEN trim(text) = '' THEN []
               ELSE string_split_regex(lower(trim(text)), '\\s+') END AS words
   FROM documents
-),
+)"""
+    return words_cte + f""",
 h AS (SELECT DISTINCT md5(t) AS h FROM (SELECT unnest(words) AS t FROM w)),
 top AS (SELECT h FROM h ORDER BY h LIMIT {k})
 SELECT {k} AS k, count(*) AS n_hashes,

@@ -227,7 +227,8 @@ def q_tpch_q5(sf_dir: str):
                    on=("l_orderkey",), right_on=("o_orderkey",))
 
     def local_only(b: pa.Table) -> pa.Table:
-        sd = ray.get(supp_ref)
+        from ..functions.decontam import _cached_get
+        sd = _cached_get(supp_ref)  # deserialized once per worker
         s_nat = np.array([sd.get(k, -1)
                           for k in b["l_suppkey"].to_pylist()],
                          dtype=np.int64)

@@ -490,9 +490,10 @@ SELECT 'journal_{n_j}' AS conv_id, i AS turn_idx, 0 AS sub_idx,
          || '.service"}}}}' AS properties
 FROM (SELECT unnest(range(0, {n_j})) AS i)"""
 
-    # --- KMV cardinality sketch (deterministic, so exactly mirrored) --
+    # --- KMV cardinality sketch (deterministic, so exactly mirrored;
+    # shares the canonical words CTE so the split can never drift) ----
     from ..functions.sketches import kmv_oracle_sql
-    q["distinct_kmv"] = kmv_oracle_sql()
+    q["distinct_kmv"] = kmv_oracle_sql(words_cte=_W)
 
     # --- within-doc repetition (Gopher A1.1 signals) ------------------
     # 3-gram occurrences here are NON-distinct (unlike the dedup sh CTE)

@@ -42,6 +42,9 @@ def _auto_concurrency():
     return (1, max(2, ncpu - 1))
 
 
+_FOOTER_MEMO: dict[str, tuple[int, int]] = {}  # path -> (n_files, rows)
+
+
 def _suggest_blocks(path: str, blocks_per_cpu: int = 8):
     """Block-count override for SMALL inputs on wide sessions.
 
@@ -58,14 +61,21 @@ def _suggest_blocks(path: str, blocks_per_cpu: int = 8):
         if not ray.is_initialized() or not os.path.isdir(path):
             return None
         cpus = int(ray.cluster_resources().get("CPU", 0))
-        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
-        if not cpus or not files or len(files) > 512:
+        if not cpus:
             return None
-        import pyarrow.parquet as pq
-        rows = sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                   for f in files)
+        if path in _FOOTER_MEMO:  # footer stats are immutable per dir
+            n_files, rows = _FOOTER_MEMO[path]
+        else:
+            files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not files or len(files) > 512:
+                return None
+            import pyarrow.parquet as pq
+            rows = sum(pq.ParquetFile(os.path.join(path, f))
+                       .metadata.num_rows for f in files)
+            n_files = len(files)
+            _FOOTER_MEMO[path] = (n_files, rows)
         nb = min(max(64, blocks_per_cpu * cpus), max(1, rows // 1024))
-        return nb if nb > len(files) else None
+        return nb if nb > n_files else None
     except Exception:
         return None
 

@@ -111,10 +111,19 @@ def test_cap_per_group_whale_group_bounded(ray_session):
     })
     ds = rd.from_arrow(tbl).repartition(16)
 
-    # partial stage output is bounded: ≤ groups-in-batch × K rows
-    from skewer_ray.functions.curation import cap_per_group as _cpg
+    # the PARTIAL kernel's output is bounded by groups-in-batch × K —
+    # the whale contributes K rows per batch, never its full size
+    from skewer_ray.functions.curation import local_topk_table
+    cols = ("doc_id", "source", "lang")
+    part = local_topk_table(tbl, "source", "doc_id", k, cols)
+    n_groups = len(set(src.tolist()))
+    assert part.num_rows <= n_groups * k
+    whale_rows = part.filter(
+        pc.equal(part["source"], "whale.example")).num_rows
+    assert whale_rows == k  # not the whale's 20,000
+
     got = {(r["source"], r["doc_id"])
-           for r in _cpg(ds, "source", "doc_id", k=k).take_all()}
+           for r in cap_per_group(ds, "source", "doc_id", k=k).take_all()}
     df = tbl.to_pandas()
     want = set()
     for s, sub in df.groupby("source"):

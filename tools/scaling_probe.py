@@ -99,8 +99,14 @@ def main():
             pairs.append((lo["turns_per_sec"], hi["turns_per_sec"]))
         p2 = probe_seconds()
         effs = [(h / l) / 4.0 for l, h in pairs]
-        med = statistics.median(effs)
-        k = effs.index(sorted(effs)[len(effs) // 2])
+        # the round's efficiency IS one concrete pair's efficiency (the
+        # lower-middle by rank), so the recorded turns_per_sec fields
+        # always satisfy efficiency == (hi/lo)/4 — the same invariant
+        # v1-v3 rows carry. (statistics.median would average the two
+        # middle pairs at even K, detaching the number from any fields.)
+        k = sorted(range(len(effs)),
+                   key=lambda i: effs[i])[(len(effs) - 1) // 2]
+        med = effs[k]
         row = {
             "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "protocol": "v4",
