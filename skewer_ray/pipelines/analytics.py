@@ -305,3 +305,56 @@ QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
 }
+
+
+# ---------------------------------------------------------------------------
+# Q6-shape: forecasting revenue change (filter + global scalar aggregate)
+# ---------------------------------------------------------------------------
+
+Q6_FROM = datetime(1996, 1, 1)
+Q6_TO = datetime(1997, 1, 1)
+Q6_DISC_LO, Q6_DISC_HI = 5, 7   # discount in percent, inclusive
+Q6_QTY = 24                     # l_quantity < 24
+
+
+def q_tpch_q6(sf_dir: str):
+    """Global scalar aggregate: sum(l_extendedprice * l_discount) over
+    a multi-predicate filter. Pure map + one-number combine — the only
+    bytes that move are one partial int per batch."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity",
+                 "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(batch["l_shipdate"], Q6_FROM),
+                    pc.less(batch["l_shipdate"], Q6_TO))
+        d100 = _pct(batch["l_discount"])
+        m = pc.and_(m, pc.and_(pc.greater_equal(d100, Q6_DISC_LO),
+                               pc.less_equal(d100, Q6_DISC_HI)))
+        m = pc.and_(m, pc.less(batch["l_quantity"], Q6_QTY))
+        b = batch.filter(m)
+        rev = pc.multiply(_cents(b["l_extendedprice"]),
+                          _pct(b["l_discount"]))        # 1e-4 $
+        s = pc.sum(rev).as_py() or 0
+        return pa.table({"s": pa.array([int(s)], pa.int64())})
+
+    total = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        total += sum(b["s"].to_pylist())
+    return pa.table({"revenue": pa.array([round(total / 10000.0, 6)],
+                                         pa.float64())})
+
+
+ORACLES["tpch_q6"] = """
+SELECT round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                     * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)
+             / 10000.0, 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24"""
+
+QUERIES["tpch_q6"] = q_tpch_q6
