@@ -347,6 +347,297 @@ def q_tpch_q6(sf_dir: str):
                                          pa.float64())})
 
 
+# ---------------------------------------------------------------------------
+# Q4-shape: order priority checking (distributed semi-join / EXISTS)
+# ---------------------------------------------------------------------------
+
+Q4_FROM = datetime(1996, 7, 1)
+Q4_TO = datetime(1996, 10, 1)
+
+
+def q_tpch_q4(sf_dir: str):
+    """EXISTS semi-join: count orders per priority that have ≥1 returned
+    lineitem. The semi side is deduped in two stages — per-batch
+    ``pc.unique`` (map-side combine) then a keyed groupby — so only
+    distinct keys cross the exchange, then ONE hash join against the
+    filtered orders. No driver materialization of either side."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def f_orders(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], Q4_FROM),
+                    pc.less(b["o_orderdate"], Q4_TO))
+        return b.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+    orders = orders.map_batches(f_orders, batch_format="pyarrow")
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_returnflag"])
+
+    def f_line(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        return pa.table({"l_orderkey": pc.unique(b["l_orderkey"])})
+
+    keys = line.map_batches(f_line, batch_format="pyarrow") \
+               .groupby("l_orderkey").count()
+    j = orders.join(keys, "inner", _join_partitions(),
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+
+    acc: dict[str, int] = {}
+    for b in j.iter_batches(batch_format="pyarrow"):
+        t = b.group_by("o_orderpriority").aggregate([("o_orderkey", "count")])
+        for r in t.to_pylist():
+            acc[r["o_orderpriority"]] = acc.get(r["o_orderpriority"], 0) \
+                + r["o_orderkey_count"]
+    keys_s = sorted(acc)
+    return pa.table({
+        "o_orderpriority": pa.array(keys_s, pa.string()),
+        "order_count": pa.array([acc[k] for k in keys_s], pa.int64()),
+    })
+
+
+ORACLES["tpch_q4"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority"""
+QUERIES["tpch_q4"] = q_tpch_q4
+
+
+# ---------------------------------------------------------------------------
+# Q12-shape: shipping modes & priority (join + conditional aggregation)
+# ---------------------------------------------------------------------------
+
+Q12_FROM = datetime(1997, 1, 1)
+Q12_TO = datetime(1998, 1, 1)
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q_tpch_q12(sf_dir: str):
+    """Fact⋈fact hash join then a conditional aggregate (CASE-count by
+    priority class) grouped by return flag — the combine is map-side,
+    only 3 partial rows per batch cross to the driver."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_returnflag",
+                                    "l_shipdate"])
+
+    def f_line(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], Q12_FROM),
+                    pc.less(b["l_shipdate"], Q12_TO))
+        return b.filter(m).select(["l_orderkey", "l_returnflag"])
+
+    line = line.map_batches(f_line, batch_format="pyarrow")
+    j = line.join(orders, "inner", _join_partitions(),
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        hi = pc.cast(pc.is_in(b["o_orderpriority"],
+                              value_set=pa.array(_Q12_HIGH)), pa.int64())
+        t = pa.table({"l_returnflag": b["l_returnflag"], "hi": hi,
+                      "lo": pc.subtract(1, hi)})
+        return t.group_by("l_returnflag").aggregate(
+            [("hi", "sum"), ("lo", "sum")])
+
+    acc: dict[str, list] = {}
+    for b in j.map_batches(partial, batch_format="pyarrow") \
+              .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["l_returnflag"], [0, 0])
+            a[0] += r["hi_sum"]
+            a[1] += r["lo_sum"]
+    ks = sorted(acc)
+    return pa.table({
+        "l_returnflag": pa.array(ks, pa.string()),
+        "high_line_count": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "low_line_count": pa.array([acc[k][1] for k in ks], pa.int64()),
+    })
+
+
+ORACLES["tpch_q12"] = """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag"""
+QUERIES["tpch_q12"] = q_tpch_q12
+
+
+# ---------------------------------------------------------------------------
+# Q18-shape: large-volume customers (group-HAVING + join back + top-K)
+# ---------------------------------------------------------------------------
+
+Q18_MIN_QTY = 300   # ≈ p99.9 of per-order quantity → tiny survivor set
+
+
+def q_tpch_q18(sf_dir: str):
+    """Grouped HAVING filter then join back to the fact's parent: the
+    big keyed groupby shrinks lineitem to one row per order, the HAVING
+    cut keeps ~0.1% of those, and only that sliver joins orders. Top-K
+    via sort+limit on the tiny survivor set."""
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_quantity"])
+
+    def to_int(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "qty": pc.cast(pc.round(b["l_quantity"]), pa.int64())})
+
+    agg = line.map_batches(to_int, batch_format="pyarrow") \
+              .groupby("l_orderkey").sum("qty")
+
+    def having(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["sum(qty)"], Q18_MIN_QTY))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "sum_qty": b["sum(qty)"]})
+
+    big = agg.map_batches(having, batch_format="pyarrow")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+    j = orders.join(big, "inner", _join_partitions(),
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_orderdate": b["o_orderdate"],
+            "o_totalprice": pc.round(b["o_totalprice"], ndigits=6),
+            "sum_qty": b["sum_qty"]})
+
+    return j.map_batches(finish, batch_format="pyarrow") \
+            .sort(["o_totalprice", "o_orderkey"],
+                  descending=[True, False]).limit(100)
+
+
+ORACLES["tpch_q18"] = f"""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       round(o_totalprice, 6) AS o_totalprice, sum_qty
+FROM orders JOIN (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum_qty > {Q18_MIN_QTY}
+) big ON o_orderkey = big.l_orderkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100"""
+QUERIES["tpch_q18"] = q_tpch_q18
+
+
+# ---------------------------------------------------------------------------
+# Events telemetry analytics: histogram + exact distributed quantiles
+# ---------------------------------------------------------------------------
+
+HIST_WIDTH = 50.0     # fixed-width value bins
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_events_histogram(sf_dir: str):
+    """Fixed-width histogram of event values per type. Pure map-side
+    combine: each batch contributes ≤ types×bins partial rows; the
+    driver merge touches only that bounded set (bins = value_range /
+    width, independent of row count)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        bins = pc.cast(pc.floor(pc.divide(b["value"], HIST_WIDTH)),
+                       pa.int64())
+        t = pa.table({"event_type": b["event_type"], "bin": bins,
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["event_type", "bin"]).aggregate([("n", "sum")])
+
+    acc: dict[tuple, int] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            k = (r["event_type"], r["bin"])
+            acc[k] = acc.get(k, 0) + r["n_sum"]
+    ks = sorted(acc)
+    return pa.table({
+        "event_type": pa.array([k[0] for k in ks], pa.string()),
+        "bin": pa.array([k[1] for k in ks], pa.int64()),
+        "bin_lo": pa.array([round(k[1] * HIST_WIDTH, 6) for k in ks],
+                           pa.float64()),
+        "n": pa.array([acc[k] for k in ks], pa.int64()),
+    })
+
+
+ORACLES["events_histogram"] = f"""
+SELECT event_type,
+       CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bin,
+       round(floor(value / {HIST_WIDTH}) * {HIST_WIDTH}, 6) AS bin_lo,
+       count(*) AS n
+FROM events GROUP BY 1, 2, 3"""
+QUERIES["events_histogram"] = q_events_histogram
+
+
+def q_events_quantiles(sf_dir: str):
+    """EXACT discrete quantiles per event type at any scale: values are
+    exact 2-decimal readings, so the distributed form is a counting
+    sort — map-side (type, cents) counts, driver merge over the bounded
+    distinct-value domain (≤ range×100 cells per type, independent of
+    row count), then index selection at ceil(p·n)-1 (DuckDB
+    quantile_disc semantics, verified empirically)."""
+    import math
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100)), pa.int64())
+        t = pa.table({"event_type": b["event_type"], "cents": cents,
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+
+    acc: dict[str, dict[int, int]] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            acc.setdefault(r["event_type"], {})
+            d = acc[r["event_type"]]
+            d[r["cents"]] = d.get(r["cents"], 0) + r["n_sum"]
+    rows = []
+    for et in sorted(acc):
+        counts = acc[et]
+        n = sum(counts.values())
+        targets = {p: max(0, math.ceil(p * n) - 1) for p in QUANTILES}
+        got: dict[float, int] = {}
+        seen = 0
+        for cents in sorted(counts):
+            lo, seen = seen, seen + counts[cents]
+            for p, idx in targets.items():
+                if lo <= idx < seen:
+                    got[p] = cents
+        rows.append((et, n) + tuple(round(got[p] / 100.0, 6)
+                                    for p in QUANTILES))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "p50": pa.array([r[2] for r in rows], pa.float64()),
+        "p90": pa.array([r[3] for r in rows], pa.float64()),
+        "p99": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
+ORACLES["events_quantiles"] = """
+SELECT event_type, count(*) AS n,
+  round(quantile_disc(round(value*100)/100.0, 0.50), 6) AS p50,
+  round(quantile_disc(round(value*100)/100.0, 0.90), 6) AS p90,
+  round(quantile_disc(round(value*100)/100.0, 0.99), 6) AS p99
+FROM events GROUP BY event_type"""
+QUERIES["events_quantiles"] = q_events_quantiles
+
+
 ORACLES["tpch_q6"] = """
 SELECT round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
                      * CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)

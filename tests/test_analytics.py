@@ -12,7 +12,7 @@ from skewer_ray.pipelines.analytics import ORACLES, QUERIES
 
 SF = "/root/testdata/sf0.001"
 TABLES = ("region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem")
+          "orders", "lineitem", "events")
 
 
 @pytest.fixture(scope="module")
@@ -42,6 +42,29 @@ def test_matches_duckdb(name, ddb, ray_session):
     a, b = _norm(ours), _norm(theirs)
     pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-9)
     assert len(a) > 0  # every query returns rows at sf0.001
+
+
+def test_q18_having_bound(ray_session):
+    """Every surviving order genuinely exceeds the HAVING threshold."""
+    from skewer_ray.pipelines.analytics import Q18_MIN_QTY
+    rows = QUERIES["tpch_q18"](SF).take_all()
+    assert rows and all(r["sum_qty"] > Q18_MIN_QTY for r in rows)
+
+
+def test_quantiles_match_sorted_selection(ray_session):
+    """p50/p90/p99 equal direct index selection on the sorted values."""
+    import math
+
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"])
+    df = t.to_pandas()
+    out = {r["event_type"]: r
+           for r in QUERIES["events_quantiles"](SF).to_pylist()}
+    for et, grp in df.groupby("event_type"):
+        vals = sorted(round(v * 100) / 100.0 for v in grp["value"])
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            idx = max(0, math.ceil(p * len(vals)) - 1)
+            assert abs(out[et][col] - round(vals[idx], 6)) < 1e-9
 
 
 def test_q3_topk_is_ordered_desc(ray_session):
