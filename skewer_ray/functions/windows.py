@@ -217,6 +217,150 @@ def asof_join_events(events_ds, left_type: str = "purchase",
                                                 batch_format="pyarrow")
 
 
+def running_totals(events_ds):
+    """SQL window functions (SUM/LAG OVER (PARTITION BY user ORDER BY
+    ts)) as a Ray Data composition: ONE user-keyed shuffle, then a
+    vectorized in-group cumulative sum over the (ts, event_id)-sorted
+    events. Value sums are integer cents (exact 2-dp readings), so the
+    running total is bit-exact vs any SQL engine — no float-order drift.
+
+    Output per event: (event_id, user_id, ts, run_sum [cumulative value
+    incl. this event], prev_event [-1 for the first], prev_gap_us [-1
+    for the first]). Whale-user caveat as asof_join_events.
+    """
+
+    def sweep(tbl: pa.Table) -> pa.Table:
+        ts = pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(tbl["value"], 100)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts_s, eid_s = ts[order], eid[order]
+        run = np.cumsum(cents[order])
+        prev_ev = np.empty_like(eid_s)
+        prev_ev[0], prev_ev[1:] = -1, eid_s[:-1]
+        gap = np.empty_like(ts_s)
+        gap[0], gap[1:] = -1, ts_s[1:] - ts_s[:-1]
+        uid = tbl["user_id"][0].as_py()
+        return pa.table({
+            "event_id": pa.array(eid_s, pa.int64()),
+            "user_id": pa.array([uid] * len(eid_s), pa.int64()),
+            "ts": pa.array(ts_s, pa.int64()).cast(pa.timestamp("us")),
+            "run_sum": pa.array(np.round(run / 100.0, 6), pa.float64()),
+            "prev_event": pa.array(prev_ev, pa.int64()),
+            "prev_gap_us": pa.array(gap, pa.int64()),
+        })
+
+    pruned = events_ds.map_batches(
+        lambda b: b.select(["event_id", "ts", "user_id", "value"]),
+        batch_format="pyarrow")
+    return pruned.groupby("user_id").map_groups(sweep,
+                                                batch_format="pyarrow")
+
+
+def topn_per_group(events_ds, n: int = 3):
+    """ROW_NUMBER() ≤ n per group without a global sort: two-phase
+    top-N. Phase 1 (map-side): each batch emits at most n candidate
+    rows per event_type (value desc, event_id asc). Phase 2 (driver):
+    merge the ≤ types×n×batches candidates and assign ranks. The
+    exchange is bounded by groups×n per batch, independent of rows.
+
+    Output: (event_type, rank, event_id, value).
+    """
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        val = b["value"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        keep = []
+        for t in np.unique(et):
+            idx = np.nonzero(et == t)[0]
+            order = np.lexsort((eid[idx], -val[idx]))[:n]
+            keep.extend(idx[order])
+        k = pa.array(sorted(keep), pa.int64())
+        return b.select(["event_type", "event_id", "value"]).take(k)
+
+    cand: dict[str, list] = {}
+    for b in events_ds.map_batches(partial, batch_format="pyarrow") \
+                      .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            cand.setdefault(r["event_type"], []).append(
+                (-r["value"], r["event_id"]))
+    rows = []
+    for t in sorted(cand):
+        for rank, (nv, eid) in enumerate(sorted(cand[t])[:n], start=1):
+            rows.append((t, rank, eid, -nv))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([round(r[3], 6) for r in rows], pa.float64()),
+    })
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_counts(events_ds, types=EVENT_TYPES):
+    """PIVOT: one row per user with a count column per event type plus
+    an exact integer-cents value total. The pivoted column set is the
+    (fixed, documented) event-type domain; the per-user combine is the
+    standard skew-safe map-side-partial + keyed-groupby shape, so the
+    exchange carries one partial row per (user, batch).
+
+    Returns a Dataset (users scale with the data — never driver-merged).
+    """
+
+    def pre(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch["user_id"]}
+        for t in types:
+            cols[f"n_{t}"] = pc.cast(
+                pc.equal(batch["event_type"], t), pa.int64())
+        cols["cents"] = pc.cast(pc.round(pc.multiply(batch["value"], 100)),
+                                pa.int64())
+        return pa.table(cols)
+
+    specs = [(f"n_{t}", "sum") for t in types] + [("cents", "sum")]
+    out = grouped_stats(events_ds, "user_id", specs, pre=pre,
+                        combine="shuffle")
+
+    def finish(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b["user_id"]}
+        for t in types:
+            cols[f"n_{t}"] = b[f"sum_n_{t}"]
+        cols["sum_value"] = pc.round(
+            pc.divide(pc.cast(b["sum_cents"], pa.float64()), 100.0),
+            ndigits=6)
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def users_without(events_ds, event_type: str = "purchase",
+                  min_value: float = 100.0):
+    """Anti-join / NOT EXISTS: users with ZERO qualifying events (type +
+    value threshold). Expressed as an aggregate-then-filter (per-user
+    indicator sum == 0) so the only exchange is the same skew-safe
+    partial-combine groupby — no second table scan, no broadcast of the
+    excluded-key set.
+    """
+
+    def pre(batch: pa.Table) -> pa.Table:
+        hit = pc.and_(pc.equal(batch["event_type"], event_type),
+                      pc.greater(batch["value"], min_value))
+        return pa.table({
+            "user_id": batch["user_id"],
+            "hit": pc.cast(hit, pa.int64())})
+
+    out = grouped_stats(events_ds, "user_id", [("hit", "sum")], pre=pre,
+                        combine="shuffle")
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["sum_hit"], 0)).select(["user_id"])
+
+    return out.map_batches(keep, batch_format="pyarrow")
+
+
 def range_join_counts(events_ds, lookback_us: int = 30 * 60 * 1_000_000):
     """Range self-join (the second temporal operator Ray Data lacks):
     for every event, how many events of the SAME user fall in the

@@ -257,6 +257,38 @@ def q_events_asof(sf_dir: str):
         _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
 
 
+def q_events_running(sf_dir: str):
+    """SQL window functions (SUM/LAG OVER) as a user-keyed shuffle +
+    in-group vectorized cumsum (functions/windows.running_totals)."""
+    from ..functions.windows import running_totals
+    return running_totals(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]))
+
+
+def q_events_topn(sf_dir: str):
+    """ROW_NUMBER ≤ 3 per event_type via two-phase bounded top-N
+    (functions/windows.topn_per_group)."""
+    from ..functions.windows import topn_per_group
+    return topn_per_group(_events(sf_dir, ["event_id", "event_type",
+                                           "value"]))
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT event types into per-user count columns + exact cents value
+    total (functions/windows.pivot_counts)."""
+    from ..functions.windows import pivot_counts
+    return pivot_counts(_events(sf_dir, ["user_id", "event_type",
+                                         "value"]))
+
+
+def q_users_no_big_purchase(sf_dir: str):
+    """Anti-join / NOT EXISTS: users with no purchase over $100
+    (functions/windows.users_without)."""
+    from ..functions.windows import users_without
+    return users_without(_events(sf_dir, ["user_id", "event_type",
+                                          "value"]))
+
+
 FIXTURE_ROOT = "/tmp/skewer_ray_fixtures"
 
 
@@ -513,6 +545,10 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
     "events_range_counts": q_events_range_counts,
+    "events_running": q_events_running,
+    "events_topn": q_events_topn,
+    "events_pivot": q_events_pivot,
+    "users_no_big_purchase": q_users_no_big_purchase,
     "source_accounting": q_source_accounting,
     "source_journald": q_source_journald,
 }

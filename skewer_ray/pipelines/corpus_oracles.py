@@ -433,6 +433,43 @@ j AS (
 )
 SELECT p_event, user_id, p_ts, c_event, c_ts FROM j WHERE rn = 1"""
 
+    # window functions: running cents-exact sum + lag per user
+    q["events_running"] = """
+SELECT event_id, user_id, ts,
+  round(CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE)
+        / 100.0, 6) AS run_sum,
+  CAST(coalesce(lag(event_id) OVER w, -1) AS BIGINT) AS prev_event,
+  CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT)
+    AS prev_gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+    # two-phase top-N ≡ ROW_NUMBER ≤ 3 per event_type
+    q["events_topn"] = """
+SELECT event_type, rank, event_id, round(value, 6) AS value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events) WHERE rank <= 3"""
+
+    # pivot: per-user event-type count columns + exact cents total
+    _piv = ",\n  ".join(
+        f"CAST(sum(CASE WHEN event_type='{t}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{t}"
+        for t in ("click", "error", "purchase", "signup", "view"))
+    q["events_pivot"] = f"""
+SELECT user_id,
+  {_piv},
+  round(CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0, 6)
+    AS sum_value
+FROM events GROUP BY user_id"""
+
+    # anti-join: users with no purchase over $100
+    q["users_no_big_purchase"] = """
+SELECT user_id FROM events GROUP BY user_id
+HAVING sum(CASE WHEN event_type = 'purchase' AND value > 100.0
+                THEN 1 ELSE 0 END) = 0"""
+
     # range self-join: strictly-earlier same-user events within 30min
     q["events_range_counts"] = """
 SELECT a.event_id, a.user_id,

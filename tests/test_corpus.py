@@ -354,3 +354,57 @@ def test_kmeans_trained_ivf(ray_session):
     full = ivf_topk_trained(emb, list(range(10)), k=5, nprobe=8,
                             n_cells=8, iters=3).take_all()
     assert {(r["query_id"], r["vec_id"]) for r in full} == exact
+
+
+def test_running_totals_vs_pandas(ray_session):
+    """Distributed running sum/lag equals a pandas groupby-cumsum."""
+    import pyarrow.parquet as pq
+    from skewer_ray.pipelines.corpus import q_events_running
+    got = {r["event_id"]: r for r in q_events_running(SF).take_all()}
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id", "value"]) \
+           .to_pandas().sort_values(["user_id", "ts", "event_id"])
+    df["cents"] = (df["value"] * 100).round().astype("int64")
+    df["run"] = df.groupby("user_id")["cents"].cumsum()
+    prev = df.groupby("user_id")["event_id"].shift(1)
+    for (_, row), pe in zip(df.iterrows(), prev):
+        g = got[row["event_id"]]
+        assert abs(g["run_sum"] - round(row["run"] / 100.0, 6)) < 1e-9
+        assert g["prev_event"] == (-1 if pe != pe else int(pe))
+
+
+def test_topn_per_group_vs_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+    from skewer_ray.pipelines.corpus import q_events_topn
+    rows = q_events_topn(SF).to_pylist()
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type", "value"]) \
+           .to_pandas()
+    for et, grp in df.groupby("event_type"):
+        want = sorted(zip(-grp["value"], grp["event_id"]))[:3]
+        mine = [(-r["value"], r["event_id"])
+                for r in rows if r["event_type"] == et]
+        assert sorted(mine) == [(v, int(e)) for v, e in want]
+        ranks = sorted(r["rank"] for r in rows if r["event_type"] == et)
+        assert ranks == [1, 2, 3]
+
+
+def test_pivot_and_antijoin_consistent(ray_session):
+    """Pivot counts sum to the corpus size; anti-join = pivot users
+    minus those with a qualifying purchase."""
+    import pyarrow.parquet as pq
+    from skewer_ray.pipelines.corpus import (q_events_pivot,
+                                             q_users_no_big_purchase)
+    n_events = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
+    piv = q_events_pivot(SF).take_all()
+    total = sum(sum(r[f"n_{t}"] for t in
+                    ("click", "error", "purchase", "signup", "view"))
+                for r in piv)
+    assert total == n_events
+    anti = {r["user_id"] for r in q_users_no_big_purchase(SF).take_all()}
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "event_type", "value"]) \
+           .to_pandas()
+    big = set(df[(df.event_type == "purchase") &
+                 (df.value > 100.0)]["user_id"])
+    assert anti == set(df["user_id"]) - big
