@@ -306,6 +306,22 @@ SELECT conv_id, turn_idx,
        {pii_rules_sql('message')} AS message
 FROM parsed WHERE fam IN (0, 1, 2, 3)"""
 
+    # grok: the identical expanded RE2 regex, extracted by group index
+    from ..functions.grok import expand_grok
+    from .queries import GROK_5424
+    _grx, _gfields = expand_grok(GROK_5424, named=False)
+    _grx_sql = _grx.replace("'", "''")
+    _gcols = []
+    for _i, _f in enumerate(_gfields, start=1):
+        e = f"regexp_extract(text, '{_grx_sql}', {_i})"
+        if _f in ("pri", "ver"):
+            e = f"CAST({e} AS BIGINT)"
+        _gcols.append(f"{e} AS {_f}")
+    q["grok_transcripts"] = f"""
+SELECT conv_id, turn_idx, {', '.join(_gcols)}
+FROM read_parquet('{_tpath(sf_name)}')
+WHERE regexp_matches(text, '{_grx_sql}')"""
+
     # template mining: the identical RE2 mask chain, same order
     from ..functions.templates import mask_rules_sql
     q["log_templates"] = f"""

@@ -298,6 +298,25 @@ def q_log_templates(sf_dir: str):
     return log_templates(read_transcripts(sf_dir))
 
 
+GROK_5424 = ("^<%{INT:pri}>%{INT:ver} %{TIMESTAMP_ISO8601:gts} "
+             "%{NOTSPACE:host} %{NOTSPACE:app} %{NOTSPACE:procid} "
+             "%{NOTSPACE:msgid} \\[%{DATA:sd}\\] %{GREEDYDATA:msg}$")
+
+
+def q_grok_transcripts(sf_dir: str):
+    """User-composable grok extraction (functions/grok.py): one
+    vectorized RE2 pass pulls 9 named fields out of every RFC5424-shaped
+    line; other families simply don't match and are dropped. The oracle
+    runs the IDENTICAL expanded regex in DuckDB (also RE2), extracting
+    by capture-group index."""
+    from ..functions.grok import grok_extract
+    from ..gen import ensure_transcripts
+    path = ensure_transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "turn_idx", "text"])
+    return grok_extract(ds, GROK_5424, keep=["conv_id", "turn_idx"],
+                        types={"pri": "int64", "ver": "int64"})
+
+
 def q_anonymize_hosts(sf_dir: str):
     """GDPR-ish sanitization over the syslog families: deterministic
     host pseudonyms + vectorized PII scrub chain
