@@ -217,6 +217,72 @@ def asof_join_events(events_ds, left_type: str = "purchase",
                                                 batch_format="pyarrow")
 
 
+def burst_events(events_ds, lookback_us: int = 6 * 3_600_000_000,
+                 k: int = 3):
+    """Burst / velocity alerting (the CEP threshold rule every abuse
+    pipeline runs): events preceded by ≥ k same-user events in the
+    lookback window. A filter composed over ``range_join_counts`` —
+    the shuffle and sweep are shared, the threshold is a vectorized
+    post-filter."""
+    counts = range_join_counts(events_ds, lookback_us=lookback_us)
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["n_prior"], k))
+
+    return counts.map_batches(keep, batch_format="pyarrow")
+
+
+def funnel_conversions(events_ds, first_type: str = "click",
+                       then_type: str = "purchase",
+                       within_us: int = 3_600_000_000):
+    """Funnel step: per user, how many ``then_type`` events had a
+    ``first_type`` event at-or-before them within the window
+    (conversion), plus the total. ONE user-keyed shuffle; inside each
+    group a vectorized searchsorted finds the latest prior first-step
+    event per conversion candidate. Output: (user_id, n_then,
+    n_converted)."""
+
+    def pre(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array([first_type, then_type]))
+        b = batch.filter(keep)
+        return pa.table({
+            "user_id": b["user_id"],
+            "ts": b["ts"],
+            "is_then": pc.equal(b["event_type"], then_type),
+        })
+
+    def sweep(tbl: pa.Table) -> pa.Table:
+        ts = pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        is_t = tbl["is_then"].to_numpy(zero_copy_only=False)
+        first_ts = np.sort(ts[~is_t])
+        then_ts = ts[is_t]
+        n_then = int(len(then_ts))
+        if len(first_ts):
+            # latest first-step event at-or-before each conversion
+            idx = np.searchsorted(first_ts, then_ts, side="right") - 1
+            ok = idx >= 0
+            gap = np.where(ok, then_ts - first_ts[np.clip(idx, 0, None)],
+                           np.int64(1) << 62)
+            n_conv = int((gap <= within_us).sum())
+        else:
+            n_conv = 0
+        return pa.table({
+            "user_id": tbl["user_id"].slice(0, 1),
+            "n_then": pa.array([n_then], pa.int64()),
+            "n_converted": pa.array([n_conv], pa.int64()),
+        })
+
+    pruned = events_ds.map_batches(pre, batch_format="pyarrow")
+    out = pruned.groupby("user_id").map_groups(sweep,
+                                               batch_format="pyarrow")
+
+    def nonzero(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["n_then"], 0))
+
+    return out.map_batches(nonzero, batch_format="pyarrow")
+
+
 def running_totals(events_ds):
     """SQL window functions (SUM/LAG OVER (PARTITION BY user ORDER BY
     ts)) as a Ray Data composition: ONE user-keyed shuffle, then a

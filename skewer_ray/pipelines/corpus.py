@@ -6,6 +6,7 @@ search, multimodal plumbing. Column names are contractually shared with
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray.data as rd
 
 from ..functions.dedup import (embedding_dup_pairs, exact_dedup,
@@ -255,6 +256,67 @@ def q_events_asof(sf_dir: str):
     from ..functions.windows import asof_join_events
     return asof_join_events(
         _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
+
+
+def q_events_bursts(sf_dir: str):
+    """Burst detection: events with ≥3 same-user events in the prior
+    6 hours (functions/windows.burst_events)."""
+    from ..functions.windows import burst_events
+    return burst_events(_events(sf_dir, ["event_id", "ts", "user_id"]))
+
+
+def q_events_funnel(sf_dir: str):
+    """Funnel conversion: per user, purchases with a click within the
+    prior hour (functions/windows.funnel_conversions)."""
+    from ..functions.windows import funnel_conversions
+    return funnel_conversions(
+        _events(sf_dir, ["ts", "user_id", "event_type"]))
+
+
+def q_lang_embedding_stats(sf_dir: str):
+    """Cross-table hash join documents⋈embeddings (doc_id = vec_id)
+    then per-lang vector-norm stats — the join surface over the corpus
+    tables plus a vectorized numpy kernel per batch."""
+    import ray
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    def norms(b: pa.Table) -> pa.Table:
+        import numpy as np
+        flat = np.asarray(b["embedding"].combine_chunks().flatten(),
+                          dtype=np.float64)
+        offs = np.asarray(b["embedding"].combine_chunks().offsets)
+        sq = np.add.reduceat(flat * flat, offs[:-1]) \
+            if len(flat) else np.zeros(0)
+        empty = (offs[1:] - offs[:-1]) == 0
+        sq = np.where(empty, 0.0, sq)
+        return pa.table({"vec_id": b["vec_id"],
+                         "norm": pa.array(np.sqrt(sq), pa.float64())})
+
+    emb = emb.map_batches(norms, batch_format="pyarrow")
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    j = emb.join(docs, "inner", max(2, min(16, cpus // 4)),
+                 on=("vec_id",), right_on=("doc_id",))
+
+    acc: dict[str, list] = {}
+    for b in j.iter_batches(batch_format="pyarrow"):
+        t = b.group_by("lang").aggregate([("norm", "sum"),
+                                          ("norm", "count")])
+        for r in t.to_pylist():
+            a = acc.setdefault(r["lang"], [0.0, 0])
+            a[0] += r["norm_sum"]
+            a[1] += r["norm_count"]
+    ks = sorted(acc)
+    return pa.table({
+        "lang": pa.array(ks, pa.string()),
+        "n": pa.array([acc[k][1] for k in ks], pa.int64()),
+        "avg_norm": pa.array([round(acc[k][0] / acc[k][1], 6)
+                              for k in ks], pa.float64()),
+    })
 
 
 def q_events_running(sf_dir: str):
@@ -549,6 +611,9 @@ QUERIES = {
     "events_topn": q_events_topn,
     "events_pivot": q_events_pivot,
     "users_no_big_purchase": q_users_no_big_purchase,
+    "events_bursts": q_events_bursts,
+    "events_funnel": q_events_funnel,
+    "lang_embedding_stats": q_lang_embedding_stats,
     "source_accounting": q_source_accounting,
     "source_journald": q_source_journald,
 }

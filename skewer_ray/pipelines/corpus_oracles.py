@@ -470,6 +470,35 @@ SELECT user_id FROM events GROUP BY user_id
 HAVING sum(CASE WHEN event_type = 'purchase' AND value > 100.0
                 THEN 1 ELSE 0 END) = 0"""
 
+    # burst detection: ≥3 same-user events in the prior 6 hours
+    q["events_bursts"] = """
+SELECT * FROM (
+  SELECT a.event_id, a.user_id,
+         (SELECT count(*) FROM events b
+          WHERE b.user_id = a.user_id
+            AND b.ts >= a.ts - INTERVAL 6 HOUR
+            AND b.ts < a.ts) AS n_prior
+  FROM events a) WHERE n_prior >= 3"""
+
+    # funnel: purchases with a click at-or-before within the prior hour
+    q["events_funnel"] = """
+SELECT user_id, count(*) AS n_then,
+  CAST(sum(CASE WHEN EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM events p WHERE event_type = 'purchase'
+GROUP BY user_id"""
+
+    # documents⋈embeddings join + per-lang vector-norm stats
+    q["lang_embedding_stats"] = """
+SELECT lang, count(*) AS n,
+  round(avg(sqrt(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_norm
+FROM documents JOIN embeddings ON doc_id = vec_id
+GROUP BY lang"""
+
     # range self-join: strictly-earlier same-user events within 30min
     q["events_range_counts"] = """
 SELECT a.event_id, a.user_id,

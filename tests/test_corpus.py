@@ -408,3 +408,43 @@ def test_pivot_and_antijoin_consistent(ray_session):
     big = set(df[(df.event_type == "purchase") &
                  (df.value > 100.0)]["user_id"])
     assert anti == set(df["user_id"]) - big
+
+
+def test_bursts_and_funnel_vs_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+    from skewer_ray.pipelines.corpus import q_events_bursts, q_events_funnel
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    got = {r["event_id"]: r["n_prior"]
+           for r in q_events_bursts(SF).take_all()}
+    lookback = 6 * 3_600_000_000
+    for uid, grp in df.groupby("user_id"):
+        for _, row in grp.iterrows():
+            n = int(((grp["us"] >= row["us"] - lookback) &
+                     (grp["us"] < row["us"])).sum())
+            if n >= 3:
+                assert got[row["event_id"]] == n
+            else:
+                assert row["event_id"] not in got
+    fun = {r["user_id"]: (r["n_then"], r["n_converted"])
+           for r in q_events_funnel(SF).take_all()}
+    hour = 3_600_000_000
+    for uid, grp in df.groupby("user_id"):
+        p = grp[grp.event_type == "purchase"]["us"].to_numpy()
+        c = grp[grp.event_type == "click"]["us"].to_numpy()
+        if len(p) == 0:
+            assert uid not in fun
+            continue
+        conv = sum(1 for t in p if ((c <= t) & (c >= t - hour)).any())
+        assert fun[uid] == (len(p), conv)
+
+
+def test_lang_embedding_stats_accounts_all_vectors(ray_session):
+    import pyarrow.parquet as pq
+    from skewer_ray.pipelines.corpus import q_lang_embedding_stats
+    t = q_lang_embedding_stats(SF)
+    n_emb = pq.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
+    assert sum(t["n"].to_pylist()) == n_emb
+    assert all(v > 0 for v in t["avg_norm"].to_pylist())
