@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from skewer_ray.pipelines.corpus import QUERIES as corpus_queries
     out.update(corpus_queries)
     # relational join/aggregate surface (TPC-H-shaped pipelines)
+    from skewer_ray.pipelines import analytics_joins  # noqa: F401
     from skewer_ray.pipelines.analytics import QUERIES as analytics_queries
     out.update(analytics_queries)
     return out

@@ -53,6 +53,7 @@ def corpus_oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
     q: dict[str, str] = {}
 
     # relational join/aggregate pipelines (pre-registered TPC-H views)
+    from . import analytics_joins  # noqa: F401  (registers into ORACLES)
     from .analytics import ORACLES as analytics_oracles
     q.update(analytics_oracles)
     en = _inlist(EN_STOP)

@@ -8,6 +8,7 @@ import duckdb
 import pandas as pd
 import pytest
 
+from skewer_ray.pipelines import analytics_joins  # noqa: F401  (registers)
 from skewer_ray.pipelines.analytics import ORACLES, QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -72,3 +73,34 @@ def test_q3_topk_is_ordered_desc(ray_session):
     revs = [r["revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert len(rows) == 10
+
+
+def test_q13_buckets_cover_all_customers(ray_session):
+    """Histogram masses sum to |customer| (incl. the zero bucket)."""
+    import pyarrow.parquet as pq
+    n_cust = pq.ParquetFile(f"{SF}/customer.parquet").metadata.num_rows
+    rows = QUERIES["tpch_q13"](SF).to_pylist()
+    assert sum(r["custdist"] for r in rows) == n_cust
+
+
+def test_q10_topk_ordered_and_bounded(ray_session):
+    rows = QUERIES["tpch_q10"](SF).to_pylist()
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert len(rows) <= analytics_joins.Q10_K
+
+
+def test_q22_survivors_have_no_recent_orders(ray_session):
+    """Cross-check the union-indicator anti-join against pandas."""
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    bal_c = (cust["c_acctbal"] * 100).round().astype("int64")
+    pos = bal_c[bal_c > 0]
+    recent = set(orders.loc[
+        orders["o_orderdate"] >= analytics_joins.Q22_CUTOFF, "o_custkey"])
+    keep = (bal_c * len(pos) > pos.sum()) & ~cust["c_custkey"].isin(recent)
+    expect = cust[keep].groupby("c_nationkey")["c_custkey"].count()
+    got = {r["cntry"]: r["numcust"]
+           for r in QUERIES["tpch_q22"](SF).to_pylist()}
+    assert got == expect.to_dict()
