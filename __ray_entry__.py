@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_text": q.q_conv_text,
         # Drain-style template mining over raw log text
         "log_templates": q.q_log_templates,
+        # multiline record reassembly (framing-layer continuation glue)
+        "merge_multiline": q.q_merge_multiline,
         # user-composable grok named-pattern extraction
         "grok_transcripts": q.q_grok_transcripts,
         # host pseudonymization + PII scrub (GDPR sanitization pass)

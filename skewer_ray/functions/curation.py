@@ -125,3 +125,37 @@ def chunk_docs(docs_ds, size: int = 200, stride: int = 150,
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow")
+
+
+# per-language stratified sampling rates, as first-md5-byte bounds
+# (256ths): en is downsampled hard, tail languages kept aggressively —
+# the standard corpus-rebalancing move
+STRATA_BOUNDS = {"en": 0x20, "zh": 0x80, "es": 0x80, "de": 0xc0,
+                 "fr": 0xc0}
+STRATA_DEFAULT = 0x40
+
+
+def stratified_sample(docs_ds, strata_col: str = "lang",
+                      key_col: str = "doc_id",
+                      bounds: dict[str, int] | None = None,
+                      default: int = STRATA_DEFAULT,
+                      cols: tuple[str, ...] = ("doc_id", "lang", "source")):
+    """Deterministic per-stratum sampling: keep a row iff
+    md5(str(key))[0] < bounds[stratum]. Same pure-function membership
+    as ``sample_docs`` (reproducible across engines/partitionings, no
+    RNG state, map-only — nothing shuffles), but the keep-rate is a
+    per-group knob, which is how corpus language/source rebalancing is
+    actually run at scale."""
+    bounds = STRATA_BOUNDS if bounds is None else bounds
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        strata = batch[strata_col].to_pylist()
+        keep = np.fromiter(
+            (hashlib.md5(str(k).encode()).digest()[0]
+             < bounds.get(s, default)
+             for k, s in zip(keys, strata)),
+            dtype=bool, count=len(keys))
+        return batch.select(list(cols)).filter(pa.array(keep))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 import pyarrow as pa
 
 from .textstats import norm_words
@@ -79,3 +81,91 @@ SELECT {k} AS k, count(*) AS n_hashes,
                   / power(16, {_FRAC_DIGITS})), 6)
        END AS estimate
 FROM top"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: approximate per-term frequencies without a
+# term-keyed shuffle
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4      # independent hash rows
+CMS_WIDTH = 512    # cells per row
+
+
+def _cms_cell(d: int, term: str, width: int = CMS_WIDTH) -> int:
+    """Row-d cell index: first 15 hex digits of md5("{d}:{term}") mod
+    WIDTH — BIGINT-safe, reproduced verbatim in the SQL oracle."""
+    h = hashlib.md5(f"{d}:{term}".encode()).hexdigest()
+    return int(h[:_FRAC_DIGITS], 16) % width
+
+
+def cms_term_counts(docs_ds, probe_terms: tuple[str, ...],
+                    depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """(term, estimate) for each probe term, where estimate is the
+    Count-Min upper bound min_d cells[d][h_d(term)] (Cormode &
+    Muthukrishnan 2005) over total word occurrences.
+
+    100-TB shape: each batch emits ≤ depth×width partial counter rows
+    (a few KB, independent of row count and vocabulary); the driver
+    merge touches only the depth×width grid. Versus the exact
+    ``topk_terms`` path this trades a bounded overestimate for ZERO
+    term-keyed exchange. Deterministic md5 hashing means the DuckDB
+    oracle rebuilds the identical grid and estimates bit-for-bit.
+    """
+
+    def local(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in norm_words(t):
+                counts[w] = counts.get(w, 0) + 1
+        grid: dict[tuple[int, int], int] = {}
+        for w, n in counts.items():
+            for d in range(depth):
+                k = (d, _cms_cell(d, w, width))
+                grid[k] = grid.get(k, 0) + n
+        ks = sorted(grid)
+        return pa.table({
+            "d": pa.array([k[0] for k in ks], pa.int64()),
+            "cell": pa.array([k[1] for k in ks], pa.int64()),
+            "n": pa.array([grid[k] for k in ks], pa.int64()),
+        })
+
+    cells = np.zeros((depth, width), dtype=np.int64)
+    for b in docs_ds.map_batches(local, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+        # np.add.at, NOT fancy-index +=: one iter batch may concatenate
+        # several partial grids, so (d, cell) pairs repeat
+        np.add.at(cells,
+                  (b["d"].to_numpy(zero_copy_only=False),
+                   b["cell"].to_numpy(zero_copy_only=False)),
+                  b["n"].to_numpy(zero_copy_only=False))
+    terms = sorted(probe_terms)
+    est = [int(min(cells[d][_cms_cell(d, t, width)]
+               for d in range(depth)))
+           for t in terms]
+    return pa.table({"term": pa.array(terms, pa.string()),
+                     "estimate": pa.array(est, pa.int64())})
+
+
+def cms_oracle_sql(probe_terms: tuple[str, ...], words_cte: str,
+                   depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> str:
+    """The identical grid + min-estimate in DuckDB: word occurrence
+    counts → (d, cell) sums with the same md5 cell function → min over
+    rows per probe term."""
+    probes = ", ".join("'" + t.replace("'", "''") + "'"
+                       for t in sorted(probe_terms))
+    cell = (f"CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || t),"
+            f" 1, {_FRAC_DIGITS})) AS BIGINT) % {width}")
+    return words_cte + f""",
+occ AS (SELECT t, count(*) AS n
+        FROM (SELECT unnest(words) AS t FROM w) GROUP BY t),
+grid AS (SELECT d, {cell} AS cell, sum(n) AS cn
+         FROM occ CROSS JOIN (SELECT unnest(range({depth})) AS d)
+         GROUP BY 1, 2),
+probe AS (SELECT t AS term, d, {cell} AS cell
+          FROM (SELECT unnest([{probes}]) AS t)
+          CROSS JOIN (SELECT unnest(range({depth})) AS d))
+SELECT term,
+       CAST(min(coalesce(grid.cn, 0)) AS BIGINT) AS estimate
+FROM probe LEFT JOIN grid ON probe.d = grid.d AND probe.cell = grid.cell
+GROUP BY term"""

@@ -573,6 +573,30 @@ def q_parse_collectd(sf_dir: str):
 
 from .edge_corpus import q_parse_edge_syslog  # noqa: E402
 
+
+CMS_PROBES = ("table", "value", "key", "row", "hash", "merge",
+              "scan", "sort")
+
+
+def q_cms_terms(sf_dir: str):
+    """Count-Min sketch frequency estimates for a probe-term list —
+    bounded-memory per-term counts with ZERO term-keyed shuffle (each
+    batch ships a ≤ depth×width counter grid); deterministic md5
+    hashing so the oracle rebuilds the identical grid
+    (functions/sketches.cms_term_counts)."""
+    from ..functions.sketches import cms_term_counts
+    return cms_term_counts(_docs(sf_dir), CMS_PROBES)
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language stratified sampling (corpus rebalancing): keep-rate
+    is a per-stratum knob, membership a pure md5 function of doc_id —
+    map-only, reproducible across engines and partitionings
+    (functions/curation.stratified_sample)."""
+    from ..functions.curation import stratified_sample
+    return stratified_sample(_docs_full(sf_dir))
+
+
 QUERIES = {
     "parse_collectd": q_parse_collectd,
     "parse_macos": q_parse_macos,
@@ -616,6 +640,8 @@ QUERIES = {
     "lang_embedding_stats": q_lang_embedding_stats,
     "source_accounting": q_source_accounting,
     "source_journald": q_source_journald,
+    "cms_terms": q_cms_terms,
+    "stratified_sample": q_stratified_sample,
 }
 
 

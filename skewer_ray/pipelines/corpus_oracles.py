@@ -562,6 +562,20 @@ FROM (SELECT unnest(range(0, {n_j})) AS i)"""
     from ..functions.sketches import kmv_oracle_sql
     q["distinct_kmv"] = kmv_oracle_sql(words_cte=_W)
 
+    # Count-Min sketch estimates: identical md5 grid + min over rows
+    from ..functions.sketches import cms_oracle_sql
+    from .corpus import CMS_PROBES
+    q["cms_terms"] = cms_oracle_sql(CMS_PROBES, words_cte=_W)
+
+    # stratified per-language sampling: same md5-prefix membership as
+    # sample_docs, with a CASE keep-bound per stratum (hex compare)
+    q["stratified_sample"] = """
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      CASE lang WHEN 'en' THEN '20' WHEN 'zh' THEN '80'
+                WHEN 'es' THEN '80' WHEN 'de' THEN 'c0'
+                WHEN 'fr' THEN 'c0' ELSE '40' END"""
+
     # --- within-doc repetition (Gopher A1.1 signals) ------------------
     # 3-gram occurrences here are NON-distinct (unlike the dedup sh CTE)
     q["text_repetition"] = _W + """,

@@ -291,6 +291,9 @@ SELECT conv_id, count(*) AS n_turns,
 FROM read_parquet('{_tpath(sf_name)}')
 GROUP BY conv_id"""
 
+    from ..functions.multiline import multiline_oracle_sql
+    q["merge_multiline"] = multiline_oracle_sql(_tpath(sf_name))
+
     q["routed_rows_kafka"] = C + """
 SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':0' AS uid,
        topic, partition_key

@@ -289,6 +289,15 @@ def q_conv_text(sf_dir: str):
     return ds.groupby("conv_id").map_groups(assemble, batch_format="pyarrow")
 
 
+def q_merge_multiline(sf_dir: str):
+    """Multiline log-record reassembly (stack-trace gluing): lines not
+    opening with a syslog PRI are continuations of the record above
+    them in their stream — gaps-and-islands via per-conversation
+    co-location + vectorized cumsum (functions/multiline.py)."""
+    from ..functions.multiline import merge_multiline
+    return merge_multiline(read_transcripts(sf_dir))
+
+
 def q_log_templates(sf_dir: str):
     """Drain-style log template mining over the raw transcript text:
     vectorized RE2 mask chain → (template, n) with map-side combine
