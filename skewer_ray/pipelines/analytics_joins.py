@@ -1,4 +1,4 @@
-"""TPC-H join-shape extensions (Q7/Q10/Q13/Q14/Q17/Q19/Q22 variants
+"""TPC-H join-shape extensions (Q7/Q8/Q10/Q13/Q14/Q15/Q17/Q19/Q22
 over the driver's relational tables) — continues pipelines/analytics.py
 with the harder distributed-join patterns:
 
@@ -9,7 +9,9 @@ with the harder distributed-join patterns:
 - fact⋈fact hash join + conditional ratio (Q14 promo revenue);
 - broadcast dim attributes + disjunctive vectorized predicates (Q19);
 - union-indicator anti-join + broadcast scalar threshold (Q22);
-- two hash joins + broadcast supplier dim + derived-year rollup (Q7).
+- two hash joins + broadcast supplier dim + derived-year rollup (Q7);
+- deepest join tree + conditional market-share ratio (Q8);
+- aggregate → global max → tie-keeping filter ("view" pattern, Q15).
 
 Same money discipline as analytics.py: integer cents end-to-end,
 partial sums combined map-side, one float division at the very end so
@@ -621,3 +623,213 @@ WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year"""
 QUERIES["tpch_q7"] = q_tpch_q7
+
+
+# ---------------------------------------------------------------------------
+# Q8-shape: national market share (multi-join + conditional share ratio)
+# ---------------------------------------------------------------------------
+
+Q8_TYPE = "ECONOMY"          # product segment under analysis
+Q8_NATION = "NATION_5"       # the nation whose share we measure
+Q8_REGION = "ASIA"           # customer market
+Q8_FROM = datetime(1996, 1, 1)
+Q8_TO = datetime(1998, 1, 1)
+
+
+def q_tpch_q8(sf_dir: str):
+    """Supplier-nation market share inside one customer region for one
+    product type, by order year. The deepest join tree in the family
+    (part⋈lineitem⋈orders⋈customer + supplier/nation/region dims):
+    part keys for the type prune lineitem FIRST (is_in broadcast — the
+    filtered key set is |part|/types, bounded like Q17's brand slice),
+    two hash exchanges do orders and customer, supplier resolves
+    broadcast-side, and the share is a conditional ratio of integer
+    partial sums per year."""
+    import ray
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    region = {r["r_regionkey"]: r["r_name"] for r in
+              rd.read_parquet(f"{sf_dir}/region.parquet").take_all()}
+    in_region = {n["n_nationkey"] for n in nation
+                 if region[n["n_regionkey"]] == Q8_REGION}
+    target_nk = {n["n_name"]: n["n_nationkey"]
+                 for n in nation}[Q8_NATION]
+    supp = {s["s_suppkey"]: s["s_nationkey"] for s in
+            rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+            .take_all()}
+    supp_ref = ray.put(supp)
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+
+    def f_part(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["p_type"], Q8_TYPE)) \
+                .select(["p_partkey"])
+
+    pkeys = pa.array(sorted(
+        r["p_partkey"] for r in
+        part.map_batches(f_part, batch_format="pyarrow").take_all()),
+        pa.int64())
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey",
+                                    "l_suppkey", "l_extendedprice",
+                                    "l_discount"])
+
+    def f_line(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["l_partkey"], value_set=pkeys))
+        rev = pc.multiply(_cents(b["l_extendedprice"]),
+                          pc.subtract(100, _pct(b["l_discount"])))
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_suppkey": b["l_suppkey"], "rev_u": rev})
+
+    line = line.map_batches(f_line, batch_format="pyarrow")
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def f_orders(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["o_orderdate"], Q8_FROM),
+                    pc.less(b["o_orderdate"], Q8_TO))
+        b = b.filter(m)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "o_custkey": b["o_custkey"],
+                         "o_year": pc.cast(pc.year(b["o_orderdate"]),
+                                           pa.int64())})
+
+    orders = orders.map_batches(f_orders, batch_format="pyarrow")
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+
+    def f_cust(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b["c_nationkey"],
+                        value_set=pa.array(sorted(in_region), pa.int64()))
+        return b.filter(keep).select(["c_custkey"])
+
+    cust = cust.map_batches(f_cust, batch_format="pyarrow")
+
+    j1 = orders.join(cust, "inner", _join_partitions(),
+                     on=("o_custkey",), right_on=("c_custkey",))
+    j2 = line.join(j1, "inner", _join_partitions(),
+                   on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        from ..functions.decontam import _cached_get
+        sd = _cached_get(supp_ref)
+        s_nat = np.array([sd.get(k, -1)
+                          for k in b["l_suppkey"].to_pylist()],
+                         dtype=np.int64)
+        is_target = (s_nat == target_nk).astype(np.int64)
+        rev = b["rev_u"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "o_year": b["o_year"],
+            "num": pa.array(rev * is_target),
+            "den": b["rev_u"]})
+        return t.group_by("o_year").aggregate(
+            [("num", "sum"), ("den", "sum")])
+
+    acc: dict[int, list] = {}
+    for b in j2.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["o_year"], [0, 0])
+            a[0] += r["num_sum"]
+            a[1] += r["den_sum"]
+    ks = sorted(acc)
+    return pa.table({
+        "o_year": pa.array(ks, pa.int64()),
+        "mkt_share": pa.array(
+            [round(acc[k][0] / acc[k][1], 6) if acc[k][1] else 0.0
+             for k in ks], pa.float64()),
+    })
+
+
+ORACLES["tpch_q8"] = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CASE WHEN n1.n_name = '{Q8_NATION}'
+                           THEN {_REV} ELSE 0 END) AS DOUBLE)
+             / CAST(sum({_REV}) AS DOUBLE), 6) AS mkt_share
+FROM part, lineitem, orders, customer, supplier,
+     nation n1, nation n2, region
+WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+  AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+  AND s_nationkey = n1.n_nationkey
+  AND c_nationkey = n2.n_nationkey
+  AND n2.n_regionkey = r_regionkey AND r_name = '{Q8_REGION}'
+  AND p_type = '{Q8_TYPE}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_year"""
+QUERIES["tpch_q8"] = q_tpch_q8
+
+
+# ---------------------------------------------------------------------------
+# Q15-shape: top supplier(s) (aggregate → global max → tie-keeping
+# filter, the "view + scalar subquery" pattern)
+# ---------------------------------------------------------------------------
+
+Q15_FROM = datetime(1996, 1, 1)
+Q15_TO = datetime(1996, 4, 1)
+
+
+def q_tpch_q15(sf_dir: str):
+    """Suppliers whose quarter revenue equals the global maximum.
+    revenue-per-supplier is ONE keyed groupby (supplier cardinality ≪
+    lineitem); the max is a driver scalar over that aggregate; the
+    tie-keeping equality filter and the supplier-name join-back touch
+    only the (usually single-row) survivor set."""
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_suppkey", "l_shipdate",
+                                    "l_extendedprice", "l_discount"])
+
+    def f_line(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(b["l_shipdate"], Q15_FROM),
+                    pc.less(b["l_shipdate"], Q15_TO))
+        b = b.filter(m)
+        rev = pc.multiply(_cents(b["l_extendedprice"]),
+                          pc.subtract(100, _pct(b["l_discount"])))
+        t = pa.table({"l_suppkey": b["l_suppkey"], "rev_u": rev})
+        return t.group_by("l_suppkey").aggregate([("rev_u", "sum")])
+
+    acc: dict[int, int] = {}
+    for b in line.map_batches(f_line, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            acc[r["l_suppkey"]] = acc.get(r["l_suppkey"], 0) \
+                + r["rev_u_sum"]
+    best = max(acc.values())
+    winners = sorted(k for k, v in acc.items() if v == best)
+    kset = pa.array(winners, pa.int64())
+
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_name"])
+
+    def f_supp(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["s_suppkey"], value_set=kset))
+
+    names = {r["s_suppkey"]: r["s_name"] for r in
+             supp.map_batches(f_supp, batch_format="pyarrow").take_all()}
+    return pa.table({
+        "s_suppkey": pa.array(winners, pa.int64()),
+        "s_name": pa.array([names[k] for k in winners], pa.string()),
+        "total_revenue": pa.array(
+            [round(best / 10000.0, 6)] * len(winners), pa.float64()),
+    })
+
+
+ORACLES["tpch_q15"] = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no, sum({_REV}) AS total_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       round(CAST(total_u AS DOUBLE) / 10000.0, 6) AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_u = (SELECT max(total_u) FROM rev)
+ORDER BY s_suppkey"""
+QUERIES["tpch_q15"] = q_tpch_q15
