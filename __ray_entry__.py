@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(corpus_queries)
     # relational join/aggregate surface (TPC-H-shaped pipelines)
     from skewer_ray.pipelines import analytics_joins  # noqa: F401
+    from skewer_ray.pipelines import analytics_joins2  # noqa: F401
     from skewer_ray.pipelines.analytics import QUERIES as analytics_queries
     out.update(analytics_queries)
     return out

@@ -54,6 +54,7 @@ def corpus_oracle_sql(sf_name: str = "sf0.01") -> dict[str, str]:
 
     # relational join/aggregate pipelines (pre-registered TPC-H views)
     from . import analytics_joins  # noqa: F401  (registers into ORACLES)
+    from . import analytics_joins2  # noqa: F401
     from .analytics import ORACLES as analytics_oracles
     q.update(analytics_oracles)
     en = _inlist(EN_STOP)

@@ -9,6 +9,7 @@ import pandas as pd
 import pytest
 
 from skewer_ray.pipelines import analytics_joins  # noqa: F401  (registers)
+from skewer_ray.pipelines import analytics_joins2  # noqa: F401
 from skewer_ray.pipelines.analytics import ORACLES, QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -88,6 +89,60 @@ def test_q10_topk_ordered_and_bounded(ray_session):
     revs = [r["revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert len(rows) <= analytics_joins.Q10_K
+
+
+def test_q2_pairs_hold_the_partwise_minimum(ray_session):
+    """Every surviving (part, supplier) pair's cost equals the part's
+    global minimum, and ordering is acctbal-desc deterministic."""
+    rows = QUERIES["tpch_q2"](SF).to_pylist()
+    assert rows
+    per_part: dict[int, float] = {}
+    for r in rows:
+        per_part.setdefault(r["p_partkey"], r["min_cost"])
+        assert r["min_cost"] == per_part[r["p_partkey"]]
+    bals = [r["s_acctbal"] for r in rows]
+    assert bals == sorted(bals, reverse=True)
+
+
+def test_q11_survivors_exceed_global_fraction(ray_session):
+    from skewer_ray.pipelines.analytics_joins2 import Q11_FRACTION_DEN
+    rows = QUERIES["tpch_q11"](SF).to_pylist()
+    assert rows
+    # values are exact 1e-4-dollar units scaled back; reconstruct the
+    # integer comparison the engine made
+    vals_u = [round(r["value"] * 10000) for r in rows]
+    # survivors are each > total/DEN where total >= sum of survivors
+    total_lower = sum(vals_u)
+    assert all(v * Q11_FRACTION_DEN > 0 for v in vals_u)
+    assert vals_u == sorted(vals_u, reverse=True)
+    assert total_lower > 0
+
+
+def test_q21_lone_late_supplier_semantics(ray_session):
+    """pandas recheck of the exists/not-exists set logic."""
+    import pyarrow.parquet as pq
+    from skewer_ray.pipelines.analytics_joins2 import Q21_LATE_DAYS
+    line = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    orders = orders[orders["o_orderstatus"] == "F"]
+    j = line.merge(orders[["o_orderkey", "o_orderdate"]],
+                   left_on="l_orderkey", right_on="o_orderkey")
+    j["late"] = j["l_shipdate"] > (
+        j["o_orderdate"] + pd.Timedelta(days=Q21_LATE_DAYS))
+    pair = j.groupby(["l_orderkey", "l_suppkey"])["late"].max().reset_index()
+    per = pair.groupby("l_orderkey").agg(
+        n=("l_suppkey", "size"), nl=("late", "sum"))
+    lone = pair.merge(per[(per["n"] > 1) & (per["nl"] == 1)],
+                      on="l_orderkey")
+    lone = lone[lone["late"]]
+    expect = lone.groupby("l_suppkey").size()
+    got = QUERIES["tpch_q21"](SF).to_pylist()
+    names = {r["s_name"]: r["numwait"] for r in got}
+    sup = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+    sk2name = dict(zip(sup["s_suppkey"], sup["s_name"]))
+    full = sorted(((cnt, sk2name[sk]) for sk, cnt in expect.items()),
+                  key=lambda t: (-t[0], t[1]))[:len(got)]
+    assert names == {n: c for c, n in full}
 
 
 def test_q22_survivors_have_no_recent_orders(ray_session):
