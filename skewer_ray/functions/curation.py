@@ -159,3 +159,103 @@ def stratified_sample(docs_ds, strata_col: str = "lang",
         return batch.select(list(cols)).filter(pa.array(keep))
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (global ordered prefix scan → fixed-budget packs)
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512      # tokens per training sequence
+PACK_BUCKETS = 4096    # segments of the distributed prefix scan
+
+
+def _word_counts(batch: pa.Table, text_col: str = "text") -> pa.Array:
+    """Vectorized canonical word count — len(norm_words(text)) without
+    the Python loop: trim, regex-split on whitespace runs, list length,
+    0 for all-whitespace text (matches textstats.norm_words and the
+    DuckDB ``string_split_regex(trim(text), '\\s+')`` oracle)."""
+    trimmed = pc.utf8_trim_whitespace(batch[text_col])
+    n = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+    return pc.if_else(pc.equal(trimmed, ""), pa.scalar(0, pa.int32()),
+                      n)
+
+
+def pack_sequences(docs_ds, max_key: int, budget: int = PACK_BUDGET,
+                   n_buckets: int = PACK_BUCKETS,
+                   key_col: str = "doc_id", text_col: str = "text"):
+    """GPT-style concat-and-cut sequence packing: documents are laid
+    end-to-end in key order and cut every ``budget`` tokens; a document
+    belongs to the pack where it STARTS (pack_id =
+    floor(tokens-before-it / budget)). Returns per-pack
+    (pack_id, n_docs, tokens, first_doc, last_doc), sorted.
+
+    The global ordered cumsum is a segmented scan, never a single-node
+    sort: (0) one narrow map drops text and keeps (key, toks, bucket)
+    where bucket = key // span (span from ``max_key``, so bucket count
+    stays ≤ n_buckets at any scale) — materialized because two passes
+    consume it and re-tokenizing the corpus would double the text
+    scan; (1) per-bucket token totals combine map-side and
+    prefix-sum on the driver (≤ n_buckets scalars); (2)
+    groupby(bucket).map_groups sorts each segment locally and adds its
+    broadcast offset — packs may straddle segment boundaries, so
+    map_groups emits per-(bucket, pack) partials and (3) a final tiny
+    keyed aggregate merges the straddlers."""
+    import ray
+    import ray.data as rd
+
+    span = max(1, (max_key + n_buckets) // n_buckets)
+
+    def derive(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch[key_col], pa.int64())
+        toks = pc.cast(_word_counts(batch, text_col), pa.int64())
+        bucket = pc.divide(keys, span)
+        return pa.table({"key": keys, "toks": toks, "bucket": bucket})
+
+    derived = docs_ds.map_batches(
+        derive, batch_format="pyarrow").materialize()
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        return batch.select(["bucket", "toks"]).group_by(
+            "bucket").aggregate([("toks", "sum")])
+
+    totals: dict[int, int] = {}
+    for b in derived.map_batches(bucket_partial, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            totals[r["bucket"]] = totals.get(r["bucket"], 0) \
+                + r["toks_sum"]
+    offsets: dict[int, int] = {}
+    run = 0
+    for bk in sorted(totals):
+        offsets[bk] = run
+        run += totals[bk]
+    off_ref = ray.put(offsets)
+
+    def pack_group(tbl: pa.Table) -> pa.Table:
+        from .decontam import _cached_get
+        offs = _cached_get(off_ref)
+        idx = pc.sort_indices(tbl["key"])
+        keys = tbl["key"].take(idx).to_numpy(zero_copy_only=False)
+        toks = tbl["toks"].take(idx).to_numpy(zero_copy_only=False)
+        before = offs[int(tbl["bucket"][0].as_py())] \
+            + np.concatenate(([0], np.cumsum(toks[:-1])))
+        pack = before // budget
+        t = pa.table({
+            "pack_id": pa.array(pack.astype(np.int64)),
+            "n": pa.array(np.ones(len(keys), np.int64)),
+            "toks": pa.array(toks.astype(np.int64)),
+            "kmin": pa.array(keys.astype(np.int64)),
+            "kmax": pa.array(keys.astype(np.int64)),
+        })
+        return t.group_by("pack_id").aggregate(
+            [("n", "sum"), ("toks", "sum"), ("kmin", "min"),
+             ("kmax", "max")])
+
+    partials = derived.groupby("bucket").map_groups(
+        pack_group, batch_format="pyarrow")
+    packs = partials.groupby("pack_id").aggregate(
+        rd.aggregate.Sum("n_sum", alias_name="n_docs"),
+        rd.aggregate.Sum("toks_sum", alias_name="tokens"),
+        rd.aggregate.Min("kmin_min", alias_name="first_doc"),
+        rd.aggregate.Max("kmax_max", alias_name="last_doc"))
+    return packs.sort("pack_id")

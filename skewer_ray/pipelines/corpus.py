@@ -101,6 +101,22 @@ def q_chunk_docs(sf_dir: str):
     return chunk_docs(_docs(sf_dir), size=200, stride=150)
 
 
+def q_pack_sequences(sf_dir: str):
+    """Global concat-and-cut sequence packing (budget 512 tokens) —
+    distributed segmented prefix scan (functions/curation.pack_sequences);
+    the max doc key comes from parquet footer statistics (no scan)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.curation import pack_sequences
+    md = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata
+    col = next(j for j in range(md.num_columns)
+               if md.row_group(0).column(j).path_in_schema == "doc_id")
+    max_key = max(
+        md.row_group(i).column(col).statistics.max
+        for i in range(md.num_row_groups))
+    return pack_sequences(_docs(sf_dir), max_key=max_key)
+
+
 def q_distinct_kmv(sf_dir: str):
     """KMV bottom-k cardinality sketch over the corpus vocabulary —
     distinct count without a distinct shuffle; exchange is O(batches×k)
@@ -616,6 +632,7 @@ QUERIES = {
     "sample_docs": q_sample_docs,
     "cap_per_source": q_cap_per_source,
     "chunk_docs": q_chunk_docs,
+    "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "tfidf_terms": q_tfidf_terms,
     "text_repetition": q_text_repetition,

@@ -657,6 +657,27 @@ WITH c AS (
 SELECT doc_id, i AS chunk_idx, substr(text, i*150 + 1, 200) AS chunk
 FROM c"""
 
+    # concat-and-cut sequence packing: docs laid end-to-end in doc_id
+    # order, cut every 512 tokens; a doc belongs to the pack where it
+    # starts (pack_id = floor(tokens-before / 512)). Token count is the
+    # canonical word count (trim + whitespace-run split, 0 if blank).
+    q["pack_sequences"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks,
+         coalesce(sum(toks) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM d)
+SELECT CAST(floor(cumb / 512.0) AS BIGINT) AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1 ORDER BY 1"""
+
     # video frame sampling: positions floor(j*(nf-1)/3) for j in 0..3,
     # nf = 8 + (md5 digits 9-10) % 25, feature = md5(text ':' idx)[0:2]
     q["media_frames"] = """

@@ -176,3 +176,45 @@ def test_kmv_estimate_tracks_exact_distinct(ray_session):
     else:
         rel = abs(t["estimate"] - len(vocab)) / len(vocab)
         assert rel < 3 / (t["k"] ** 0.5)  # 3 sigma of the KMV error
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_matches_serial_scan(ray_session):
+    """The segmented distributed scan equals a single-process
+    concat-and-cut recomputation, even with tiny buckets that force
+    packs to straddle segment boundaries."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from skewer_ray.functions.curation import pack_sequences
+    from skewer_ray.functions.textstats import norm_words
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    rows = sorted(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    budget = 97          # deliberately not a divisor of anything
+    expect: dict[int, list] = {}
+    cum = 0
+    for doc_id, text in rows:
+        toks = len(norm_words(text))
+        pid = cum // budget
+        a = expect.setdefault(pid, [0, 0, doc_id, doc_id])
+        a[0] += 1
+        a[1] += toks
+        a[3] = doc_id
+        cum += toks
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    got = pack_sequences(ds, max_key=rows[-1][0], budget=budget,
+                         n_buckets=7).take_all()
+    assert len(got) == len(expect)
+    for r in got:
+        e = expect[r["pack_id"]]
+        assert [r["n_docs"], r["tokens"], r["first_doc"],
+                r["last_doc"]] == e
+    # every document is packed exactly once
+    assert sum(r["n_docs"] for r in got) == len(rows)
