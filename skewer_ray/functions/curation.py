@@ -259,3 +259,100 @@ def pack_sequences(docs_ds, max_key: int, budget: int = PACK_BUDGET,
         rd.aggregate.Min("kmin_min", alias_name="first_doc"),
         rd.aggregate.Max("kmax_max", alias_name="last_doc"))
     return packs.sort("pack_id")
+
+
+# ---------------------------------------------------------------------------
+# global-quantile quality gate + deterministic shard layout
+# ---------------------------------------------------------------------------
+
+QUALITY_P = 0.25       # drop the bottom quartile
+QUALITY_SCALE = 10000  # quantization for the counting-sort quantile
+N_SHARDS = 16
+
+
+def quality_filter_docs(docs_ds, p: float = QUALITY_P,
+                        scale: int = QUALITY_SCALE):
+    """Keep documents at or above the global p-th quantile of the
+    quality score — the Gopher/C4-style corpus gate, with the threshold
+    LEARNED from the corpus rather than hand-set. Two passes over a
+    narrow materialized (doc_id, qk, quality) projection (text is
+    scanned once): the quantile is a counting sort over the quantized
+    score domain (≤ ``scale`` cells regardless of corpus size — partial
+    (qk, count) rows combine map-side, driver merges the bounded
+    histogram and index-selects at ceil(p·n)−1, DuckDB quantile_disc
+    semantics), then a broadcast-scalar filter. Quantization uses
+    floor(quality × scale), identical across engines given identical
+    doubles — no round-half mode skew."""
+    import math
+
+    from .textstats import text_stats_batch
+
+    def derive(b: pa.Table) -> pa.Table:
+        s = text_stats_batch(b)
+        qk = pc.cast(pc.floor(pc.multiply(s["quality"], scale)),
+                     pa.int64())
+        return pa.table({"doc_id": s["doc_id"], "qk": qk,
+                         "quality": s["quality"]})
+
+    scores = docs_ds.map_batches(
+        derive, batch_format="pyarrow").materialize()
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"qk": b["qk"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by("qk").aggregate([("n", "sum")])
+
+    acc: dict[int, int] = {}
+    for b in scores.map_batches(hist, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            acc[r["qk"]] = acc.get(r["qk"], 0) + r["n_sum"]
+    n = sum(acc.values())
+    idx = max(0, math.ceil(p * n) - 1)
+    seen = 0
+    thr = 0
+    for qk in sorted(acc):
+        if seen <= idx < seen + acc[qk]:
+            thr = qk
+            break
+        seen += acc[qk]
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b["qk"], thr)) \
+                .select(["doc_id", "quality"])
+
+    return scores.map_batches(keep, batch_format="pyarrow")
+
+
+def shard_docs(docs_ds, n_shards: int = N_SHARDS,
+               key_col: str = "doc_id", text_col: str = "text"):
+    """Deterministic training-shard layout: shard = md5(key)[0] mod
+    n_shards (pure function of the row — reproducible across engines,
+    partitionings and reruns, no RNG state), reported as per-shard
+    (n_docs, tokens). Map-only with map-side combine; the driver merge
+    touches n_shards scalars."""
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pylist()
+        shard = np.fromiter(
+            (hashlib.md5(str(k).encode()).digest()[0] % n_shards
+             for k in keys), np.int64, len(keys))
+        toks = pc.cast(_word_counts(b, text_col), pa.int64())
+        t = pa.table({"shard_id": pa.array(shard),
+                      "n": pa.array(np.ones(len(keys), np.int64)),
+                      "toks": toks})
+        return t.group_by("shard_id").aggregate(
+            [("n", "sum"), ("toks", "sum")])
+
+    acc: dict[int, list] = {}
+    for b in docs_ds.map_batches(partial, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["shard_id"], [0, 0])
+            a[0] += r["n_sum"]
+            a[1] += r["toks_sum"]
+    ks = sorted(acc)
+    return pa.table({
+        "shard_id": pa.array(ks, pa.int64()),
+        "n_docs": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "tokens": pa.array([acc[k][1] for k in ks], pa.int64()),
+    })

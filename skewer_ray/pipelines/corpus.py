@@ -117,6 +117,21 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), max_key=max_key)
 
 
+def q_quality_filter(sf_dir: str):
+    """Corpus quality gate at the global p25 quality quantile —
+    counting-sort quantile + broadcast-scalar filter
+    (functions/curation.quality_filter_docs)."""
+    from ..functions.curation import quality_filter_docs
+    return quality_filter_docs(_docs(sf_dir))
+
+
+def q_shard_docs(sf_dir: str):
+    """Deterministic md5 training-shard layout with per-shard doc and
+    token totals (functions/curation.shard_docs)."""
+    from ..functions.curation import shard_docs
+    return shard_docs(_docs(sf_dir))
+
+
 def q_distinct_kmv(sf_dir: str):
     """KMV bottom-k cardinality sketch over the corpus vocabulary —
     distinct count without a distinct shuffle; exchange is O(batches×k)
@@ -633,6 +648,8 @@ QUERIES = {
     "cap_per_source": q_cap_per_source,
     "chunk_docs": q_chunk_docs,
     "pack_sequences": q_pack_sequences,
+    "quality_filter": q_quality_filter,
+    "shard_docs": q_shard_docs,
     "decontaminate": q_decontaminate,
     "tfidf_terms": q_tfidf_terms,
     "text_repetition": q_text_repetition,

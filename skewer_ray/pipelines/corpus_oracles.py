@@ -657,6 +657,43 @@ WITH c AS (
 SELECT doc_id, i AS chunk_idx, substr(text, i*150 + 1, 200) AS chunk
 FROM c"""
 
+    # quality gate: keep docs at/above the global p25 of the quality
+    # score, quantized by floor(quality*10000) so the threshold value
+    # is integer-exact across engines (quantile_disc = index selection
+    # at ceil(p*n)-1, same as the engine's counting sort)
+    q["quality_filter"] = _W + f""",
+qual AS (
+  SELECT doc_id,
+    0.4 * least(len(words), 100) / 100
+    + 0.3 * (1.0 - CASE WHEN len(regexp_extract_all(text, '{_TOK}')) = 0
+                        THEN 0.0
+                        ELSE len(regexp_extract_all(text, '{_PUNCT}'))
+                             / len(regexp_extract_all(text, '{_TOK}'))
+                   END)
+    + 0.3 * least(1.0, 5.0 *
+        CASE WHEN len(words) = 0 THEN 0.0
+             ELSE len(list_filter(words, t -> t IN ({en}))) / len(words)
+        END) AS quality
+  FROM w),
+k AS (SELECT doc_id, quality,
+             CAST(floor(quality * 10000) AS BIGINT) AS qk FROM qual),
+t AS (SELECT quantile_disc(qk, 0.25) AS thr FROM k)
+SELECT doc_id, quality FROM k, t WHERE qk >= thr"""
+
+    # deterministic md5 shard layout: shard = md5(doc_id)[0] mod 16,
+    # per-shard doc and canonical-word-count totals
+    q["shard_docs"] = r"""
+WITH d AS (
+  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+              AS INTEGER) % 16 AS shard_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS toks
+  FROM documents)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS tokens
+FROM d GROUP BY 1 ORDER BY 1"""
+
     # concat-and-cut sequence packing: docs laid end-to-end in doc_id
     # order, cut every 512 tokens; a doc belongs to the pack where it
     # starts (pack_id = floor(tokens-before / 512)). Token count is the
