@@ -112,8 +112,27 @@ def q_tpch_q1(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# Q3-shape: shipping priority (two hash joins + aggregate + top-K)
+# Q3-shape: shipping priority (semi-join + hash join + aggregate + top-K)
 # ---------------------------------------------------------------------------
+
+BROADCAST_MAX_KEYS = 2_000_000   # ~16 MB of int64 keys per worker
+
+
+def _broadcast_semi_keys(ds, col: str):
+    """Broadcast-join threshold (the Spark/Presto planner rule): if the
+    filtered key side fits comfortably in every worker's heap, return
+    its sorted key array for an ``is_in`` semi-join — one hash-exchange
+    (and its per-execution aggregator-actor spin-up) avoided. Returns
+    None when the side is too big, in which case the caller must fall
+    back to the real hash join."""
+    mat = ds.materialize()
+    if mat.count() > BROADCAST_MAX_KEYS:
+        return None
+    keys: list[int] = []
+    for b in mat.iter_batches(batch_format="pyarrow"):
+        keys.extend(b[col].to_pylist())
+    return pa.array(sorted(keys), pa.int64())
+
 
 def q_tpch_q3(sf_dir: str):
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
@@ -124,13 +143,17 @@ def q_tpch_q3(sf_dir: str):
                 .select(["c_custkey"])
 
     cust = cust.map_batches(f_cust, batch_format="pyarrow")
+    ckeys = _broadcast_semi_keys(cust, "c_custkey")
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate",
                  "o_orderpriority"])
 
     def f_orders(b: pa.Table) -> pa.Table:
-        return b.filter(pc.less(b["o_orderdate"], Q3_DATE))
+        b = b.filter(pc.less(b["o_orderdate"], Q3_DATE))
+        if ckeys is not None:
+            b = b.filter(pc.is_in(b["o_custkey"], value_set=ckeys))
+        return b
 
     orders = orders.map_batches(f_orders, batch_format="pyarrow")
     line = rd.read_parquet(
@@ -146,27 +169,58 @@ def q_tpch_q3(sf_dir: str):
 
     line = line.map_batches(f_line, batch_format="pyarrow")
 
-    j1 = orders.join(cust, "inner", _join_partitions(),
-                     on=("o_custkey",), right_on=("c_custkey",))
-    j2 = line.join(j1, "inner", _join_partitions(),
+    if ckeys is None:
+        # big key side: the real hash exchange
+        orders = orders.join(cust, "inner", _join_partitions(),
+                             on=("o_custkey",), right_on=("c_custkey",))
+    j2 = line.join(orders, "inner", _join_partitions(),
                    on=("l_orderkey",), right_on=("o_orderkey",))
-    agg = j2.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
-            .sum("rev_u")
 
-    def finish(b: pa.Table) -> pa.Table:
-        return pa.table({
+    def partial(b: pa.Table) -> pa.Table:
+        # map-side combine: ≤ one row per order per batch crosses the
+        # groupby exchange instead of every lineitem
+        return b.select(["l_orderkey", "o_orderdate", "o_orderpriority",
+                         "rev_u"]) \
+                .group_by(["l_orderkey", "o_orderdate",
+                           "o_orderpriority"]).aggregate(
+            [("rev_u", "sum")])
+
+    agg = j2.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
+            .sum("rev_u_sum")
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        # two-phase top-K: each batch forwards at most 10 candidates;
+        # the global sort collapses to a driver merge of ≤10×batches
+        t = pa.table({
             "l_orderkey": b["l_orderkey"],
             "revenue": pc.round(pc.divide(
-                pc.cast(b["sum(rev_u)"], pa.float64()), 10000.0),
+                pc.cast(b["sum(rev_u_sum)"], pa.float64()), 10000.0),
                 ndigits=6),
             "o_orderdate": b["o_orderdate"],
             "o_orderpriority": b["o_orderpriority"],
         })
+        idx = pc.sort_indices(t, sort_keys=[
+            ("revenue", "descending"), ("o_orderdate", "ascending"),
+            ("l_orderkey", "ascending")])
+        return t.take(idx.slice(0, 10))
 
-    out = agg.map_batches(finish, batch_format="pyarrow")
-    out = out.sort(["revenue", "o_orderdate", "l_orderkey"],
-                   descending=[True, False, False]).limit(10)
-    return out
+    cands = []
+    for b in agg.map_batches(local_topk, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+        cands.extend(b.to_pylist())
+    cands.sort(key=lambda r: (-r["revenue"], r["o_orderdate"],
+                              r["l_orderkey"]))
+    cands = cands[:10]
+    return pa.table({
+        "l_orderkey": pa.array([r["l_orderkey"] for r in cands],
+                               pa.int64()),
+        "revenue": pa.array([r["revenue"] for r in cands], pa.float64()),
+        "o_orderdate": pa.array([r["o_orderdate"] for r in cands],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array([r["o_orderpriority"] for r in cands],
+                                    pa.string()),
+    })
 
 
 # ---------------------------------------------------------------------------

@@ -70,7 +70,7 @@ def test_quantiles_match_sorted_selection(ray_session):
 
 
 def test_q3_topk_is_ordered_desc(ray_session):
-    rows = QUERIES["tpch_q3"](SF).take_all()
+    rows = QUERIES["tpch_q3"](SF).to_pylist()
     revs = [r["revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
     assert len(rows) == 10
@@ -159,3 +159,13 @@ def test_q22_survivors_have_no_recent_orders(ray_session):
     got = {r["cntry"]: r["numcust"]
            for r in QUERIES["tpch_q22"](SF).to_pylist()}
     assert got == expect.to_dict()
+
+
+def test_q3_hash_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    """Forcing the key side over the broadcast threshold exercises the
+    real hash-exchange path; results must be identical."""
+    import skewer_ray.pipelines.analytics as an
+    fast = QUERIES["tpch_q3"](SF).to_pylist()
+    monkeypatch.setattr(an, "BROADCAST_MAX_KEYS", 0)
+    slow = QUERIES["tpch_q3"](SF).to_pylist()
+    assert fast == slow
