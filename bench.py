@@ -126,6 +126,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     try:
         from skewer_ray.pipelines import analytics as aq
         subset += [("tpch_q1", aq.q_tpch_q1), ("tpch_q3", aq.q_tpch_q3)]
+        from skewer_ray.pipelines import corpus as cq2
+        subset += [("pack_sequences", cq2.q_pack_sequences),
+                   ("quality_filter", cq2.q_quality_filter)]
     except ImportError:
         pass
     for name, fn in subset:
