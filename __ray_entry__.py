@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_templates": q.q_log_templates,
         # multiline record reassembly (framing-layer continuation glue)
         "merge_multiline": q.q_merge_multiline,
+        # role-transition bigrams (LAG OVER conv/turn shape)
+        "role_transitions": q.q_role_transitions,
         # user-composable grok named-pattern extraction
         "grok_transcripts": q.q_grok_transcripts,
         # host pseudonymization + PII scrub (GDPR sanitization pass)

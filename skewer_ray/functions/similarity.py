@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 DEFAULT_K = 5
 LSH_PLANES = 6
@@ -345,3 +346,82 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = DEFAULT_K,
 
     partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
     return _merge_topk(partials, k)
+
+
+RANGE_TAU = 0.30
+
+
+def range_search(emb_ds, query_ids: list[int], tau: float = RANGE_TAU):
+    """All candidates within cosine ≥ tau of each query — the radius
+    variant of the ANN surface. Unlike top-k there is NO merge step:
+    membership is a pure per-row predicate against the broadcast query
+    matrix, so the whole operator is one embarrassingly-parallel
+    map_batches (output size is data-dependent; at scale, write it out
+    rather than collecting). Scores round to 6 dp before the threshold
+    so float noise cannot flip membership between engines."""
+    import ray
+
+    qids, qmat = _query_matrix(emb_ds, query_ids)
+    broadcast = ray.put((qids, qmat))
+    qid_set = set(int(q) for q in query_ids)
+
+    def part(batch: pa.Table) -> pa.Table:
+        b_qids, b_qmat = ray.get(broadcast)
+        cids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keep = np.array([c not in qid_set for c in cids])
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if not keep.any():
+            return empty
+        cids = cids[keep]
+        cmat = _norm_rows(np.array(
+            batch["embedding"].to_pylist(), dtype=np.float64)[keep])
+        sims = np.round(b_qmat @ cmat.T, 6)
+        qi, ci = np.nonzero(sims >= tau)
+        if not len(qi):
+            return empty
+        return pa.table({
+            "query_id": pa.array(b_qids[qi].astype(np.int64)),
+            "vec_id": pa.array(cids[ci].astype(np.int64)),
+            "cosine": pa.array(sims[qi, ci]),
+        })
+
+    return emb_ds.map_batches(part, batch_format="pyarrow")
+
+
+def knn_classify(emb_ds, query_ids: list[int], k: int = DEFAULT_K):
+    """k-NN majority-vote label per query: exact top-k neighbors
+    (brute_force_topk's bounded partial/merge), then the neighbors'
+    labels are fetched with an is_in fetch of ≤ queries×k keys (never
+    the reverse) and the vote is a driver fold over that tiny set.
+    Ties break toward the smaller label. Output
+    (query_id, label, votes)."""
+    topk = brute_force_topk(emb_ds, query_ids, k=k).take_all()
+    need = sorted({r["vec_id"] for r in topk})
+    nset = pa.array(need, pa.int64())
+
+    def fetch(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["vec_id"], value_set=nset)) \
+                .select(["vec_id", "label"])
+
+    labels = {r["vec_id"]: r["label"] for r in
+              emb_ds.map_batches(fetch, batch_format="pyarrow")
+              .take_all()}
+    votes: dict[int, dict[int, int]] = {}
+    for r in topk:
+        d = votes.setdefault(r["query_id"], {})
+        lb = int(labels[r["vec_id"]])
+        d[lb] = d.get(lb, 0) + 1
+    qs = sorted(votes)
+    win, n_votes = [], []
+    for q in qs:
+        d = votes[q]
+        lb = min(d, key=lambda x: (-d[x], x))
+        win.append(lb)
+        n_votes.append(d[lb])
+    return pa.table({
+        "query_id": pa.array(qs, pa.int64()),
+        "label": pa.array(win, pa.int64()),
+        "votes": pa.array(n_votes, pa.int64()),
+    })

@@ -465,3 +465,55 @@ def range_join_counts(events_ds, lookback_us: int = 30 * 60 * 1_000_000):
         batch_format="pyarrow")
     return pruned.groupby("user_id").map_groups(sweep,
                                                 batch_format="pyarrow")
+
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def retention_cohorts(events_ds):
+    """Cohort retention matrix (cohort_week, week_offset, n_users):
+    users are cohorted by their first active calendar week; each later
+    active week counts them at offset (week − cohort).
+
+    Distributed form: per-batch (user, week) dedup (map-side), ONE
+    user-keyed shuffle of the deduped pairs (≤ users × active-weeks
+    rows — never raw events), in-group cohort/offset derivation, then
+    map-side (cohort, offset) partial counts merged on the driver (the
+    matrix is weeks² cells, independent of row count)."""
+    def pairs(batch: pa.Table) -> pa.Table:
+        week = pc.cast(pc.divide(pc.cast(batch["ts"], pa.int64()),
+                                 WEEK_US), pa.int64())
+        t = pa.table({"user_id": batch["user_id"], "week": week})
+        return t.group_by(["user_id", "week"]).aggregate([])
+
+    def per_user(tbl: pa.Table) -> pa.Table:
+        weeks = np.unique(np.asarray(tbl["week"].to_pylist(),
+                                     dtype=np.int64))
+        cohort = int(weeks[0])
+        return pa.table({
+            "cohort_week": pa.array([cohort] * len(weeks), pa.int64()),
+            "week_offset": pa.array(weeks - cohort),
+            "n": pa.array(np.ones(len(weeks), np.int64)),
+        })
+
+    cells = (events_ds
+             .map_batches(pairs, batch_format="pyarrow")
+             .groupby("user_id")
+             .map_groups(per_user, batch_format="pyarrow"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["cohort_week", "week_offset"]).aggregate(
+            [("n", "sum")])
+
+    acc: dict[tuple, int] = {}
+    for b in cells.map_batches(partial, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            k = (r["cohort_week"], r["week_offset"])
+            acc[k] = acc.get(k, 0) + r["n_sum"]
+    ks = sorted(acc)
+    return pa.table({
+        "cohort_week": pa.array([k[0] for k in ks], pa.int64()),
+        "week_offset": pa.array([k[1] for k in ks], pa.int64()),
+        "n_users": pa.array([acc[k] for k in ks], pa.int64()),
+    })

@@ -117,6 +117,32 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), max_key=max_key)
 
 
+def q_ann_range(sf_dir: str):
+    """Radius search: all candidates with cosine ≥ τ of each query —
+    pure per-row predicate vs the broadcast query matrix, no merge
+    (functions/similarity.range_search)."""
+    from ..functions.similarity import range_search
+    return range_search(_emb(sf_dir), ANN_QUERY_IDS)
+
+
+def q_knn_classify(sf_dir: str):
+    """k-NN majority-vote label per query vector
+    (functions/similarity.knn_classify)."""
+    from ..functions.similarity import knn_classify
+
+    def emb_with_label(sf=sf_dir):
+        return rd.read_parquet(f"{sf}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+    return knn_classify(emb_with_label(), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention matrix over events
+    (functions/windows.retention_cohorts)."""
+    from ..functions.windows import retention_cohorts
+    return retention_cohorts(_events(sf_dir, ["user_id", "ts"]))
+
+
 def q_quality_filter(sf_dir: str):
     """Corpus quality gate at the global p25 quality quantile —
     counting-sort quantile + broadcast-scalar filter
@@ -650,6 +676,9 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "quality_filter": q_quality_filter,
     "shard_docs": q_shard_docs,
+    "ann_range": q_ann_range,
+    "knn_classify": q_knn_classify,
+    "retention_cohorts": q_retention_cohorts,
     "decontaminate": q_decontaminate,
     "tfidf_terms": q_tfidf_terms,
     "text_repetition": q_text_repetition,

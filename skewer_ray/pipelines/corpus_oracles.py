@@ -244,6 +244,58 @@ SELECT query_id,
 FROM s
 QUALIFY rank <= 5"""
 
+    # radius (range) search: every candidate with cosine >= 0.30 of a
+    # query — same CTEs as ann_topk, threshold instead of rank
+    q["ann_range"] = """
+WITH qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 10),
+cv AS (SELECT vec_id, embedding::DOUBLE[] AS ce
+       FROM embeddings WHERE vec_id >= 10)
+SELECT query_id, vec_id,
+       round(list_cosine_similarity(qe, ce), 6) AS cosine
+FROM qv CROSS JOIN cv
+WHERE round(list_cosine_similarity(qe, ce), 6) >= 0.30"""
+
+    # k-NN majority vote over the exact top-5 neighbors; ties break
+    # toward the smaller label (same rule as the engine fold)
+    q["knn_classify"] = """
+WITH qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 10),
+cv AS (SELECT vec_id, label, embedding::DOUBLE[] AS ce
+       FROM embeddings WHERE vec_id >= 10),
+s AS (
+  SELECT query_id, vec_id, label,
+         round(list_cosine_similarity(qe, ce), 6) AS cosine
+  FROM qv CROSS JOIN cv
+),
+top AS (
+  SELECT query_id, label FROM s
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, vec_id) <= 5
+),
+v AS (SELECT query_id, label, count(*) AS votes
+      FROM top GROUP BY 1, 2)
+SELECT query_id, CAST(label AS BIGINT) AS label,
+       CAST(votes AS BIGINT) AS votes
+FROM v
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY votes DESC, label) = 1
+ORDER BY query_id"""
+
+    # weekly cohort retention: users cohorted by first active week,
+    # counted at each later active week's offset
+    q["retention_cohorts"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+  FROM events),
+c AS (SELECT user_id, week,
+             min(week) OVER (PARTITION BY user_id) AS cohort
+      FROM uw)
+SELECT cohort AS cohort_week, week - cohort AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM c GROUP BY 1, 2 ORDER BY 1, 2"""
+
     # --- adversarial syslog edge corpus (hand-written expectations) --
     from .edge_corpus import edge_oracle_sql
     q["parse_edge_syslog"] = edge_oracle_sql()

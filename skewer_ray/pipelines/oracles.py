@@ -294,6 +294,16 @@ GROUP BY conv_id"""
     from ..functions.multiline import multiline_oracle_sql
     q["merge_multiline"] = multiline_oracle_sql(_tpath(sf_name))
 
+    q["role_transitions"] = f"""
+WITH b AS (
+  SELECT role AS to_role,
+         lag(role) OVER (PARTITION BY conv_id
+                         ORDER BY turn_idx) AS from_role
+  FROM read_parquet('{_tpath(sf_name)}'))
+SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
+FROM b WHERE from_role IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
     q["routed_rows_kafka"] = C + """
 SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':0' AS uid,
        topic, partition_key

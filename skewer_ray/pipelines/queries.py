@@ -289,6 +289,52 @@ def q_conv_text(sf_dir: str):
     return ds.groupby("conv_id").map_groups(assemble, batch_format="pyarrow")
 
 
+def q_role_transitions(sf_dir: str):
+    """Role-transition bigram counts across conversations (the LAG OVER
+    (PARTITION BY conv ORDER BY turn) shape): narrow 3-column
+    projection into ONE conv-keyed shuffle, in-group ordered bigram
+    count, then map-side partial merge of the tiny (from, to) domain on
+    the driver."""
+    from collections import Counter
+    ds = read_transcripts(sf_dir)
+
+    def prune(b: pa.Table) -> pa.Table:
+        return b.select(["conv_id", "turn_idx", "role"])
+
+    def per_conv(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch,
+                                sort_keys=[("turn_idx", "ascending")])
+        roles = batch.take(order)["role"].to_pylist()
+        c = Counter(zip(roles[:-1], roles[1:]))
+        ks = sorted(c)
+        return pa.table({
+            "from_role": pa.array([k[0] for k in ks], pa.string()),
+            "to_role": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64()),
+        })
+
+    cells = ds.map_batches(prune, batch_format="pyarrow") \
+              .groupby("conv_id") \
+              .map_groups(per_conv, batch_format="pyarrow")
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["from_role", "to_role"]).aggregate(
+            [("n", "sum")])
+
+    acc: dict[tuple, int] = {}
+    for b in cells.map_batches(partial, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            k = (r["from_role"], r["to_role"])
+            acc[k] = acc.get(k, 0) + r["n_sum"]
+    ks = sorted(acc)
+    return pa.table({
+        "from_role": pa.array([k[0] for k in ks], pa.string()),
+        "to_role": pa.array([k[1] for k in ks], pa.string()),
+        "n": pa.array([acc[k] for k in ks], pa.int64()),
+    })
+
+
 def q_merge_multiline(sf_dir: str):
     """Multiline log-record reassembly (stack-trace gluing): lines not
     opening with a syslog PRI are continuations of the record above

@@ -448,3 +448,81 @@ def test_lang_embedding_stats_accounts_all_vectors(ray_session):
     n_emb = pq.ParquetFile(f"{SF}/embeddings.parquet").metadata.num_rows
     assert sum(t["n"].to_pylist()) == n_emb
     assert all(v > 0 for v in t["avg_norm"].to_pylist())
+
+
+def test_range_search_vs_numpy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    from skewer_ray.functions.similarity import RANGE_TAU, _norm_rows
+    from skewer_ray.pipelines.corpus import ANN_QUERY_IDS, q_ann_range
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = np.array(t["vec_id"].to_pylist())
+    mat = _norm_rows(np.array(t["embedding"].to_pylist(), np.float64))
+    qm = mat[np.isin(ids, ANN_QUERY_IDS)]
+    qi = ids[np.isin(ids, ANN_QUERY_IDS)]
+    cm = mat[~np.isin(ids, ANN_QUERY_IDS)]
+    ci = ids[~np.isin(ids, ANN_QUERY_IDS)]
+    sims = np.round(qm @ cm.T, 6)
+    expect = {(int(qi[a]), int(ci[b]), float(sims[a, b]))
+              for a, b in zip(*np.nonzero(sims >= RANGE_TAU))}
+    got = {(r["query_id"], r["vec_id"], r["cosine"])
+           for r in q_ann_range(SF).take_all()}
+    assert got == expect and got
+
+
+def test_knn_classify_majority_of_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+    from collections import Counter
+    from skewer_ray.pipelines.corpus import (ANN_K, q_ann_topk,
+                                             q_knn_classify)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "label"])
+    lab = dict(zip(t["vec_id"].to_pylist(), t["label"].to_pylist()))
+    top: dict[int, list] = {}
+    for r in q_ann_topk(SF).take_all():
+        top.setdefault(r["query_id"], []).append(lab[r["vec_id"]])
+    got = {r["query_id"]: (r["label"], r["votes"])
+           for r in q_knn_classify(SF).to_pylist()}
+    assert set(got) == set(top)
+    for q, labels in top.items():
+        c = Counter(labels)
+        win = min(c, key=lambda x: (-c[x], x))
+        assert got[q] == (win, c[win])
+        assert sum(c.values()) <= ANN_K
+
+
+def test_retention_cohorts_vs_pandas(ray_session):
+    import pyarrow.parquet as pq
+    from skewer_ray.functions.windows import WEEK_US
+    from skewer_ray.pipelines.corpus import q_retention_cohorts
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts"]).to_pandas()
+    df["week"] = df["ts"].astype("datetime64[us]").astype("int64") // WEEK_US
+    uw = df[["user_id", "week"]].drop_duplicates()
+    uw["cohort"] = uw.groupby("user_id")["week"].transform("min")
+    uw["off"] = uw["week"] - uw["cohort"]
+    expect = uw.groupby(["cohort", "off"]).size().to_dict()
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in q_retention_cohorts(SF).to_pylist()}
+    assert got == expect
+    # every user appears exactly once at offset 0
+    assert sum(v for (c, o), v in got.items() if o == 0) \
+        == df["user_id"].nunique()
+
+
+def test_role_transitions_vs_pandas(ray_session):
+    import pyarrow.parquet as pq
+    from skewer_ray.gen import ensure_transcripts
+    from skewer_ray.pipelines.queries import q_role_transitions
+    path = ensure_transcripts(SF)
+    df = pq.ParquetDataset(path).read(
+        columns=["conv_id", "turn_idx", "role"]).to_pandas()
+    df = df.sort_values(["conv_id", "turn_idx"])
+    prev = df.groupby("conv_id")["role"].shift(1)
+    mask = prev.notna()
+    expect = (df[mask].assign(from_role=prev[mask])
+              .groupby(["from_role", "role"]).size().to_dict())
+    got = {(r["from_role"], r["to_role"]): r["n"]
+           for r in q_role_transitions(SF).to_pylist()}
+    assert got == expect and got
