@@ -134,6 +134,39 @@ def _broadcast_semi_keys(ds, col: str):
     return pa.array(sorted(keys), pa.int64())
 
 
+def _broadcast_attr_side(ds, key_col: str):
+    """Attribute-carrying variant of the broadcast-join rule: if the
+    keyed side fits in worker heaps, return (object-store ref of
+    (sorted_keys_np, key-sorted arrow table)) for a searchsorted gather
+    inside map_batches; else None (caller falls back to the hash
+    exchange). Use ``_gather_attrs`` in the map function."""
+    import ray
+    mat = ds.materialize()
+    if mat.count() > BROADCAST_MAX_KEYS:
+        return None
+    parts = list(mat.iter_batches(batch_format="pyarrow"))
+    tbl = pa.concat_tables(parts) if parts else None
+    if tbl is None or tbl.num_rows == 0:
+        return None
+    tbl = tbl.take(pc.sort_indices(tbl[key_col]))
+    keys = tbl[key_col].to_numpy(zero_copy_only=False)
+    return ray.put((keys, tbl))
+
+
+def _gather_attrs(side_ref, batch_keys: np.ndarray):
+    """Inner-join gather against a broadcast UNIQUE-KEY side: returns
+    (keep_mask, positions, side_table). searchsorted keeps the first
+    match, so the side's key column must be unique (true for the
+    primary-keyed orders/part sides this is used on). Side is fetched
+    once per worker via the plasma-backed cache."""
+    from ..functions.decontam import _cached_get
+    keys, tbl = _cached_get(side_ref)
+    pos = np.searchsorted(keys, batch_keys)
+    pos_c = np.minimum(pos, len(keys) - 1)
+    keep = keys[pos_c] == batch_keys
+    return keep, pos_c, tbl
+
+
 def q_tpch_q3(sf_dir: str):
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])
@@ -173,8 +206,21 @@ def q_tpch_q3(sf_dir: str):
         # big key side: the real hash exchange
         orders = orders.join(cust, "inner", _join_partitions(),
                              on=("o_custkey",), right_on=("c_custkey",))
-    j2 = line.join(orders, "inner", _join_partitions(),
-                   on=("l_orderkey",), right_on=("o_orderkey",))
+    side = _broadcast_attr_side(orders, "o_orderkey")
+    if side is not None:
+        def attach(b: pa.Table) -> pa.Table:
+            keep, pos, tbl = _gather_attrs(
+                side, b["l_orderkey"].to_numpy(zero_copy_only=False))
+            b = b.filter(pa.array(keep))
+            sel = pa.array(pos[keep])
+            return pa.table({
+                "l_orderkey": b["l_orderkey"], "rev_u": b["rev_u"],
+                "o_orderdate": tbl["o_orderdate"].take(sel),
+                "o_orderpriority": tbl["o_orderpriority"].take(sel)})
+        j2 = line.map_batches(attach, batch_format="pyarrow")
+    else:
+        j2 = line.join(orders, "inner", _join_partitions(),
+                       on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(b: pa.Table) -> pa.Table:
         # map-side combine: ≤ one row per order per batch crosses the

@@ -29,7 +29,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .analytics import ORACLES, QUERIES, _cents, _join_partitions, _pct, _REV
+from .analytics import (ORACLES, QUERIES, _broadcast_attr_side as _battr,
+                        _cents, _gather_attrs as _gattr, _join_partitions,
+                        _pct, _REV)
 
 # ---------------------------------------------------------------------------
 # Q10-shape: returned-item reporting (join + aggregate + top-K join-back)
@@ -70,9 +72,27 @@ def q_tpch_q10(sf_dir: str):
         return pa.table({"l_orderkey": b["l_orderkey"], "rev_u": rev})
 
     line = line.map_batches(f_line, batch_format="pyarrow")
-    j = line.join(orders, "inner", _join_partitions(),
-                  on=("l_orderkey",), right_on=("o_orderkey",))
-    per_cust = j.groupby("o_custkey").sum("rev_u")
+    side = _battr(orders, "o_orderkey")
+    if side is not None:
+        def attach(b: pa.Table) -> pa.Table:
+            keep, pos, tbl = _gattr(
+                side, b["l_orderkey"].to_numpy(zero_copy_only=False))
+            b = b.filter(pa.array(keep))
+            t = pa.table({"o_custkey": tbl["o_custkey"]
+                          .take(pa.array(pos[keep])),
+                          "rev_u": b["rev_u"]})
+            # map-side combine: only per-customer partials shuffle
+            return t.group_by("o_custkey").aggregate([("rev_u", "sum")])
+        per_cust = line.map_batches(attach, batch_format="pyarrow") \
+                       .groupby("o_custkey").sum("rev_u_sum") \
+                       .map_batches(
+            lambda b: b.select(["o_custkey", "sum(rev_u_sum)"])
+                       .rename_columns(["o_custkey", "sum(rev_u)"]),
+            batch_format="pyarrow")
+    else:
+        j = line.join(orders, "inner", _join_partitions(),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+        per_cust = j.groupby("o_custkey").sum("rev_u")
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -186,10 +206,11 @@ Q14_TO = datetime(1997, 4, 1)
 
 
 def q_tpch_q14(sf_dir: str):
-    """Share of revenue from PROMO parts in one month. part joins via
-    the hash exchange (NOT broadcast — part grows with scale factor,
-    unlike nation/region), conditional partial sums combine map-side,
-    and the single float division happens once on the driver."""
+    """Share of revenue from PROMO parts in one month. part attaches
+    via the broadcast-threshold rule (part grows with scale factor —
+    past the threshold it falls back to the hash exchange), conditional
+    partial sums combine map-side, and the single float division
+    happens once on the driver."""
     part = rd.read_parquet(f"{sf_dir}/part.parquet",
                            columns=["p_partkey", "p_type"])
     line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
@@ -205,8 +226,19 @@ def q_tpch_q14(sf_dir: str):
         return pa.table({"l_partkey": b["l_partkey"], "rev_u": rev})
 
     line = line.map_batches(f_line, batch_format="pyarrow")
-    j = line.join(part, "inner", _join_partitions(),
-                  on=("l_partkey",), right_on=("p_partkey",))
+    side = _battr(part, "p_partkey")
+    if side is not None:
+        def j_batches(b: pa.Table) -> pa.Table:
+            keep, pos, tbl = _gattr(
+                side, b["l_partkey"].to_numpy(zero_copy_only=False))
+            b = b.filter(pa.array(keep))
+            return pa.table({
+                "rev_u": b["rev_u"],
+                "p_type": tbl["p_type"].take(pa.array(pos[keep]))})
+        j = line.map_batches(j_batches, batch_format="pyarrow")
+    else:
+        j = line.join(part, "inner", _join_partitions(),
+                      on=("l_partkey",), right_on=("p_partkey",))
 
     def partial(b: pa.Table) -> pa.Table:
         promo = pc.cast(pc.equal(b["p_type"], "PROMO"), pa.int64())

@@ -36,7 +36,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .analytics import ORACLES, QUERIES, _cents, _join_partitions, _pct, _REV
+from .analytics import (ORACLES, QUERIES, _broadcast_attr_side as _battr,
+                        _cents, _gather_attrs as _gattr, _join_partitions,
+                        _pct, _REV)
 
 
 def _broadcast_keys(ds, col: str) -> pa.Array:
@@ -204,8 +206,20 @@ def q_tpch_q9(sf_dir: str):
     line = line.map_batches(f_line, batch_format="pyarrow")
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderdate"])
-    j = line.join(orders, "inner", _join_partitions(),
-                  on=("l_orderkey",), right_on=("o_orderkey",))
+    side = _battr(orders, "o_orderkey")
+    if side is not None:
+        def j_batches(b: pa.Table) -> pa.Table:
+            keep, pos, tbl = _gattr(
+                side, b["l_orderkey"].to_numpy(zero_copy_only=False))
+            b = b.filter(pa.array(keep))
+            return pa.table({
+                "l_suppkey": b["l_suppkey"], "rev_u": b["rev_u"],
+                "o_orderdate": tbl["o_orderdate"]
+                .take(pa.array(pos[keep]))})
+        j = line.map_batches(j_batches, batch_format="pyarrow")
+    else:
+        j = line.join(orders, "inner", _join_partitions(),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(b: pa.Table) -> pa.Table:
         sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
@@ -511,8 +525,20 @@ def q_tpch_q21(sf_dir: str):
                                     pa.timestamp("us")), pa.int64())})
 
     line = line.map_batches(f_line, batch_format="pyarrow")
-    j = line.join(orders, "inner", _join_partitions(),
-                  on=("l_orderkey",), right_on=("o_orderkey",))
+    side = _battr(orders, "o_orderkey")
+    if side is not None:
+        def j_batches(b: pa.Table) -> pa.Table:
+            keep, pos, tbl = _gattr(
+                side, b["l_orderkey"].to_numpy(zero_copy_only=False))
+            b = b.filter(pa.array(keep))
+            return pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "l_suppkey": b["l_suppkey"], "l_us": b["l_us"],
+                "o_us": tbl["o_us"].take(pa.array(pos[keep]))})
+        j = line.map_batches(j_batches, batch_format="pyarrow")
+    else:
+        j = line.join(orders, "inner", _join_partitions(),
+                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def pair_partial(b: pa.Table) -> pa.Table:
         late = pc.cast(pc.greater(

@@ -161,11 +161,14 @@ def test_q22_survivors_have_no_recent_orders(ray_session):
     assert got == expect.to_dict()
 
 
-def test_q3_hash_join_fallback_matches_broadcast(ray_session, monkeypatch):
+@pytest.mark.parametrize("name", ["tpch_q3", "tpch_q9", "tpch_q10",
+                                  "tpch_q14", "tpch_q21"])
+def test_hash_join_fallback_matches_broadcast(name, ray_session,
+                                              monkeypatch):
     """Forcing the key side over the broadcast threshold exercises the
     real hash-exchange path; results must be identical."""
     import skewer_ray.pipelines.analytics as an
-    fast = QUERIES["tpch_q3"](SF).to_pylist()
+    fast = QUERIES[name](SF).to_pylist()
     monkeypatch.setattr(an, "BROADCAST_MAX_KEYS", 0)
-    slow = QUERIES["tpch_q3"](SF).to_pylist()
+    slow = QUERIES[name](SF).to_pylist()
     assert fast == slow
