@@ -483,3 +483,84 @@ def embedding_lsh_pairs(emb_ds, threshold: float = 0.45,
             .map_batches(bucketize, batch_format="pyarrow"))
     return rows.groupby("bucket").map_groups(bucket_pairs,
                                              batch_format="pyarrow")
+
+
+def connected_components(pairs_ds, a_col: str = "doc_a",
+                         b_col: str = "doc_b", max_iters: int = 64):
+    """Distributed connected components over a pair (edge) table.
+
+    Returns a Dataset ``(doc_id, cluster_rep)`` covering every node that
+    appears in at least one pair, with ``cluster_rep`` = min doc_id of
+    the node's component — byte-identical to driver union-find output.
+
+    Shape (what survives 100 TB): min-label propagation. ``label(v)``
+    starts at ``min(v, neighbors(v))``; each round joins current labels
+    onto the symmetric edge list (one hash exchange over O(edges) rows)
+    and takes a per-node min (one keyed groupby). Labels are monotone
+    non-increasing, so the global label sum is a convergence witness;
+    rounds needed = component diameter (near-dup clusters are shallow
+    stars/chains, so typically 2-4). Nothing here is O(corpus): only
+    the pair graph — already sparse by LSH construction — is shuffled,
+    and the per-round state (one label row per distinct node) is
+    materialized in the object store, not on the driver. This is the
+    scale path for ``q_dedup_clusters``'s driver union-find, which
+    stops being viable once the pair set outgrows one machine.
+    """
+    import ray
+    import ray.data as rd
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_rep": pa.array([], pa.int64())})
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = pc.cast(b[a_col], pa.int64())
+        bb = pc.cast(b[b_col], pa.int64())
+        return pa.table({
+            "src": pa.concat_arrays([a.combine_chunks(),
+                                     bb.combine_chunks()]),
+            "dst": pa.concat_arrays([bb.combine_chunks(),
+                                     a.combine_chunks()])})
+
+    edges = (pairs_ds.select_columns([a_col, b_col])
+             .map_batches(symmetrize, batch_format="pyarrow")
+             .materialize())                      # O(edges), reused per round
+    if edges.count() == 0:
+        return rd.from_arrow(empty)
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nparts = max(2, min(16, cpus // 4))
+
+    def init_label(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["src"],
+            "label": pc.min_element_wise(b["src"], b["min(dst)"])})
+
+    labels = (edges.groupby("src").min("dst")
+              .map_batches(init_label, batch_format="pyarrow")
+              .materialize())
+    prev_sum = None
+
+    def to_msgs(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["dst"], "label": b["label"]})
+
+    def rename_min(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "label": b["min(label)"]})
+
+    for _ in range(max_iters):
+        cur = labels.sum("label")
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+        msgs = (edges.join(labels, "inner", nparts,
+                           on=("src",), right_on=("node",))
+                .map_batches(to_msgs, batch_format="pyarrow"))
+        labels = (labels.union(msgs)
+                  .groupby("node").min("label")
+                  .map_batches(rename_min, batch_format="pyarrow")
+                  .materialize())
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["node"], "cluster_rep": b["label"]})
+
+    return labels.map_batches(finalize, batch_format="pyarrow")

@@ -256,33 +256,16 @@ def q_dedup_filtered_docs(sf_dir: str):
 
 def q_dedup_clusters(sf_dir: str):
     """Transitive near-dup clusters: connected components over the
-    MinHash pair graph, rep = min doc_id in the component. The pair set
-    is tiny (near-dups only), so union-find runs on the driver — the
-    standard pattern at any scale: the O(N²)-ish part stays in the LSH
-    shuffle, the graph contraction is O(#pairs)."""
-    import pyarrow as pa
+    MinHash pair graph, rep = min doc_id in the component. Runs the
+    distributed min-label propagation (`dedup.connected_components` —
+    O(edges) joins + keyed min-groupbys, per-round state in the object
+    store, never on the driver), so the graph contraction scales past
+    the point where the pair set fits one machine. Union-find parity is
+    pinned by `tests/test_corpus.py`."""
+    from ..functions.dedup import connected_components
 
     pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=JACCARD_THRESHOLD)
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for r in pairs.select_columns(["doc_a", "doc_b"]).take_all():
-        ra, rb = find(r["doc_a"]), find(r["doc_b"])
-        if ra != rb:
-            # union by min id so the root IS the representative
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    members = sorted(parent)
-    return pa.table({
-        "doc_id": pa.array(members, pa.int64()),
-        "cluster_rep": pa.array([find(m) for m in members], pa.int64()),
-    })
+    return connected_components(pairs)
 
 
 def _events(sf_dir: str, cols):

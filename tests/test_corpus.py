@@ -196,12 +196,69 @@ def test_tumbling_and_sessions(ray_session):
 def test_dedup_clusters_transitive(ray_session):
     from skewer_ray.pipelines.corpus import q_dedup_clusters, q_dedup_minhash
     pairs = [(r["doc_a"], r["doc_b"]) for r in q_dedup_minhash(SF).take_all()]
-    t = q_dedup_clusters(SF)
-    rep = dict(zip(t["doc_id"].to_pylist(), t["cluster_rep"].to_pylist()))
+    t = q_dedup_clusters(SF).to_pandas()
+    rep = dict(zip(t["doc_id"], t["cluster_rep"]))
     for a, b in pairs:
         assert rep[a] == rep[b]            # pair members share a cluster
         assert rep[a] <= a and rep[a] <= b  # rep is the component min
     assert set(rep) == {d for p in pairs for d in p}
+
+
+def test_connected_components_matches_unionfind(ray_session):
+    """Distributed min-label propagation ≡ driver union-find, on a graph
+    with deep chains (diameter 8 → several propagation rounds), a star,
+    an isolated edge, and cross-links."""
+    import random
+    import ray.data as rd
+    from skewer_ray.functions.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = []
+    # three chains of length 9 with shuffled ids
+    ids = rng.sample(range(1000), 60)
+    for c in range(3):
+        chain = ids[c * 9:(c + 1) * 9]
+        edges += list(zip(chain, chain[1:]))
+    # a star
+    hub, *leaves = ids[30:40]
+    edges += [(hub, lv) for lv in leaves]
+    # isolated edge + a cross-link merging chain 0 and the star
+    edges.append((ids[50], ids[51]))
+    edges.append((ids[2], hub))
+    rng.shuffle(edges)
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    want = {n: find(n) for n in parent}
+
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], pa.int64())}))
+    got_df = connected_components(pairs).to_pandas()
+    got = dict(zip(got_df["doc_id"], got_df["cluster_rep"]))
+    assert got == want
+
+
+def test_connected_components_empty(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.dedup import connected_components
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64())}))
+    out = connected_components(pairs)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "cluster_rep"}
 
 
 # ---------------------------------------------------------------------------
