@@ -270,6 +270,41 @@ QUALITY_SCALE = 10000  # quantization for the counting-sort quantile
 N_SHARDS = 16
 
 
+def _quality_scores(docs_ds, scale: int):
+    """Narrow materialized (doc_id, qk, quality) projection — the text
+    column is scanned exactly once; qk = floor(quality × scale) is the
+    integer-exact quantized score cell shared by the quantile gate and
+    the global ranker."""
+    from .textstats import text_stats_batch
+
+    def derive(b: pa.Table) -> pa.Table:
+        s = text_stats_batch(b)
+        qk = pc.cast(pc.floor(pc.multiply(s["quality"], scale)),
+                     pa.int64())
+        return pa.table({"doc_id": s["doc_id"], "qk": qk,
+                         "quality": s["quality"]})
+
+    return docs_ds.map_batches(derive, batch_format="pyarrow").materialize()
+
+
+def _quality_hist(scores) -> dict[int, int]:
+    """Bounded per-cell histogram (≤ scale cells regardless of corpus
+    size): partial (qk, count) rows combine map-side, the driver merge
+    touches only the cell domain."""
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"qk": b["qk"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by("qk").aggregate([("n", "sum")])
+
+    acc: dict[int, int] = {}
+    for b in scores.map_batches(hist, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            acc[r["qk"]] = acc.get(r["qk"], 0) + r["n_sum"]
+    return acc
+
+
 def quality_filter_docs(docs_ds, p: float = QUALITY_P,
                         scale: int = QUALITY_SCALE):
     """Keep documents at or above the global p-th quantile of the
@@ -285,28 +320,8 @@ def quality_filter_docs(docs_ds, p: float = QUALITY_P,
     doubles — no round-half mode skew."""
     import math
 
-    from .textstats import text_stats_batch
-
-    def derive(b: pa.Table) -> pa.Table:
-        s = text_stats_batch(b)
-        qk = pc.cast(pc.floor(pc.multiply(s["quality"], scale)),
-                     pa.int64())
-        return pa.table({"doc_id": s["doc_id"], "qk": qk,
-                         "quality": s["quality"]})
-
-    scores = docs_ds.map_batches(
-        derive, batch_format="pyarrow").materialize()
-
-    def hist(b: pa.Table) -> pa.Table:
-        t = pa.table({"qk": b["qk"],
-                      "n": pa.array(np.ones(b.num_rows, np.int64))})
-        return t.group_by("qk").aggregate([("n", "sum")])
-
-    acc: dict[int, int] = {}
-    for b in scores.map_batches(hist, batch_format="pyarrow") \
-                   .iter_batches(batch_format="pyarrow"):
-        for r in b.to_pylist():
-            acc[r["qk"]] = acc.get(r["qk"], 0) + r["n_sum"]
+    scores = _quality_scores(docs_ds, scale)
+    acc = _quality_hist(scores)
     n = sum(acc.values())
     idx = max(0, math.ceil(p * n) - 1)
     seen = 0
@@ -322,6 +337,47 @@ def quality_filter_docs(docs_ds, p: float = QUALITY_P,
                 .select(["doc_id", "quality"])
 
     return scores.map_batches(keep, batch_format="pyarrow")
+
+
+def rank_docs(docs_ds, scale: int = QUALITY_SCALE):
+    """Global quality ranking (dense row numbers over ORDER BY quality
+    DESC, doc_id) WITHOUT a global sort exchange.
+
+    Shape: the bounded qk histogram (map-side combine, ≤ ``scale``
+    cells) gives each quantized score cell its exact global rank offset
+    = count of rows in strictly higher cells (floor quantization is
+    order-preserving: higher cell ⇒ strictly higher quality). The
+    offsets dict is broadcast once (`ray.put`); a single groupby(qk)
+    co-locates each cell, whose rows are sorted locally (quality desc,
+    doc_id asc) and numbered offset+1… — so the only all-to-all moves
+    narrow (doc_id, qk, quality) rows partitioned by a bounded key,
+    and no range-partitioned global sort (with its sample-based
+    boundary estimation and skew sensitivity) is needed. Cell skew is
+    capped by the score quantization: a cell holds only ties within
+    1/scale of quality."""
+    import ray
+
+    scores = _quality_scores(docs_ds, scale)
+    acc = _quality_hist(scores)
+    cum = 0
+    offsets: dict[int, int] = {}
+    for qk in sorted(acc, reverse=True):
+        offsets[qk] = cum
+        cum += acc[qk]
+    off_ref = ray.put(offsets)
+
+    def rank_group(b: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)[b["qk"][0].as_py()]
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        qual = b["quality"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -qual))
+        rnk = np.empty(len(ids), np.int64)
+        rnk[order] = off + 1 + np.arange(len(ids), dtype=np.int64)
+        return pa.table({"doc_id": b["doc_id"], "quality": b["quality"],
+                         "rnk": pa.array(rnk, pa.int64())})
+
+    return scores.groupby("qk").map_groups(rank_group,
+                                           batch_format="pyarrow")
 
 
 def shard_docs(docs_ds, n_shards: int = N_SHARDS,

@@ -151,6 +151,14 @@ def q_quality_filter(sf_dir: str):
     return quality_filter_docs(_docs(sf_dir))
 
 
+def q_rank_docs(sf_dir: str):
+    """Global quality ranking: dense row numbers over (quality DESC,
+    doc_id) with NO global sort — bounded-histogram rank offsets +
+    per-cell local numbering (functions/curation.rank_docs)."""
+    from ..functions.curation import rank_docs
+    return rank_docs(_docs(sf_dir))
+
+
 def q_shard_docs(sf_dir: str):
     """Deterministic md5 training-shard layout with per-shard doc and
     token totals (functions/curation.shard_docs)."""
@@ -658,6 +666,7 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "pack_sequences": q_pack_sequences,
     "quality_filter": q_quality_filter,
+    "rank_docs": q_rank_docs,
     "shard_docs": q_shard_docs,
     "ann_range": q_ann_range,
     "knn_classify": q_knn_classify,

@@ -732,6 +732,28 @@ k AS (SELECT doc_id, quality,
 t AS (SELECT quantile_disc(qk, 0.25) AS thr FROM k)
 SELECT doc_id, quality FROM k, t WHERE qk >= thr"""
 
+    # global quality ranking: ROW_NUMBER over (quality DESC, doc_id).
+    # The engine computes it shuffle-light (bounded qk-cell offsets +
+    # in-cell numbering); floor quantization is order-preserving so the
+    # two decompositions agree exactly.
+    q["rank_docs"] = _W + f""",
+qual AS (
+  SELECT doc_id,
+    0.4 * least(len(words), 100) / 100
+    + 0.3 * (1.0 - CASE WHEN len(regexp_extract_all(text, '{_TOK}')) = 0
+                        THEN 0.0
+                        ELSE len(regexp_extract_all(text, '{_PUNCT}'))
+                             / len(regexp_extract_all(text, '{_TOK}'))
+                   END)
+    + 0.3 * least(1.0, 5.0 *
+        CASE WHEN len(words) = 0 THEN 0.0
+             ELSE len(list_filter(words, t -> t IN ({en}))) / len(words)
+        END) AS quality
+  FROM w)
+SELECT doc_id, quality,
+       ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS rnk
+FROM qual"""
+
     # deterministic md5 shard layout: shard = md5(doc_id)[0] mod 16,
     # per-shard doc and canonical-word-count totals
     q["shard_docs"] = r"""

@@ -218,3 +218,19 @@ def test_pack_sequences_matches_serial_scan(ray_session):
                 r["last_doc"]] == e
     # every document is packed exactly once
     assert sum(r["n_docs"] for r in got) == len(rows)
+
+
+def test_rank_docs_matches_driver_sort(ray_session):
+    """Histogram-offset + in-cell numbering ≡ a plain global sort:
+    ranks are the 1..N permutation of (quality DESC, doc_id ASC)."""
+    import ray.data as rd
+    from skewer_ray.functions.curation import rank_docs
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = rank_docs(docs).to_pandas()
+    n = len(got)
+    assert sorted(got["rnk"]) == list(range(1, n + 1))
+    want = got.sort_values(["quality", "doc_id"],
+                           ascending=[False, True])
+    assert list(want["rnk"]) == list(range(1, n + 1))
