@@ -161,6 +161,70 @@ def stratified_sample(docs_ds, strata_col: str = "lang",
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
+MIX_TARGETS = {"en": 40, "zh": 15, "es": 15, "de": 15, "fr": 15}
+
+
+def rebalance_mix(docs_ds, targets: dict[str, int] | None = None,
+                  key_col: str = "doc_id", lang_col: str = "lang",
+                  cols: tuple[str, ...] = ("doc_id", "lang", "source")):
+    """Corpus mix rebalancing: downsample each language so the surviving
+    corpus matches a target mix (integer weights), keeping as much data
+    as possible — the binding stratum (smallest count/weight ratio) is
+    kept whole and every other stratum is thinned to proportion.
+
+    Shape: pass 1 is a per-language count via map-side combine (the
+    language domain is tiny, so only a handful of partial rows cross);
+    the keep-rates are solved on the driver in EXACT integer arithmetic
+    (keep_i = w_i·n_m / (w_m·n_i) as a rational, binding stratum chosen
+    by exact cross-multiplied comparison with a lexicographic
+    tie-break — no float ratios, so the DuckDB oracle reproduces the
+    same choice bit-for-bit). Pass 2 is a map-only deterministic
+    filter: keep a row iff h64(key)·w_m·n_i < 2⁶⁴·w_i·n_m where h64 is
+    the first 8 md5 bytes — pure-function membership like
+    ``sample_docs``, reproducible across engines and partitionings.
+    Languages without a target weight are dropped (mix spec semantics).
+    """
+    targets = MIX_TARGETS if targets is None else targets
+
+    def cnt(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b[lang_col],
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by("lang").aggregate([("n", "sum")])
+
+    acc: dict[str, int] = {}
+    for b in (docs_ds.select_columns([lang_col])
+              .map_batches(cnt, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for r in b.to_pylist():
+            acc[r["lang"]] = acc.get(r["lang"], 0) + r["n_sum"]
+
+    items = [(lang, acc[lang], w) for lang, w in sorted(targets.items())
+             if acc.get(lang)]
+    if not items:
+        return docs_ds.limit(0).select_columns(list(cols))
+    # binding stratum: min n/w by exact cross-multiplication, ties to
+    # the lexicographically smallest language
+    ml, mn, mw = items[0]
+    for lang, n, w in items[1:]:
+        if n * mw < mn * w:          # n/w < mn/mw
+            ml, mn, mw = lang, n, w
+    # keep iff h64 * (w_m * n_i) < 2^64 * (w_i * n_m) — exact ints
+    rules = {lang: (mw * n, (1 << 64) * w * mn) for lang, n, w in items}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        langs = batch[lang_col].to_pylist()
+        keep = np.fromiter(
+            (lang in rules and
+             int.from_bytes(hashlib.md5(str(k).encode()).digest()[:8],
+                            "big") * rules[lang][0] < rules[lang][1]
+             for k, lang in zip(keys, langs)),
+            dtype=bool, count=len(keys))
+        return batch.select(list(cols)).filter(pa.array(keep))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (global ordered prefix scan → fixed-budget packs)
 # ---------------------------------------------------------------------------

@@ -151,6 +151,14 @@ def q_quality_filter(sf_dir: str):
     return quality_filter_docs(_docs(sf_dir))
 
 
+def q_rebalance_mix(sf_dir: str):
+    """Corpus mix rebalancing: per-language keep-rates solved from the
+    corpus counts in exact integer arithmetic, deterministic md5 filter
+    (functions/curation.rebalance_mix)."""
+    from ..functions.curation import rebalance_mix
+    return rebalance_mix(_docs_full(sf_dir))
+
+
 def q_rank_docs(sf_dir: str):
     """Global quality ranking: dense row numbers over (quality DESC,
     doc_id) with NO global sort — bounded-histogram rank offsets +
@@ -667,6 +675,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "quality_filter": q_quality_filter,
     "rank_docs": q_rank_docs,
+    "rebalance_mix": q_rebalance_mix,
     "shard_docs": q_shard_docs,
     "ann_range": q_ann_range,
     "knn_classify": q_knn_classify,

@@ -732,6 +732,28 @@ k AS (SELECT doc_id, quality,
 t AS (SELECT quantile_disc(qk, 0.25) AS thr FROM k)
 SELECT doc_id, quality FROM k, t WHERE qk >= thr"""
 
+    # corpus mix rebalancing: binding stratum (min count/weight, exact
+    # cross-multiplied rationals, lexicographic tie-break) kept whole,
+    # every other language thinned to h64·w_m·n_i < 2^64·w_i·n_m —
+    # HUGEINT arithmetic mirrors the engine's exact Python ints
+    q["rebalance_mix"] = """
+WITH c AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n
+           FROM documents GROUP BY lang),
+t(lang, w) AS (VALUES ('de', 15), ('en', 40), ('es', 15),
+                      ('fr', 15), ('zh', 15)),
+j AS (SELECT c.lang, c.n, CAST(t.w AS HUGEINT) AS w
+      FROM c JOIN t ON c.lang = t.lang),
+m AS (SELECT j1.lang AS ml, j1.n AS mn, j1.w AS mw FROM j j1
+      WHERE NOT EXISTS (SELECT 1 FROM j j2
+                        WHERE j2.n * j1.w < j1.n * j2.w
+                           OR (j2.n * j1.w = j1.n * j2.w
+                               AND j2.lang < j1.lang)))
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN j ON d.lang = j.lang, m
+WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
+                AS UBIGINT) AS HUGEINT) * (m.mw * j.n)
+      < CAST(18446744073709551616 AS HUGEINT) * (j.w * m.mn)"""
+
     # global quality ranking: ROW_NUMBER over (quality DESC, doc_id).
     # The engine computes it shuffle-light (bounded qk-cell offsets +
     # in-cell numbering); floor quantization is order-preserving so the

@@ -234,3 +234,40 @@ def test_rank_docs_matches_driver_sort(ray_session):
     want = got.sort_values(["quality", "doc_id"],
                            ascending=[False, True])
     assert list(want["rnk"]) == list(range(1, n + 1))
+
+
+def test_rebalance_mix_binding_stratum_and_rates(ray_session):
+    """The binding stratum (min count/weight) is kept whole; every other
+    language's keep-rate equals the exact rational w_i·n_m/(w_m·n_i);
+    membership matches the md5 rule row-for-row."""
+    import hashlib as hl
+    import ray.data as rd
+    from skewer_ray.functions.curation import MIX_TARGETS, rebalance_mix
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang", "source"])
+    src = docs.to_pandas()
+    counts = src["lang"].value_counts().to_dict()
+    items = [(l, counts[l], w) for l, w in sorted(MIX_TARGETS.items())
+             if counts.get(l)]
+    ml, mn, mw = items[0]
+    for lang, n, w in items[1:]:
+        if n * mw < mn * w:
+            ml, mn, mw = lang, n, w
+
+    got = rebalance_mix(docs).to_pandas()
+    got_ids = set(got["doc_id"])
+    # binding stratum survives in full
+    binding = set(src.loc[src["lang"] == ml, "doc_id"])
+    assert binding <= got_ids
+    # row-for-row md5 rule parity
+    for _, r in src.iterrows():
+        lang = r["lang"]
+        rule = next(((n, w) for l, n, w in items if l == lang), None)
+        if rule is None:
+            assert r["doc_id"] not in got_ids
+            continue
+        n, w = rule
+        h = int.from_bytes(
+            hl.md5(str(r["doc_id"]).encode()).digest()[:8], "big")
+        assert (r["doc_id"] in got_ids) == (h * mw * n < (1 << 64) * w * mn)
