@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_multiline": q.q_merge_multiline,
         # role-transition bigrams (LAG OVER conv/turn shape)
         "role_transitions": q.q_role_transitions,
+        # context-window truncation (suffix token budget per conv)
+        "trim_context": q.q_trim_context,
+        # conversation-level dedup by (role, tool) interaction pattern
+        "conv_pattern_dedup": q.q_conv_pattern_dedup,
         # user-composable grok named-pattern extraction
         "grok_transcripts": q.q_grok_transcripts,
         # host pseudonymization + PII scrub (GDPR sanitization pass)

@@ -304,6 +304,37 @@ SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
 FROM b WHERE from_role IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
+    # context-window truncation: longest suffix of turns per conv with
+    # total canonical word count ≤ 64 (DESC-order window frame = the
+    # engine's reversed cumsum)
+    q["trim_context"] = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx,
+         CAST(CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+              AS BIGINT) AS toks
+  FROM read_parquet('{_tpath(sf_name)}')),
+c AS (SELECT conv_id, turn_idx, toks,
+             SUM(toks) OVER (PARTITION BY conv_id
+                             ORDER BY turn_idx DESC) AS suffix
+      FROM t)
+SELECT conv_id, turn_idx, toks FROM c WHERE suffix <= 64"""
+
+    # conversation-level dedup by ordered role sequence: canonical =
+    # min conv_id of the identical-pattern group
+    q["conv_pattern_dedup"] = f"""
+WITH h AS (
+  SELECT conv_id,
+         md5(string_agg(role, chr(10) ORDER BY turn_idx))
+           AS pattern_hash
+  FROM read_parquet('{_tpath(sf_name)}')
+  GROUP BY conv_id)
+SELECT conv_id, pattern_hash,
+       min(conv_id) OVER (PARTITION BY pattern_hash) AS canonical_conv,
+       CAST(count(*) OVER (PARTITION BY pattern_hash) AS BIGINT)
+         AS group_size
+FROM h"""
+
     q["routed_rows_kafka"] = C + """
 SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':0' AS uid,
        topic, partition_key

@@ -335,6 +335,80 @@ def q_role_transitions(sf_dir: str):
     })
 
 
+TRIM_BUDGET = 64  # tokens kept per conversation (suffix window)
+
+
+def q_trim_context(sf_dir: str):
+    """Per-conversation context-window truncation: keep the longest
+    SUFFIX of turns (most recent first) whose total canonical word
+    count fits the token budget — chat-history trimming for model
+    context limits. ONE conv-keyed shuffle; in-group the turns are
+    sorted by turn_idx descending and a vectorized cumsum marks the
+    kept suffix. A turn that alone exceeds the budget drops its whole
+    conversation's tail, same as the SQL window frame."""
+    ds = read_transcripts(sf_dir)
+
+    def prune(b: pa.Table) -> pa.Table:
+        from ..functions.curation import _word_counts
+        return pa.table({
+            "conv_id": b["conv_id"], "turn_idx": b["turn_idx"],
+            "toks": pc.cast(_word_counts(b), pa.int64())})
+
+    def per_conv(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch,
+                                sort_keys=[("turn_idx", "descending")])
+        b = batch.take(order)
+        toks = b["toks"].to_numpy(zero_copy_only=False)
+        keep = np.cumsum(toks) <= TRIM_BUDGET
+        return b.filter(pa.array(keep))
+
+    return (ds.map_batches(prune, batch_format="pyarrow")
+            .groupby("conv_id")
+            .map_groups(per_conv, batch_format="pyarrow"))
+
+
+def q_conv_pattern_dedup(sf_dir: str):
+    """Conversation-level dedup by interaction pattern: conversations
+    with the same ordered role sequence collapse onto a canonical
+    conversation (min conv_id of the group). Exact-dedup at
+    conversation granularity — the sub-document analog of
+    ``dedup_exact``: phase 1 hashes each conversation's ordered pattern
+    (one conv-keyed exchange, one tiny row out per conversation),
+    phase 2 is a keyed groupby over the hash whose cardinality is the
+    number of DISTINCT patterns, not conversations."""
+    import hashlib
+    ds = read_transcripts(sf_dir)
+
+    def prune(b: pa.Table) -> pa.Table:
+        return b.select(["conv_id", "turn_idx", "role"])
+
+    def hash_conv(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch,
+                                sort_keys=[("turn_idx", "ascending")])
+        b = batch.take(order)
+        pat = "\n".join(b["role"].to_pylist())
+        return pa.table({
+            "conv_id": b["conv_id"].slice(0, 1),
+            "pattern_hash": pa.array(
+                [hashlib.md5(pat.encode()).hexdigest()], pa.string())})
+
+    hashes = (ds.map_batches(prune, batch_format="pyarrow")
+              .groupby("conv_id")
+              .map_groups(hash_conv, batch_format="pyarrow"))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        ids = sorted(batch["conv_id"].to_pylist())
+        return pa.table({
+            "conv_id": pa.array(ids, pa.string()),
+            "pattern_hash": batch["pattern_hash"].slice(0, 1)
+                .take(pa.array([0] * len(ids))),
+            "canonical_conv": pa.array([ids[0]] * len(ids), pa.string()),
+            "group_size": pa.array([len(ids)] * len(ids), pa.int64())})
+
+    return hashes.groupby("pattern_hash").map_groups(
+        canon, batch_format="pyarrow")
+
+
 def q_merge_multiline(sf_dir: str):
     """Multiline log-record reassembly (stack-trace gluing): lines not
     opening with a syslog PRI are continuations of the record above

@@ -172,3 +172,46 @@ def test_hash_join_fallback_matches_broadcast(name, ray_session,
     monkeypatch.setattr(an, "BROADCAST_MAX_KEYS", 0)
     slow = QUERIES[name](SF).to_pylist()
     assert fast == slow
+
+
+def test_trim_context_suffix_budget(ray_session):
+    """Kept turns per conversation form the maximal suffix whose token
+    sum fits the budget: every kept set is a contiguous tail of the
+    conversation and adding the next-older turn would overflow."""
+    import pandas as pd
+    from skewer_ray.pipelines.flagship import read_transcripts
+    from skewer_ray.pipelines.queries import TRIM_BUDGET, q_trim_context
+
+    got = q_trim_context(SF).to_pandas()
+    src = read_transcripts(SF).to_pandas()
+    src["toks"] = src["text"].str.strip().apply(
+        lambda s: 0 if not s else len(s.split()))
+    for conv, g in src.groupby("conv_id"):
+        g = g.sort_values("turn_idx", ascending=False)
+        cum = g["toks"].cumsum()
+        want = set(g.loc[cum <= TRIM_BUDGET, "turn_idx"])
+        have = set(got.loc[got["conv_id"] == conv, "turn_idx"])
+        assert have == want, conv
+
+
+def test_conv_pattern_dedup_groups(ray_session):
+    """Same role sequence ⇒ same hash/canonical; canonical is the min
+    conv_id of the group; group sizes are consistent; real collapse
+    happens on the synthetic corpus."""
+    from skewer_ray.pipelines.flagship import read_transcripts
+    from skewer_ray.pipelines.queries import q_conv_pattern_dedup
+
+    got = q_conv_pattern_dedup(SF).to_pandas()
+    src = read_transcripts(SF).to_pandas().sort_values(
+        ["conv_id", "turn_idx"])
+    pat = src.groupby("conv_id")["role"].agg("\n".join)
+    want_groups = pat.groupby(pat).groups
+    by_conv = got.set_index("conv_id")
+    for _, convs in want_groups.items():
+        convs = sorted(convs)
+        rows = by_conv.loc[convs]
+        assert rows["pattern_hash"].nunique() == 1
+        assert (rows["canonical_conv"] == convs[0]).all()
+        assert (rows["group_size"] == len(convs)).all()
+    assert got["group_size"].max() > 1          # the op is not vacuous
+    assert len(got) == len(pat)
