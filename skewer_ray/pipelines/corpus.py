@@ -6,6 +6,7 @@ search, multimodal plumbing. Column names are contractually shared with
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
@@ -375,6 +376,97 @@ def q_lang_embedding_stats(sf_dir: str):
     })
 
 
+def q_lang_centroid_dist(sf_dir: str):
+    """Embedding outlier detection for curation: per-language centroid
+    (mean vector) then each vector's L2 distance to its own language's
+    centroid — far-from-centroid rows are mislabeled/noisy candidates.
+
+    Shape: ONE documents⋈embeddings hash join, materialized narrow
+    (vec_id, lang, embedding) so the corpus is joined once and scanned
+    twice. Pass 1: per-(batch, lang) partial vector sums — only
+    (langs × dim) floats per batch cross to the driver, which merges
+    the bounded (langs) centroid table and rounds to 6 dp so both
+    engines threshold the identical centroid. Pass 2: broadcast the
+    tiny centroid dict, per-batch vectorized distance. No per-row
+    Python in either pass."""
+    import ray
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+
+    # Ray's hash join rejects nested payload columns — carry the vector
+    # through the exchange as fixed-stride little-endian f32 bytes
+    # (numpy view both ways, no per-row Python)
+    def pack(b: pa.Table) -> pa.Table:
+        arr = b["embedding"].combine_chunks()
+        flat = np.asarray(arr.flatten(), dtype="<f4")
+        dim = len(flat) // b.num_rows if b.num_rows else 0
+        offs = np.arange(0, (b.num_rows + 1) * dim * 4, dim * 4,
+                         dtype=np.int32)
+        bin_arr = pa.Array.from_buffers(
+            pa.binary(), b.num_rows,
+            [None, pa.py_buffer(offs.tobytes()),
+             pa.py_buffer(flat.tobytes())])
+        return pa.table({"vec_id": b["vec_id"], "emb_bin": bin_arr})
+
+    def unpack(b: pa.Table) -> np.ndarray:
+        arr = b["emb_bin"].combine_chunks()
+        if len(arr) == 0:
+            return np.zeros((0, 0))
+        offs = np.frombuffer(arr.buffers()[1], np.int32,
+                             count=len(arr) + 1,
+                             offset=arr.offset * 4)
+        data = np.frombuffer(arr.buffers()[2], np.uint8)
+        dim = (offs[1] - offs[0]) // 4
+        rows = data[offs[:-1, None] + np.arange(dim * 4)]
+        return rows.view("<f4").astype(np.float64)
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    j = (emb.map_batches(pack, batch_format="pyarrow")
+         .join(docs, "inner", max(2, min(16, cpus // 4)),
+               on=("vec_id",), right_on=("doc_id",))
+         .materialize())
+
+    def partial_sums(b: pa.Table) -> pa.Table:
+        langs, sums, ns = [], [], []
+        mat = unpack(b)
+        lg = np.asarray(b["lang"].to_pylist())
+        for lang in np.unique(lg):
+            rows = mat[lg == lang]
+            langs.append(str(lang))
+            sums.append(rows.sum(axis=0).tolist())
+            ns.append(len(rows))
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "s": pa.array(sums, pa.list_(pa.float64())),
+            "n": pa.array(ns, pa.int64())})
+
+    acc: dict[str, list] = {}
+    for b in (j.map_batches(partial_sums, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["lang"], [None, 0])
+            v = np.asarray(r["s"], dtype=np.float64)
+            a[0] = v if a[0] is None else a[0] + v
+            a[1] += r["n"]
+    cents = {k: np.round(v / n, 6) for k, (v, n) in acc.items()}
+    cents_ref = ray.put(cents)
+
+    def dist(b: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        mat = unpack(b)
+        lg = b["lang"].to_pylist()
+        cm = np.stack([c[l] for l in lg]) if lg else mat
+        d = np.round(np.sqrt(((mat - cm) ** 2).sum(axis=1)), 6)
+        return pa.table({"vec_id": b["vec_id"], "lang": b["lang"],
+                         "dist": pa.array(d, pa.float64())})
+
+    return j.map_batches(dist, batch_format="pyarrow")
+
+
 def q_events_running(sf_dir: str):
     """SQL window functions (SUM/LAG OVER) as a user-keyed shuffle +
     in-group vectorized cumsum (functions/windows.running_totals)."""
@@ -676,6 +768,7 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "rank_docs": q_rank_docs,
     "rebalance_mix": q_rebalance_mix,
+    "lang_centroid_dist": q_lang_centroid_dist,
     "shard_docs": q_shard_docs,
     "ann_range": q_ann_range,
     "knn_classify": q_knn_classify,

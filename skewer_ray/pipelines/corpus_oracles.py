@@ -732,6 +732,23 @@ k AS (SELECT doc_id, quality,
 t AS (SELECT quantile_disc(qk, 0.25) AS thr FROM k)
 SELECT doc_id, quality FROM k, t WHERE qk >= thr"""
 
+    # per-language embedding centroid + per-vector L2 distance to its
+    # own centroid. Centroids round to 6 dp on BOTH engines before the
+    # distance, so f64 summation-order differences (~1e-13) can't leak
+    # into the compared values; dist rounds to 6 dp again.
+    q["lang_centroid_dist"] = """
+WITH x AS (
+  SELECT e.vec_id, d.lang,
+         unnest(e.embedding) AS v,
+         unnest(range(1, len(e.embedding) + 1)) AS dim
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+c AS (SELECT lang, dim, round(avg(v), 6) AS c
+      FROM x GROUP BY lang, dim)
+SELECT x.vec_id, x.lang,
+       round(sqrt(sum((x.v - c.c) * (x.v - c.c))), 6) AS dist
+FROM x JOIN c ON x.lang = c.lang AND x.dim = c.dim
+GROUP BY x.vec_id, x.lang"""
+
     # corpus mix rebalancing: binding stratum (min count/weight, exact
     # cross-multiplied rationals, lexicographic tie-break) kept whole,
     # every other language thinned to h64·w_m·n_i < 2^64·w_i·n_m —

@@ -583,3 +583,30 @@ def test_role_transitions_vs_pandas(ray_session):
     got = {(r["from_role"], r["to_role"]): r["n"]
            for r in q_role_transitions(SF).to_pylist()}
     assert got == expect and got
+
+
+def test_lang_centroid_dist_vs_numpy(ray_session):
+    """Centroid distances match a direct numpy computation: per-lang
+    mean (rounded 6dp) then L2 distance per vector (rounded 6dp)."""
+    import pyarrow.parquet as pq
+    from skewer_ray.pipelines.corpus import q_lang_centroid_dist
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    lang_of = dict(zip(docs["doc_id"].to_pylist(),
+                       docs["lang"].to_pylist()))
+    ids = emb["vec_id"].to_pylist()
+    mat = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    langs = np.asarray([lang_of[i] for i in ids])
+    cents = {l: np.round(mat[langs == l].mean(axis=0), 6)
+             for l in set(langs)}
+    want = {i: round(float(np.sqrt(((v - cents[l]) ** 2).sum())), 6)
+            for i, v, l in zip(ids, mat, langs)}
+
+    got = q_lang_centroid_dist(SF).to_pandas()
+    assert len(got) == len(ids)
+    for _, r in got.iterrows():
+        assert abs(r["dist"] - want[r["vec_id"]]) < 1e-9
+        assert r["lang"] == lang_of[r["vec_id"]]
