@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_transitions": q.q_role_transitions,
         # context-window truncation (suffix token budget per conv)
         "trim_context": q.q_trim_context,
+        # per-role-transition response-time stats (LAG(ts) OVER shape)
+        "turn_latency": q.q_turn_latency,
         # conversation-level dedup by (role, tool) interaction pattern
         "conv_pattern_dedup": q.q_conv_pattern_dedup,
         # user-composable grok named-pattern extraction

@@ -304,6 +304,22 @@ SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
 FROM b WHERE from_role IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
+    # per-role-transition latency stats: integer-µs gap sums (exact),
+    # one float division at the very end (identical IEEE both engines)
+    q["turn_latency"] = f"""
+WITH b AS (
+  SELECT role AS to_role, epoch_us(ts) AS us,
+         lag(role) OVER w AS from_role,
+         lag(epoch_us(ts)) OVER w AS prev_us
+  FROM read_parquet('{_tpath(sf_name)}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n,
+       round(sum(us - prev_us) / (count(*) * 1000000.0), 6)
+         AS avg_gap_s,
+       max(us - prev_us) / 1000000.0 AS max_gap_s
+FROM b WHERE from_role IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
     # context-window truncation: longest suffix of turns per conv with
     # total canonical word count ≤ 64 (DESC-order window frame = the
     # engine's reversed cumsum)

@@ -335,6 +335,74 @@ def q_role_transitions(sf_dir: str):
     })
 
 
+def q_turn_latency(sf_dir: str):
+    """Turn-latency stats per role transition: for each (from_role →
+    to_role) pair, the count, mean and max time gap between consecutive
+    turns — the LAG(ts) OVER (PARTITION BY conv ORDER BY turn) shape,
+    reduced to a tiny role-pair domain. ONE conv-keyed shuffle of a
+    narrow projection; in-group gaps are a vectorized int64-µs diff;
+    partial (n, sum_µs, max_µs) rows combine map-side so the driver
+    merge touches role-pairs, not turns. All sums are exact integers —
+    the only float op is the final one-shot division, identical IEEE
+    on both engines."""
+    ds = read_transcripts(sf_dir)
+
+    def prune(b: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": b["conv_id"],
+                         "turn_idx": b["turn_idx"],
+                         "role": b["role"],
+                         "us": pc.cast(b["ts"], pa.int64())})
+
+    def per_conv(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch,
+                                sort_keys=[("turn_idx", "ascending")])
+        b = batch.take(order)
+        roles = b["role"].to_pylist()
+        us = b["us"].to_numpy(zero_copy_only=False)
+        gaps = np.diff(us)
+        agg: dict[tuple, list] = {}
+        for fr, to, g in zip(roles[:-1], roles[1:], gaps):
+            a = agg.setdefault((fr, to), [0, 0, 0])
+            a[0] += 1
+            a[1] += int(g)
+            a[2] = max(a[2], int(g))
+        ks = sorted(agg)
+        return pa.table({
+            "from_role": pa.array([k[0] for k in ks], pa.string()),
+            "to_role": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([agg[k][0] for k in ks], pa.int64()),
+            "s": pa.array([agg[k][1] for k in ks], pa.int64()),
+            "m": pa.array([agg[k][2] for k in ks], pa.int64())})
+
+    cells = (ds.map_batches(prune, batch_format="pyarrow")
+             .groupby("conv_id")
+             .map_groups(per_conv, batch_format="pyarrow"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["from_role", "to_role"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("m", "max")])
+
+    acc: dict[tuple, list] = {}
+    for b in cells.map_batches(partial, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            k = (r["from_role"], r["to_role"])
+            a = acc.setdefault(k, [0, 0, 0])
+            a[0] += r["n_sum"]
+            a[1] += r["s_sum"]
+            a[2] = max(a[2], r["m_max"])
+    ks = sorted(acc)
+    return pa.table({
+        "from_role": pa.array([k[0] for k in ks], pa.string()),
+        "to_role": pa.array([k[1] for k in ks], pa.string()),
+        "n": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "avg_gap_s": pa.array(
+            [round(acc[k][1] / (acc[k][0] * 1e6), 6) for k in ks],
+            pa.float64()),
+        "max_gap_s": pa.array([acc[k][2] / 1e6 for k in ks],
+                              pa.float64())})
+
+
 TRIM_BUDGET = 64  # tokens kept per conversation (suffix window)
 
 

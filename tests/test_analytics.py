@@ -215,3 +215,27 @@ def test_conv_pattern_dedup_groups(ray_session):
         assert (rows["group_size"] == len(convs)).all()
     assert got["group_size"].max() > 1          # the op is not vacuous
     assert len(got) == len(pat)
+
+
+def test_turn_latency_vs_pandas(ray_session):
+    """Role-pair gap stats match a direct pandas LAG computation."""
+    from skewer_ray.pipelines.flagship import read_transcripts
+    from skewer_ray.pipelines.queries import q_turn_latency
+
+    got = q_turn_latency(SF).to_pandas().set_index(
+        ["from_role", "to_role"])
+    src = read_transcripts(SF).to_pandas().sort_values(
+        ["conv_id", "turn_idx"])
+    src["us"] = src["ts"].astype("datetime64[us]").astype("int64")
+    src["prev_role"] = src.groupby("conv_id")["role"].shift()
+    src["gap"] = src["us"] - src.groupby("conv_id")["us"].shift()
+    b = src.dropna(subset=["prev_role"])
+    want = b.groupby(["prev_role", "role"])["gap"].agg(
+        ["count", "sum", "max"])
+    assert len(got) == len(want)
+    for (fr, to), r in want.iterrows():
+        g = got.loc[(fr, to)]
+        assert g["n"] == r["count"]
+        assert abs(g["avg_gap_s"] -
+                   round(r["sum"] / (r["count"] * 1e6), 6)) < 1e-9
+        assert abs(g["max_gap_s"] - r["max"] / 1e6) < 1e-9
