@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.dedup import (embedding_dup_pairs, exact_dedup,
@@ -578,6 +579,58 @@ def q_topk_terms(sf_dir: str):
                      "n": pa.array([r["n"] for r in rows], pa.int64())})
 
 
+IDX_MIN_DF = 5      # index only terms in ≥ this many docs
+IDX_POSTINGS = 20   # bounded posting-list prefix per term
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted-index build: term → (document frequency, bounded
+    posting-list prefix). The posting list is capped at the first
+    ``IDX_POSTINGS`` doc_ids (ascending) while df counts ALL docs —
+    the scale-honest layout: a hot term ("the") costs K rows per
+    batch in the exchange, never its full posting list, exactly the
+    two-phase top-K shape of ``cap_per_group``.
+
+    Shape: per-batch explode to DISTINCT (term, doc) pairs with a
+    per-batch partial — (term, partial_df, first-K doc prefix) — then
+    ONE term-keyed groupby merges partials: df = Σ, postings = K
+    smallest of the concatenated prefixes (correct because each
+    partial's discarded ids are all larger than its kept K-th)."""
+    from ..functions.textstats import norm_words
+
+    def explode_partial(batch: pa.Table) -> pa.Table:
+        per_term: dict[str, list] = {}
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            for w in set(norm_words(t)):
+                per_term.setdefault(w, []).append(d)
+        ks = sorted(per_term)
+        return pa.table({
+            "term": pa.array(ks, pa.string()),
+            "pdf": pa.array([len(per_term[k]) for k in ks], pa.int64()),
+            "prefix": pa.array(
+                [sorted(per_term[k])[:IDX_POSTINGS] for k in ks],
+                pa.list_(pa.int64()))})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        df = int(pc.sum(batch["pdf"]).as_py())
+        if df < IDX_MIN_DF:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        ids = sorted(x for lst in batch["prefix"].to_pylist()
+                     for x in lst)[:IDX_POSTINGS]
+        return pa.table({
+            "term": batch["term"].slice(0, 1),
+            "df": pa.array([df], pa.int64()),
+            "postings": pa.array([",".join(map(str, ids))], pa.string())})
+
+    return (_docs(sf_dir)
+            .map_batches(explode_partial, batch_format="pyarrow")
+            .groupby("term")
+            .map_groups(merge, batch_format="pyarrow"))
+
+
 def q_events_hopping(sf_dir: str):
     from ..functions.windows import hopping_counts
     return hopping_counts(_events(sf_dir, ["ts", "event_type", "value"]))
@@ -769,6 +822,7 @@ QUERIES = {
     "rank_docs": q_rank_docs,
     "rebalance_mix": q_rebalance_mix,
     "lang_centroid_dist": q_lang_centroid_dist,
+    "inverted_index": q_inverted_index,
     "shard_docs": q_shard_docs,
     "ann_range": q_ann_range,
     "knn_classify": q_knn_classify,

@@ -732,6 +732,21 @@ k AS (SELECT doc_id, quality,
 t AS (SELECT quantile_disc(qk, 0.25) AS thr FROM k)
 SELECT doc_id, quality FROM k, t WHERE qk >= thr"""
 
+    # inverted index: df over ALL docs, posting list = first 20 doc_ids
+    # ascending, terms with df ≥ 5 only
+    q["inverted_index"] = _W + """,
+p AS (SELECT DISTINCT doc_id, unnest(words) AS term FROM w),
+g AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term
+      HAVING count(*) >= 5),
+r AS (SELECT term, doc_id,
+             row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      FROM p)
+SELECT g.term, g.df,
+       string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id)
+         AS postings
+FROM g JOIN r ON g.term = r.term AND r.rn <= 20
+GROUP BY g.term, g.df"""
+
     # per-language embedding centroid + per-vector L2 distance to its
     # own centroid. Centroids round to 6 dp on BOTH engines before the
     # distance, so f64 summation-order differences (~1e-13) can't leak

@@ -610,3 +610,25 @@ def test_lang_centroid_dist_vs_numpy(ray_session):
     for _, r in got.iterrows():
         assert abs(r["dist"] - want[r["vec_id"]]) < 1e-9
         assert r["lang"] == lang_of[r["vec_id"]]
+
+
+def test_inverted_index_vs_bruteforce(ray_session):
+    """df counts all docs; postings are the K smallest doc_ids even
+    though each batch contributed only a bounded prefix."""
+    import pyarrow.parquet as pq
+    from skewer_ray.functions.textstats import norm_words
+    from skewer_ray.pipelines.corpus import (IDX_MIN_DF, IDX_POSTINGS,
+                                             q_inverted_index)
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    full: dict[str, list] = {}
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for w in set(norm_words(txt)):
+            full.setdefault(w, []).append(d)
+    want = {w: (len(ds), ",".join(map(str, sorted(ds)[:IDX_POSTINGS])))
+            for w, ds in full.items() if len(ds) >= IDX_MIN_DF}
+
+    got = q_inverted_index(SF).to_pandas()
+    assert dict(zip(got["term"],
+                    zip(got["df"], got["postings"]))) == want
