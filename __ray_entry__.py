@@ -54,6 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metrics_incoming": q.q_metrics_incoming,
         # skew-safe per-conversation aggregate (north rule shuffle surface)
         "conv_stats": q.q_conv_stats,
+        # checkpointed incremental aggregation (merge saved partials)
+        "incremental_conv_stats": q.q_incremental_conv_stats,
         # ordered session reconstruction (RELP ordering applied to output)
         "conv_text": q.q_conv_text,
         # Drain-style template mining over raw log text

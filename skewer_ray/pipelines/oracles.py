@@ -284,6 +284,14 @@ SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts,
 FROM read_parquet('{_tpath(sf_name)}')
 GROUP BY conv_id"""
 
+    # incremental ≡ recompute: the merged-checkpoint result must equal
+    # the plain full-table aggregate
+    q["incremental_conv_stats"] = f"""
+SELECT conv_id, count(*) AS n_turns, min(ts) AS first_ts,
+       max(ts) AS last_ts, CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM read_parquet('{_tpath(sf_name)}')
+GROUP BY conv_id"""
+
     q["conv_text"] = f"""
 SELECT conv_id, count(*) AS n_turns,
        string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)

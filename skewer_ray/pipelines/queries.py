@@ -266,6 +266,64 @@ def q_conv_stats(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_incremental_conv_stats(sf_dir: str):
+    """Incremental (checkpointed) aggregation: conv_stats state from an
+    earlier ingest persisted as MERGEABLE partials (count/min/max/sum
+    parquet), then a later ingest aggregates only ITS turns and merges
+    with the saved state through the same associative combine — the
+    ingestion pattern that extends per-partition lineage resume
+    (state/manifest) to aggregate state: history is never recomputed,
+    only its partial rows are re-read. The two ingests here split each
+    conversation mid-stream (turn_idx < 10 vs ≥), so the merge
+    exercises per-key count-sum / min-of-mins / max-of-maxes across
+    checkpoints. Oracle = the full-table SQL: incremental ≡ recompute.
+    """
+    import os
+    import shutil
+
+    from ..stages.agg import grouped_stats
+    ds = read_transcripts(sf_dir)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "ts": pc.cast(batch["ts"], pa.int64()),
+            "chars": pc.utf8_length(batch["text"]),
+        })
+
+    def half(ds_, old: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.less(b["turn_idx"], 10)
+            return b.filter(m if old else pc.invert(m))
+        return ds_.map_batches(f, batch_format="pyarrow")
+
+    specs = [("ts", "count"), ("ts", "min"), ("ts", "max"),
+             ("chars", "sum")]
+    state_dir = os.path.join("/tmp/skewer_ray_incr",
+                             os.path.basename(os.path.normpath(sf_dir)))
+    # ingest #1: aggregate the old half and CHECKPOINT the partials
+    shutil.rmtree(state_dir, ignore_errors=True)
+    grouped_stats(half(ds, True), "conv_id", specs, pre=pre) \
+        .write_parquet(state_dir)
+    # ingest #2: aggregate only the new turns, merge with saved state
+    state = rd.read_parquet(state_dir)
+    new = grouped_stats(half(ds, False), "conv_id", specs, pre=pre)
+
+    def repartial(b: pa.Table) -> pa.Table:
+        g = b.group_by("conv_id").aggregate(
+            [("n", "sum"), ("min_ts", "min"), ("max_ts", "max"),
+             ("sum_chars", "sum")])
+        return pa.table({
+            "conv_id": g["conv_id"],
+            "n_turns": pc.cast(g["n_sum"], pa.int64()),
+            "first_ts": pc.cast(g["min_ts_min"], pa.timestamp("us")),
+            "last_ts": pc.cast(g["max_ts_max"], pa.timestamp("us")),
+            "n_chars": pc.cast(g["sum_chars_sum"], pa.int64())})
+
+    return (state.union(new).groupby("conv_id")
+            .map_groups(repartial, batch_format="pyarrow"))
+
+
 def q_conv_text(sf_dir: str):
     """Ordered session reconstruction: per conversation, the turns
     concatenated in (turn_idx) order as "role: text" lines — the one

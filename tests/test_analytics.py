@@ -239,3 +239,16 @@ def test_turn_latency_vs_pandas(ray_session):
         assert abs(g["avg_gap_s"] -
                    round(r["sum"] / (r["count"] * 1e6), 6)) < 1e-9
         assert abs(g["max_gap_s"] - r["max"] / 1e6) < 1e-9
+
+
+def test_incremental_conv_stats_equals_full(ray_session):
+    """Merging checkpointed partials with a second ingest reproduces
+    the single-pass aggregate exactly (associative merge, no history
+    recompute)."""
+    from skewer_ray.pipelines.queries import (q_conv_stats,
+                                              q_incremental_conv_stats)
+    full = q_conv_stats(SF).to_pandas().sort_values(
+        "conv_id").reset_index(drop=True)
+    incr = q_incremental_conv_stats(SF).to_pandas().sort_values(
+        "conv_id").reset_index(drop=True)
+    assert full.equals(incr[full.columns])
