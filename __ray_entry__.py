@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trim_context": q.q_trim_context,
         # per-role-transition response-time stats (LAG(ts) OVER shape)
         "turn_latency": q.q_turn_latency,
+        # leakage-free conv-granularity train/val/test split
+        "holdout_split": q.q_holdout_split,
         # conversation-level dedup by (role, tool) interaction pattern
         "conv_pattern_dedup": q.q_conv_pattern_dedup,
         # user-composable grok named-pattern extraction

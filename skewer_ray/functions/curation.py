@@ -161,6 +161,33 @@ def stratified_sample(docs_ds, strata_col: str = "lang",
     return docs_ds.map_batches(fn, batch_format="pyarrow")
 
 
+def weighted_sample_docs(docs_ds):
+    """Quality-weighted sampling: keep each document with probability
+    equal to its quality score — high-quality docs survive, low-quality
+    docs thin out proportionally (the soft alternative to the hard
+    quantile gate). Membership is deterministic: keep iff
+    h64(doc_id) < floor(quality × 2⁶⁴) with h64 = first 8 md5 bytes —
+    a pure function of the row, so the sample is reproducible across
+    engines/partitionings/reruns and the whole operator is map-only
+    (the score and the coin live in the same batch; nothing shuffles).
+    """
+    from .textstats import text_stats_batch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = text_stats_batch(batch)
+        qual = s["quality"].to_numpy(zero_copy_only=False)
+        ids = s["doc_id"].to_pylist()
+        keep = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                            "big") < int(q * float(1 << 64))
+             for i, q in zip(ids, qual)),
+            dtype=bool, count=len(ids))
+        return pa.table({"doc_id": s["doc_id"],
+                         "quality": s["quality"]}).filter(pa.array(keep))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
 MIX_TARGETS = {"en": 40, "zh": 15, "es": 15, "de": 15, "fr": 15}
 
 

@@ -161,6 +161,13 @@ def q_rebalance_mix(sf_dir: str):
     return rebalance_mix(_docs_full(sf_dir))
 
 
+def q_weighted_sample(sf_dir: str):
+    """Quality-weighted sampling: keep probability = quality score,
+    deterministic md5 coin (functions/curation.weighted_sample_docs)."""
+    from ..functions.curation import weighted_sample_docs
+    return weighted_sample_docs(_docs(sf_dir))
+
+
 def q_rank_docs(sf_dir: str):
     """Global quality ranking: dense row numbers over (quality DESC,
     doc_id) with NO global sort — bounded-histogram rank offsets +
@@ -823,6 +830,7 @@ QUERIES = {
     "rebalance_mix": q_rebalance_mix,
     "lang_centroid_dist": q_lang_centroid_dist,
     "inverted_index": q_inverted_index,
+    "weighted_sample": q_weighted_sample,
     "shard_docs": q_shard_docs,
     "ann_range": q_ann_range,
     "knn_classify": q_knn_classify,

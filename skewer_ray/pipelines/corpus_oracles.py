@@ -786,6 +786,27 @@ WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
                 AS UBIGINT) AS HUGEINT) * (m.mw * j.n)
       < CAST(18446744073709551616 AS HUGEINT) * (j.w * m.mn)"""
 
+    # quality-weighted sampling: keep iff h64(doc_id) < floor(quality ×
+    # 2^64) — identical doubles on both engines, so the floor matches
+    q["weighted_sample"] = _W + f""",
+qual AS (
+  SELECT doc_id,
+    0.4 * least(len(words), 100) / 100
+    + 0.3 * (1.0 - CASE WHEN len(regexp_extract_all(text, '{_TOK}')) = 0
+                        THEN 0.0
+                        ELSE len(regexp_extract_all(text, '{_PUNCT}'))
+                             / len(regexp_extract_all(text, '{_TOK}'))
+                   END)
+    + 0.3 * least(1.0, 5.0 *
+        CASE WHEN len(words) = 0 THEN 0.0
+             ELSE len(list_filter(words, t -> t IN ({en}))) / len(words)
+        END) AS quality
+  FROM w)
+SELECT doc_id, quality FROM qual
+WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                AS UBIGINT) AS HUGEINT)
+      < CAST(floor(quality * 18446744073709551616.0) AS HUGEINT)"""
+
     # global quality ranking: ROW_NUMBER over (quality DESC, doc_id).
     # The engine computes it shuffle-light (bounded qk-cell offsets +
     # in-cell numbering); floor quantization is order-preserving so the

@@ -312,6 +312,21 @@ SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
 FROM b WHERE from_role IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
+    # conversation-granularity holdout split: pure md5-byte assignment,
+    # per-split conv/turn totals
+    q["holdout_split"] = f"""
+WITH s AS (
+  SELECT conv_id,
+         CASE WHEN CAST(('0x' || substr(md5(conv_id), 1, 2)) AS INTEGER)
+                   < 244 THEN 'train'
+              WHEN CAST(('0x' || substr(md5(conv_id), 1, 2)) AS INTEGER)
+                   < 250 THEN 'val'
+              ELSE 'test' END AS split
+  FROM read_parquet('{_tpath(sf_name)}'))
+SELECT split, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM s GROUP BY split ORDER BY split"""
+
     # per-role-transition latency stats: integer-µs gap sums (exact),
     # one float division at the very end (identical IEEE both engines)
     q["turn_latency"] = f"""

@@ -461,6 +461,49 @@ def q_turn_latency(sf_dir: str):
                               pa.float64())})
 
 
+SPLIT_TRAIN = 244   # md5(conv_id)[0] < 244 → train (244/256)
+SPLIT_VAL = 250     # < 250 → val (6/256); rest → test
+
+
+def q_holdout_split(sf_dir: str):
+    """Leakage-free train/val/test split at CONVERSATION granularity:
+    split = f(md5(conv_id)[0]), so every turn of a conversation lands
+    in the same split (no cross-split leakage of shared context) and
+    the assignment is a pure function — reproducible across engines,
+    partitionings and reruns. Reports per-split conversation and turn
+    totals. Shape: map-only split tag + (split, conv) keyed combine
+    (exchange bounded by #convs), then a 3-row driver rollup."""
+    import hashlib
+    ds = read_transcripts(sf_dir)
+
+    def tag(b: pa.Table) -> pa.Table:
+        convs = b["conv_id"].to_pylist()
+        splits = []
+        for c in convs:
+            h = hashlib.md5(c.encode()).digest()[0]
+            splits.append("train" if h < SPLIT_TRAIN
+                          else "val" if h < SPLIT_VAL else "test")
+        return pa.table({"split": pa.array(splits, pa.string()),
+                         "conv_id": b["conv_id"]})
+
+    per_conv = grouped_count(ds.map_batches(tag, batch_format="pyarrow"),
+                             ["split", "conv_id"], combine="shuffle")
+
+    acc: dict[str, list] = {}
+    for b in per_conv.iter_batches(batch_format="pyarrow"):
+        t = b.group_by("split").aggregate([([], "count_all"),
+                                           ("n", "sum")])
+        for r in t.to_pylist():
+            a = acc.setdefault(r["split"], [0, 0])
+            a[0] += r["count_all"]
+            a[1] += r["n_sum"]
+    ks = sorted(acc)
+    return pa.table({
+        "split": pa.array(ks, pa.string()),
+        "n_convs": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "n_turns": pa.array([acc[k][1] for k in ks], pa.int64())})
+
+
 TRIM_BUDGET = 64  # tokens kept per conversation (suffix window)
 
 

@@ -271,3 +271,50 @@ def test_rebalance_mix_binding_stratum_and_rates(ray_session):
         h = int.from_bytes(
             hl.md5(str(r["doc_id"]).encode()).digest()[:8], "big")
         assert (r["doc_id"] in got_ids) == (h * mw * n < (1 << 64) * w * mn)
+
+
+def test_weighted_sample_rule_and_rate(ray_session):
+    """Membership equals the per-row md5 coin; the realized keep-rate
+    tracks mean quality (binomial ±5σ)."""
+    import hashlib as hl
+    import ray.data as rd
+    from skewer_ray.functions.curation import weighted_sample_docs
+    from skewer_ray.functions.textstats import text_stats_batch
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    import pyarrow.parquet as pq
+    src = text_stats_batch(pq.read_table(f"{SF}/documents.parquet",
+                                         columns=["doc_id", "text"]))
+    got = set(weighted_sample_docs(docs).to_pandas()["doc_id"])
+    quals = dict(zip(src["doc_id"].to_pylist(),
+                     src["quality"].to_pylist()))
+    for i, q in quals.items():
+        h = int.from_bytes(hl.md5(str(i).encode()).digest()[:8], "big")
+        assert (i in got) == (h < int(q * float(1 << 64)))
+    n, mean_q = len(quals), sum(quals.values()) / len(quals)
+    sigma = (n * mean_q * (1 - mean_q)) ** 0.5
+    assert abs(len(got) - n * mean_q) < 5 * sigma
+
+
+def test_holdout_split_covers_and_is_conv_pure(ray_session):
+    """Splits partition all turns; every conversation maps to exactly
+    one split; totals agree with a direct computation."""
+    import hashlib as hl
+    from skewer_ray.pipelines.flagship import read_transcripts
+    from skewer_ray.pipelines.queries import q_holdout_split
+
+    got = {r["split"]: (r["n_convs"], r["n_turns"])
+           for r in q_holdout_split(SF).to_pylist()}
+    src = read_transcripts(SF).to_pandas()
+
+    def split_of(c):
+        b = hl.md5(c.encode()).digest()[0]
+        return "train" if b < 244 else "val" if b < 250 else "test"
+
+    src["split"] = src["conv_id"].map(split_of)
+    want = src.groupby("split").agg(
+        n_convs=("conv_id", "nunique"), n_turns=("conv_id", "size"))
+    assert got == {s: (r["n_convs"], r["n_turns"])
+                   for s, r in want.iterrows()}
+    assert sum(v[1] for v in got.values()) == len(src)
