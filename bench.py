@@ -115,6 +115,8 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         ("metrics_incoming", q.q_metrics_incoming),
         ("log_templates", q.q_log_templates),
         ("anonymize_hosts", q.q_anonymize_hosts),
+        ("turn_latency", q.q_turn_latency),
+        ("trim_context", q.q_trim_context),
     ]
     # training-data ops (documents/embeddings), present from later phases
     try:

@@ -485,8 +485,12 @@ def embedding_lsh_pairs(emb_ds, threshold: float = 0.45,
                                              batch_format="pyarrow")
 
 
+CC_SMALL_GRAPH_MAX = 100_000  # edges; below → driver union-find
+
+
 def connected_components(pairs_ds, a_col: str = "doc_a",
-                         b_col: str = "doc_b", max_iters: int = 64):
+                         b_col: str = "doc_b", max_iters: int = 64,
+                         small_graph_max: int = CC_SMALL_GRAPH_MAX):
     """Distributed connected components over a pair (edge) table.
 
     Returns a Dataset ``(doc_id, cluster_rep)`` covering every node that
@@ -524,8 +528,34 @@ def connected_components(pairs_ds, a_col: str = "doc_a",
     edges = (pairs_ds.select_columns([a_col, b_col])
              .map_batches(symmetrize, batch_format="pyarrow")
              .materialize())                      # O(edges), reused per round
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return rd.from_arrow(empty)
+
+    if n_edges <= small_graph_max:
+        # threshold planner rule (same spirit as the broadcast-join
+        # threshold): a pair graph that fits comfortably on the driver
+        # skips the iterative rounds — byte-identical output, pinned by
+        # tests/test_corpus.py which forces both paths
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.take_all():
+            a, b2 = r["src"], r["dst"]
+            ra, rb = find(a), find(b2)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        members = sorted(parent)
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(members, pa.int64()),
+            "cluster_rep": pa.array([find(m) for m in members],
+                                    pa.int64())}))
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8

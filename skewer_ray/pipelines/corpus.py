@@ -870,4 +870,7 @@ def bench_subset():
         ("text_quality", q_text_quality),
         ("dedup_minhash", q_dedup_minhash),
         ("ann_topk", q_ann_topk),
+        ("dedup_clusters", q_dedup_clusters),
+        ("rank_docs", q_rank_docs),
+        ("inverted_index", q_inverted_index),
     ]

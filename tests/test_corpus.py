@@ -245,9 +245,12 @@ def test_connected_components_matches_unionfind(ray_session):
     pairs = rd.from_arrow(pa.table({
         "doc_a": pa.array([a for a, _ in edges], pa.int64()),
         "doc_b": pa.array([b for _, b in edges], pa.int64())}))
-    got_df = connected_components(pairs).to_pandas()
-    got = dict(zip(got_df["doc_id"], got_df["cluster_rep"]))
-    assert got == want
+    # both planner paths must be byte-identical to union-find
+    for small_max in (0, 1 << 30):   # 0 → distributed rounds; big → driver
+        got_df = connected_components(
+            pairs, small_graph_max=small_max).to_pandas()
+        got = dict(zip(got_df["doc_id"], got_df["cluster_rep"]))
+        assert got == want, f"small_graph_max={small_max}"
 
 
 def test_connected_components_empty(ray_session):
