@@ -586,6 +586,59 @@ def q_topk_terms(sf_dir: str):
                      "n": pa.array([r["n"] for r in rows], pa.int64())})
 
 
+LM_MIN_COUNT = 20   # emit bigrams seen at least this often
+
+
+def q_bigram_lm(sf_dir: str):
+    """N-gram language-model training counts: corpus bigram counts with
+    conditional probability P(w2 | w1) = n(w1,w2) / n(w1·), for bigrams
+    seen ≥ ``LM_MIN_COUNT`` times — the count-collection pass of
+    classic LM estimation (and of modern tokenizer/data-quality
+    tooling). Shape: per-batch explode to (w1, w2) partial counts
+    (map-side combine — the exchange carries distinct bigrams per
+    batch, not tokens), ONE bigram-keyed combine; the unigram
+    denominators come from the SAME exchange by summing each w1 group,
+    so no second corpus scan. Counts are exact integers; the
+    conditional probability is emitted as integer parts-per-million
+    (floor(n·10⁶/total)) so no cross-engine float-rounding mode can
+    skew the compared values."""
+    from ..functions.textstats import norm_words
+    from ..stages.agg import grouped_count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        w1, w2 = [], []
+        for t in batch["text"].to_pylist():
+            ws = norm_words(t)
+            w1.extend(ws[:-1])
+            w2.extend(ws[1:])
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string())})
+
+    counts = grouped_count(
+        _docs(sf_dir).map_batches(explode, batch_format="pyarrow"),
+        ["w1", "w2"], combine="shuffle")
+
+    # unigram totals per w1 from the combined bigram counts (each w1's
+    # rows land in one hash partition, but Ray's groupby output blocks
+    # may split a key — re-key by w1 so the denominator sum is exact)
+    def per_w1(batch: pa.Table) -> pa.Table:
+        tot = int(pc.sum(batch["n"]).as_py())
+        keep = pc.greater_equal(batch["n"], LM_MIN_COUNT)
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "p_ppm": pa.array([], pa.int64())})
+        n = b["n"].to_numpy(zero_copy_only=False)
+        ppm = (n * 1_000_000) // tot            # exact integer floor
+        return pa.table({"w1": b["w1"], "w2": b["w2"], "n": b["n"],
+                         "p_ppm": pa.array(ppm, pa.int64())})
+
+    return counts.groupby("w1").map_groups(per_w1,
+                                           batch_format="pyarrow")
+
+
 IDX_MIN_DF = 5      # index only terms in ≥ this many docs
 IDX_POSTINGS = 20   # bounded posting-list prefix per term
 
@@ -831,6 +884,7 @@ QUERIES = {
     "lang_centroid_dist": q_lang_centroid_dist,
     "inverted_index": q_inverted_index,
     "weighted_sample": q_weighted_sample,
+    "bigram_lm": q_bigram_lm,
     "shard_docs": q_shard_docs,
     "ann_range": q_ann_range,
     "knn_classify": q_knn_classify,

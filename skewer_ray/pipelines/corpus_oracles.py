@@ -732,6 +732,21 @@ k AS (SELECT doc_id, quality,
 t AS (SELECT quantile_disc(qk, 0.25) AS thr FROM k)
 SELECT doc_id, quality FROM k, t WHERE qk >= thr"""
 
+    # bigram LM counts: P(w2|w1) as integer ppm (floor), denominators
+    # over ALL bigrams of w1, emitted rows filtered to n >= 20
+    q["bigram_lm"] = _W + """,
+b AS (
+  SELECT doc_id, words, unnest(range(0, len(words) - 1)) AS i
+  FROM w WHERE len(words) >= 2),
+g AS (SELECT words[i+1] AS w1, words[i+2] AS w2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2),
+t AS (SELECT w1, sum(n) AS tot FROM g GROUP BY w1)
+SELECT g.w1, g.w2, g.n,
+       CAST((g.n * 1000000) // t.tot AS BIGINT) AS p_ppm
+FROM g JOIN t ON g.w1 = t.w1
+WHERE g.n >= 20"""
+
     # inverted index: df over ALL docs, posting list = first 20 doc_ids
     # ascending, terms with df ≥ 5 only
     q["inverted_index"] = _W + """,

@@ -635,3 +635,28 @@ def test_inverted_index_vs_bruteforce(ray_session):
     got = q_inverted_index(SF).to_pandas()
     assert dict(zip(got["term"],
                     zip(got["df"], got["postings"]))) == want
+
+
+def test_bigram_lm_vs_bruteforce(ray_session):
+    """Bigram counts and ppm conditionals match a direct computation;
+    denominators cover ALL of w1's bigrams, not just emitted rows."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from skewer_ray.functions.textstats import norm_words
+    from skewer_ray.pipelines.corpus import LM_MIN_COUNT, q_bigram_lm
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    big = Counter()
+    for txt in t["text"].to_pylist():
+        ws = norm_words(txt)
+        big.update(zip(ws[:-1], ws[1:]))
+    tot = Counter()
+    for (w1, _), n in big.items():
+        tot[w1] += n
+    want = {(w1, w2): (n, n * 1_000_000 // tot[w1])
+            for (w1, w2), n in big.items() if n >= LM_MIN_COUNT}
+
+    got = q_bigram_lm(SF).to_pandas()
+    assert {(r.w1, r.w2): (r.n, r.p_ppm)
+            for r in got.itertuples()} == want
