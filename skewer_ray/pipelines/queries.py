@@ -329,41 +329,55 @@ def q_conv_text(sf_dir: str):
     concatenated in (turn_idx) order as "role: text" lines — the one
     transcript aggregate that genuinely needs all of a conversation
     co-located AND ordered (the RELP in-order semantics applied to
-    output). groupby(conv_id).map_groups provides co-location; the sort
-    happens inside the group (tiny), not globally."""
+    output). Bucket grouping (stages/buckets) provides the same
+    co-location as groupby(conv_id) while one UDF call assembles
+    hundreds of conversations; the sort is one lexsort over the
+    bucket, and run boundaries slice it into conversations."""
+    from ..stages.buckets import grouped_by_bucket, run_starts
     ds = read_transcripts(sf_dir)
 
     def assemble(batch: pa.Table) -> pa.Table:
-        order = pc.sort_indices(batch, sort_keys=[("turn_idx", "ascending")])
-        b = batch.take(order)
-        joined = "\n".join(f"{r}: {t}" for r, t in
-                           zip(b["role"].to_pylist(), b["text"].to_pylist()))
+        conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        roles = batch["role"].to_pylist()
+        texts = batch["text"].to_pylist()
+        order = np.lexsort((turn, conv))
+        conv_s = conv[order]
+        starts = np.flatnonzero(run_starts(conv_s))
+        ends = np.append(starts[1:], len(conv_s))
+        lines = [f"{roles[i]}: {texts[i]}" for i in order]
         return pa.table({
-            "conv_id": b["conv_id"].slice(0, 1),
-            "n_turns": pa.array([b.num_rows], pa.int64()),
-            "session_text": pa.array([joined], pa.string()),
+            "conv_id": pa.array([conv_s[s] for s in starts], pa.string()),
+            "n_turns": pa.array(ends - starts, pa.int64()),
+            "session_text": pa.array(
+                ["\n".join(lines[s:e]) for s, e in zip(starts, ends)],
+                pa.string()),
         })
 
-    return ds.groupby("conv_id").map_groups(assemble, batch_format="pyarrow")
+    return grouped_by_bucket(ds, assemble)
 
 
 def q_role_transitions(sf_dir: str):
     """Role-transition bigram counts across conversations (the LAG OVER
     (PARTITION BY conv ORDER BY turn) shape): narrow 3-column
-    projection into ONE conv-keyed shuffle, in-group ordered bigram
-    count, then map-side partial merge of the tiny (from, to) domain on
-    the driver."""
+    projection into ONE bucket-keyed shuffle (stages/buckets —
+    conversation co-location, hundreds of conversations per vectorized
+    UDF call), in-group boundary-masked bigram count via a pandas C
+    groupby, then map-side partial merge of the tiny (from, to) domain
+    on the driver."""
     from collections import Counter
+
+    from ..stages.buckets import grouped_by_bucket
     ds = read_transcripts(sf_dir)
 
-    def prune(b: pa.Table) -> pa.Table:
-        return b.select(["conv_id", "turn_idx", "role"])
-
-    def per_conv(batch: pa.Table) -> pa.Table:
-        order = pc.sort_indices(batch,
-                                sort_keys=[("turn_idx", "ascending")])
-        roles = batch.take(order)["role"].to_pylist()
-        c = Counter(zip(roles[:-1], roles[1:]))
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        roles = np.asarray(batch["role"].to_pylist(), dtype=object)
+        order = np.lexsort((turn, conv))
+        conv_s, roles_s = conv[order], roles[order]
+        same = conv_s[1:] == conv_s[:-1]
+        c = Counter(zip(roles_s[:-1][same], roles_s[1:][same]))
         ks = sorted(c)
         return pa.table({
             "from_role": pa.array([k[0] for k in ks], pa.string()),
@@ -371,9 +385,10 @@ def q_role_transitions(sf_dir: str):
             "n": pa.array([c[k] for k in ks], pa.int64()),
         })
 
-    cells = ds.map_batches(prune, batch_format="pyarrow") \
-              .groupby("conv_id") \
-              .map_groups(per_conv, batch_format="pyarrow")
+    cells = grouped_by_bucket(
+        ds.map_batches(lambda b: b.select(["conv_id", "turn_idx",
+                                           "role"]),
+                       batch_format="pyarrow"), per_bucket)
 
     def partial(b: pa.Table) -> pa.Table:
         return b.group_by(["from_role", "to_role"]).aggregate(
@@ -397,12 +412,15 @@ def q_turn_latency(sf_dir: str):
     """Turn-latency stats per role transition: for each (from_role →
     to_role) pair, the count, mean and max time gap between consecutive
     turns — the LAG(ts) OVER (PARTITION BY conv ORDER BY turn) shape,
-    reduced to a tiny role-pair domain. ONE conv-keyed shuffle of a
-    narrow projection; in-group gaps are a vectorized int64-µs diff;
-    partial (n, sum_µs, max_µs) rows combine map-side so the driver
-    merge touches role-pairs, not turns. All sums are exact integers —
-    the only float op is the final one-shot division, identical IEEE
-    on both engines."""
+    reduced to a tiny role-pair domain. ONE bucket-keyed shuffle of a
+    narrow projection (stages/buckets: conversation co-location,
+    hundreds of conversations per vectorized UDF call); in-group gaps
+    are an int64-µs diff masked at conversation boundaries, reduced
+    by a pandas C groupby; partial (n, sum_µs, max_µs) rows combine
+    map-side so the driver merge touches role-pairs, not turns. All
+    sums are exact integers — the only float op is the final one-shot
+    division, identical IEEE on both engines."""
+    from ..stages.buckets import grouped_by_bucket
     ds = read_transcripts(sf_dir)
 
     def prune(b: pa.Table) -> pa.Table:
@@ -411,30 +429,35 @@ def q_turn_latency(sf_dir: str):
                          "role": b["role"],
                          "us": pc.cast(b["ts"], pa.int64())})
 
-    def per_conv(batch: pa.Table) -> pa.Table:
-        order = pc.sort_indices(batch,
-                                sort_keys=[("turn_idx", "ascending")])
-        b = batch.take(order)
-        roles = b["role"].to_pylist()
-        us = b["us"].to_numpy(zero_copy_only=False)
-        gaps = np.diff(us)
-        agg: dict[tuple, list] = {}
-        for fr, to, g in zip(roles[:-1], roles[1:], gaps):
-            a = agg.setdefault((fr, to), [0, 0, 0])
-            a[0] += 1
-            a[1] += int(g)
-            a[2] = max(a[2], int(g))
-        ks = sorted(agg)
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        us = batch["us"].to_numpy(zero_copy_only=False)
+        roles = np.asarray(batch["role"].to_pylist(), dtype=object)
+        order = np.lexsort((turn, conv))
+        conv_s, us_s, roles_s = conv[order], us[order], roles[order]
+        same = conv_s[1:] == conv_s[:-1]
+        df = pd.DataFrame({"f": roles_s[:-1][same],
+                           "t": roles_s[1:][same],
+                           "g": (us_s[1:] - us_s[:-1])[same]})
+        if df.empty:
+            return pa.table({
+                "from_role": pa.array([], pa.string()),
+                "to_role": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64())})
+        agg = df.groupby(["f", "t"])["g"].agg(["count", "sum", "max"])
         return pa.table({
-            "from_role": pa.array([k[0] for k in ks], pa.string()),
-            "to_role": pa.array([k[1] for k in ks], pa.string()),
-            "n": pa.array([agg[k][0] for k in ks], pa.int64()),
-            "s": pa.array([agg[k][1] for k in ks], pa.int64()),
-            "m": pa.array([agg[k][2] for k in ks], pa.int64())})
+            "from_role": pa.array([k[0] for k in agg.index], pa.string()),
+            "to_role": pa.array([k[1] for k in agg.index], pa.string()),
+            "n": pa.array(agg["count"].to_numpy(), pa.int64()),
+            "s": pa.array(agg["sum"].to_numpy(), pa.int64()),
+            "m": pa.array(agg["max"].to_numpy(), pa.int64())})
 
-    cells = (ds.map_batches(prune, batch_format="pyarrow")
-             .groupby("conv_id")
-             .map_groups(per_conv, batch_format="pyarrow"))
+    cells = grouped_by_bucket(
+        ds.map_batches(prune, batch_format="pyarrow"), per_bucket)
 
     def partial(b: pa.Table) -> pa.Table:
         return b.group_by(["from_role", "to_role"]).aggregate(
@@ -511,10 +534,15 @@ def q_trim_context(sf_dir: str):
     """Per-conversation context-window truncation: keep the longest
     SUFFIX of turns (most recent first) whose total canonical word
     count fits the token budget — chat-history trimming for model
-    context limits. ONE conv-keyed shuffle; in-group the turns are
-    sorted by turn_idx descending and a vectorized cumsum marks the
-    kept suffix. A turn that alone exceeds the budget drops its whole
-    conversation's tail, same as the SQL window frame."""
+    context limits. ONE bucket-keyed shuffle (stages/buckets:
+    conversation co-location with ~convs/512 conversations per UDF
+    call instead of one — the per-group Python overhead was the
+    measured wall-time sink at 30k groups); in-group the suffix cumsum
+    is a vectorized SEGMENTED scan across all of the bucket's
+    conversations at once. A turn that alone exceeds the budget drops
+    its whole conversation's tail, same as the SQL window frame."""
+    from ..stages.buckets import (grouped_by_bucket, run_starts,
+                                  segmented_cumsum)
     ds = read_transcripts(sf_dir)
 
     def prune(b: pa.Table) -> pa.Table:
@@ -523,17 +551,17 @@ def q_trim_context(sf_dir: str):
             "conv_id": b["conv_id"], "turn_idx": b["turn_idx"],
             "toks": pc.cast(_word_counts(b), pa.int64())})
 
-    def per_conv(batch: pa.Table) -> pa.Table:
-        order = pc.sort_indices(batch,
-                                sort_keys=[("turn_idx", "descending")])
-        b = batch.take(order)
-        toks = b["toks"].to_numpy(zero_copy_only=False)
-        keep = np.cumsum(toks) <= TRIM_BUDGET
-        return b.filter(pa.array(keep))
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        toks = batch["toks"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-turn, conv))     # conv asc, turn DESC
+        suffix = segmented_cumsum(toks[order], run_starts(conv[order]))
+        keep = order[suffix <= TRIM_BUDGET]
+        return batch.take(pa.array(np.sort(keep)))
 
-    return (ds.map_batches(prune, batch_format="pyarrow")
-            .groupby("conv_id")
-            .map_groups(per_conv, batch_format="pyarrow"))
+    return grouped_by_bucket(
+        ds.map_batches(prune, batch_format="pyarrow"), per_bucket)
 
 
 def q_conv_pattern_dedup(sf_dir: str):
@@ -546,24 +574,28 @@ def q_conv_pattern_dedup(sf_dir: str):
     phase 2 is a keyed groupby over the hash whose cardinality is the
     number of DISTINCT patterns, not conversations."""
     import hashlib
+
+    from ..stages.buckets import grouped_by_bucket, run_starts
     ds = read_transcripts(sf_dir)
 
-    def prune(b: pa.Table) -> pa.Table:
-        return b.select(["conv_id", "turn_idx", "role"])
-
-    def hash_conv(batch: pa.Table) -> pa.Table:
-        order = pc.sort_indices(batch,
-                                sort_keys=[("turn_idx", "ascending")])
-        b = batch.take(order)
-        pat = "\n".join(b["role"].to_pylist())
+    def hash_bucket(batch: pa.Table) -> pa.Table:
+        conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        roles = np.asarray(batch["role"].to_pylist(), dtype=object)
+        order = np.lexsort((turn, conv))
+        conv_s, roles_s = conv[order], roles[order]
+        starts = np.flatnonzero(run_starts(conv_s))
+        ends = np.append(starts[1:], len(conv_s))
         return pa.table({
-            "conv_id": b["conv_id"].slice(0, 1),
+            "conv_id": pa.array([conv_s[s] for s in starts], pa.string()),
             "pattern_hash": pa.array(
-                [hashlib.md5(pat.encode()).hexdigest()], pa.string())})
+                [hashlib.md5("\n".join(roles_s[s:e]).encode()).hexdigest()
+                 for s, e in zip(starts, ends)], pa.string())})
 
-    hashes = (ds.map_batches(prune, batch_format="pyarrow")
-              .groupby("conv_id")
-              .map_groups(hash_conv, batch_format="pyarrow"))
+    hashes = grouped_by_bucket(
+        ds.map_batches(lambda b: b.select(["conv_id", "turn_idx",
+                                           "role"]),
+                       batch_format="pyarrow"), hash_bucket)
 
     def canon(batch: pa.Table) -> pa.Table:
         ids = sorted(batch["conv_id"].to_pylist())

@@ -1,0 +1,87 @@
+"""Hash-bucket grouping for per-conversation operators.
+
+``groupby(conv_id).map_groups(fn)`` is the natural Ray Data shape for
+"co-locate a conversation, process it whole", but it invokes the UDF
+once per GROUP — at 30k conversations per sf0.1 that is 30k Python
+calls and dominates wall time (measured 16–36 s vs 3.8 s for the
+whole flagship). Grouping by a stable hash bucket of the key keeps the
+exact same co-location guarantee (bucket ⊇ conversation) while letting
+one UDF call process ~``convs/n_buckets`` conversations with fully
+vectorized numpy/pandas segmented kernels — measured 5–10× faster on
+the same exchange.
+
+Bucket assignment must be identical across worker processes (the same
+conversation hashes in many map tasks), so it uses crc32, not
+Python's per-process-salted ``hash``. The bucket column is internal —
+it never reaches an output schema, so no oracle depends on it.
+
+Sizing: ``n_buckets`` should scale roughly with #groups/50 and stay
+≥ 4× the CPU count so the groupby's reduce stage parallelizes; the
+default suits 10³–10⁶ conversations. A whale conversation costs the
+same here as under groupby(conv): its rows land in one bucket — the
+per-key combiner ops (stages/agg) remain the answer for adversarial
+skew.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+N_BUCKETS = 512
+
+
+def with_bucket(ds, key: str = "conv_id", n_buckets: int = N_BUCKETS):
+    """Append an internal crc32-mod bucket column for ``key``."""
+
+    def f(b: pa.Table) -> pa.Table:
+        ks = b[key].to_pylist()
+        arr = pa.array(
+            [zlib.crc32(str(k).encode()) % n_buckets for k in ks],
+            pa.int32())
+        return b.append_column("bucket", arr)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def grouped_by_bucket(ds, fn, key: str = "conv_id",
+                      n_buckets: int = N_BUCKETS):
+    """groupby(bucket).map_groups with the bucket column stripped
+    before ``fn`` — drop-in for groupby(key).map_groups when ``fn``
+    handles multiple key-groups per call (sorted/segmented kernels)."""
+
+    def wrapped(batch: pa.Table) -> pa.Table:
+        return fn(batch.drop_columns(["bucket"]))
+
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    # coalesce before the sort-based groupby: at the read path's fine
+    # block granularity (~8 blocks/CPU for the wide fused path) the
+    # all-to-all is SCHEDULING-bound, not data-bound — measured 19 s →
+    # 8 s at sf0.1 by merging to ~one block per core first
+    return (with_bucket(ds, key, n_buckets)
+            .repartition(max(8, cpus))
+            .groupby("bucket")
+            .map_groups(wrapped, batch_format="pyarrow"))
+
+
+def run_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """Boolean mask marking the first row of each key run in an array
+    already sorted by key."""
+    starts = np.ones(len(sorted_keys), dtype=bool)
+    if len(sorted_keys) > 1:
+        starts[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    return starts
+
+
+def segmented_cumsum(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """Per-run inclusive cumsum over run-contiguous rows: a plain
+    cumsum minus each run's base, fully vectorized. Requires
+    ``values ≥ 0`` (the forward-propagation of run bases relies on the
+    global cumsum being nondecreasing)."""
+    cs = np.cumsum(values)
+    base = np.where(starts, cs - values, 0)
+    return cs - np.maximum.accumulate(base)
