@@ -33,38 +33,46 @@ import pyarrow as pa
 N_BUCKETS = 512
 
 
-def with_bucket(ds, key: str = "conv_id", n_buckets: int = N_BUCKETS):
-    """Append an internal crc32-mod bucket column for ``key``."""
+def with_bucket(ds, key="conv_id", n_buckets: int = N_BUCKETS):
+    """Append an internal crc32-mod bucket column for ``key`` (one
+    column name or a list — composite keys hash their joined repr)."""
+    keys = [key] if isinstance(key, str) else list(key)
 
     def f(b: pa.Table) -> pa.Table:
-        ks = b[key].to_pylist()
+        cols = [b[k].to_pylist() for k in keys]
         arr = pa.array(
-            [zlib.crc32(str(k).encode()) % n_buckets for k in ks],
+            [zlib.crc32("\x1f".join(map(str, t)).encode()) % n_buckets
+             for t in zip(*cols)],
             pa.int32())
         return b.append_column("bucket", arr)
 
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def grouped_by_bucket(ds, fn, key: str = "conv_id",
-                      n_buckets: int = N_BUCKETS):
+def grouped_by_bucket(ds, fn, key="conv_id",
+                      n_buckets: int = N_BUCKETS, coalesce: bool = True):
     """groupby(bucket).map_groups with the bucket column stripped
     before ``fn`` — drop-in for groupby(key).map_groups when ``fn``
-    handles multiple key-groups per call (sorted/segmented kernels)."""
+    handles multiple key-groups per call (sorted/segmented kernels).
+
+    ``coalesce`` merges the input to ~one block per core before the
+    sort-based groupby: at the read path's fine block granularity (~8
+    blocks/CPU for the wide fused path) the all-to-all is
+    SCHEDULING-bound, not data-bound — measured 19 s → 8 s at sf0.1.
+    Pass ``coalesce=False`` when the input is already coarse (e.g. the
+    summary output of a previous grouped stage) to skip the extra
+    barrier."""
 
     def wrapped(batch: pa.Table) -> pa.Table:
         return fn(batch.drop_columns(["bucket"]))
 
-    import ray
-    cpus = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
-    # coalesce before the sort-based groupby: at the read path's fine
-    # block granularity (~8 blocks/CPU for the wide fused path) the
-    # all-to-all is SCHEDULING-bound, not data-bound — measured 19 s →
-    # 8 s at sf0.1 by merging to ~one block per core first
-    return (with_bucket(ds, key, n_buckets)
-            .repartition(max(8, cpus))
-            .groupby("bucket")
+    out = with_bucket(ds, key, n_buckets)
+    if coalesce:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 8)) \
+            if ray.is_initialized() else 8
+        out = out.repartition(max(8, cpus))
+    return (out.groupby("bucket")
             .map_groups(wrapped, batch_format="pyarrow"))
 
 
