@@ -35,42 +35,36 @@ def merge_multiline(ds, stream_col: str = "conv_id",
     """(stream, rec_idx, n_lines, record): one row per reassembled
     record, continuation lines joined with newlines in stream order."""
 
+    from ..stages.buckets import (grouped_by_bucket, run_starts,
+                                  segmented_cumsum)
+
     def assemble(batch: pa.Table) -> pa.Table:
-        order = pc.sort_indices(batch,
-                                sort_keys=[(order_col, "ascending")])
-        b = batch.take(order)
-        starts = pc.match_substring_regex(b[text_col], START_RE)
-        flags = starts.to_numpy(zero_copy_only=False).astype(np.int64)
-        island = np.cumsum(flags)
-        texts = b[text_col].to_pylist()
-        recs: list[str] = []
-        n_lines: list[int] = []
-        ids: list[int] = []
-        cur: list[str] = []
-        cur_id = int(island[0]) if len(island) else 0
-        for i, t in enumerate(texts):
-            if flags[i] and cur:
-                recs.append("\n".join(cur))
-                n_lines.append(len(cur))
-                ids.append(cur_id)
-                cur = []
-            if flags[i]:
-                cur_id = int(island[i])
-            cur.append(t)
-        if cur:
-            recs.append("\n".join(cur))
-            n_lines.append(len(cur))
-            ids.append(cur_id)
+        # many streams per call (hash-bucket co-location): one lexsort,
+        # islands via a within-stream segmented cumsum of start flags
+        conv = np.asarray(batch[stream_col].to_pylist(), dtype=object)
+        order_v = batch[order_col].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((order_v, conv))
+        conv_s = conv[idx]
+        take = pa.array(idx, pa.int64())
+        texts_s = pc.take(batch[text_col], take)
+        flags = pc.match_substring_regex(texts_s, START_RE) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sstarts = run_starts(conv_s)
+        island = segmented_cumsum(flags, sstarts)
+        rec_start = (flags == 1) | sstarts
+        rs = np.flatnonzero(rec_start)
+        re_ = np.append(rs[1:], len(conv_s))
+        texts = texts_s.to_pylist()
         return pa.table({
-            stream_col: pa.array(
-                [b[stream_col][0].as_py()] * len(recs), pa.string()),
-            "rec_idx": pa.array(ids, pa.int64()),
-            "n_lines": pa.array(n_lines, pa.int64()),
-            "record": pa.array(recs, pa.string()),
+            stream_col: pa.array([conv_s[s] for s in rs], pa.string()),
+            "rec_idx": pa.array(island[rs], pa.int64()),
+            "n_lines": pa.array(re_ - rs, pa.int64()),
+            "record": pa.array(
+                ["\n".join(texts[s:e]) for s, e in zip(rs, re_)],
+                pa.string()),
         })
 
-    return ds.groupby(stream_col).map_groups(assemble,
-                                             batch_format="pyarrow")
+    return grouped_by_bucket(ds, assemble, key=stream_col)
 
 
 def multiline_oracle_sql(tpath: str) -> str:

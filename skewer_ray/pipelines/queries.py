@@ -320,8 +320,10 @@ def q_incremental_conv_stats(sf_dir: str):
             "last_ts": pc.cast(g["max_ts_max"], pa.timestamp("us")),
             "n_chars": pc.cast(g["sum_chars_sum"], pa.int64())})
 
-    return (state.union(new).groupby("conv_id")
-            .map_groups(repartial, batch_format="pyarrow"))
+    from ..stages.buckets import grouped_by_bucket
+    # repartial re-groups by conv_id internally, so the exchange keys
+    # on a hash bucket (one vectorized call per bucket, not per conv)
+    return grouped_by_bucket(state.union(new), repartial, key="conv_id")
 
 
 def q_conv_text(sf_dir: str):
@@ -614,9 +616,13 @@ def q_merge_multiline(sf_dir: str):
     """Multiline log-record reassembly (stack-trace gluing): lines not
     opening with a syslog PRI are continuations of the record above
     them in their stream — gaps-and-islands via per-conversation
-    co-location + vectorized cumsum (functions/multiline.py)."""
+    co-location + vectorized cumsum (functions/multiline.py). Input is
+    pruned to the three needed columns before the exchange."""
     from ..functions.multiline import merge_multiline
-    return merge_multiline(read_transcripts(sf_dir))
+    ds = read_transcripts(sf_dir).map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "text"]),
+        batch_format="pyarrow")
+    return merge_multiline(ds)
 
 
 def q_log_templates(sf_dir: str):

@@ -91,8 +91,12 @@ def grouped_stats(ds, key, specs: list[tuple[str, str]], pre=None,
     if combine == "driver":
         t = _collect_partials(partials)
         return combine_fn(t) if t.num_rows else t
-    return partials.groupby(keys if len(keys) > 1 else keys[0]).map_groups(
-        combine_fn, batch_format="pyarrow")
+    # combine_fn re-groups by the real keys inside each call, so the
+    # exchange can key on a crc hash BUCKET of the keys (stages/buckets)
+    # — co-location preserved, one vectorized call per bucket instead
+    # of one Python call per key group (the measured 30k-group sink)
+    from .buckets import grouped_by_bucket
+    return grouped_by_bucket(partials, combine_fn, key=keys)
 
 
 def _collect_partials(partials) -> pa.Table:
