@@ -140,3 +140,69 @@ def tfidf_top_terms(docs_ds, k: int = TFIDF_K):
                          "tfidf": pa.array(scores, pa.float64())})
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+BLOOM_M = 4096   # filter bits
+BLOOM_K = 3      # hash probes per element (md5 hex slices)
+
+
+def _bloom_positions(s: str) -> list[int]:
+    """K bit positions from one md5: three disjoint 8-hex-char slices
+    mod M — deterministic, so the DuckDB oracle rebuilds the identical
+    filter."""
+    import hashlib
+    h = hashlib.md5(s.encode()).hexdigest()
+    return [int(h[8 * i:8 * i + 8], 16) % BLOOM_M for i in range(BLOOM_K)]
+
+
+def bloom_decontaminate(docs_ds, mod: int = BENCH_MOD):
+    """Space-bounded decontamination: the benchmark shingle set is
+    folded into a BLOOM_M-bit Bloom filter (vs the exact broadcast set
+    of ``decontaminate``), and every corpus doc reports how many of its
+    shingles HIT the filter. No false negatives (n_hits ≥ the exact
+    overlap), bounded false positives — the classic trade when the
+    exact eval-suite set outgrows a comfortable broadcast.
+
+    Shape: pass 1 collects ≤ M distinct bit positions (the driver
+    union touches the BIT DOMAIN, never the corpus); the position set
+    broadcasts once via ``ray.put`` (≤ M ints regardless of benchmark
+    size — strictly smaller than the exact path's shingle set); pass 2
+    is an embarrassingly parallel map. Output: (doc_id, n_shingles,
+    n_hits) for non-benchmark docs with ≥1 shingle."""
+
+    def bench_positions(batch: pa.Table) -> pa.Table:
+        pos: set[int] = set()
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            if d % mod == 0:
+                for s in shingles_of(t):
+                    pos.update(_bloom_positions(s))
+        return pa.table({"p": pa.array(sorted(pos), pa.int32())})
+
+    rows = docs_ds.map_batches(bench_positions,
+                               batch_format="pyarrow").take_all()
+    bits = frozenset(r["p"] for r in rows)
+    ref = ray.put(bits)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        bset = _cached_get(ref)
+        ids, n_sh, n_hit = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            if d % mod == 0:
+                continue
+            sh = shingles_of(t)
+            if not sh:
+                continue
+            ids.append(d)
+            n_sh.append(len(sh))
+            n_hit.append(sum(
+                all(p in bset for p in _bloom_positions(s))
+                for s in sh))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_shingles": pa.array(n_sh, pa.int64()),
+            "n_hits": pa.array(n_hit, pa.int64()),
+        })
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

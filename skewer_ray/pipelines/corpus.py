@@ -199,6 +199,14 @@ def q_text_repetition(sf_dir: str):
                                      batch_format="pyarrow")
 
 
+def q_bloom_decontam(sf_dir: str):
+    """Space-bounded decontamination: benchmark shingles folded into a
+    4096-bit Bloom filter, per-doc hit counts (no false negatives)
+    (functions/decontam.bloom_decontaminate)."""
+    from ..functions.decontam import bloom_decontaminate
+    return bloom_decontaminate(_docs(sf_dir))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: shingle overlap of every corpus doc
     against the broadcast benchmark shingle set (docs with
@@ -885,6 +893,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "weighted_sample": q_weighted_sample,
     "bigram_lm": q_bigram_lm,
+    "bloom_decontam": q_bloom_decontam,
     "shard_docs": q_shard_docs,
     "ann_range": q_ann_range,
     "knn_classify": q_knn_classify,

@@ -670,6 +670,36 @@ SELECT d.doc_id, coalesce(ov.n, 0) AS n_overlap,
 FROM documents d LEFT JOIN ov ON ov.doc_id = d.doc_id
 WHERE d.doc_id % 97 <> 0"""
 
+    # Bloom-filter decontamination: the filter's set bit positions are
+    # rebuilt in SQL from the same md5 hex slices; a shingle hits iff
+    # all 3 of its positions are set
+    q["bloom_decontam"] = _shingle_ctes() + """,
+bpos AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)
+                  % 4096 AS p
+  FROM sh WHERE doc_id % 97 = 0
+  UNION
+  SELECT DISTINCT CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) % 4096
+  FROM sh WHERE doc_id % 97 = 0
+  UNION
+  SELECT DISTINCT CAST(('0x' || substr(md5(s), 17, 8)) AS BIGINT) % 4096
+  FROM sh WHERE doc_id % 97 = 0),
+probe AS (
+  SELECT doc_id, s,
+         CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % 4096 AS p1,
+         CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) % 4096 AS p2,
+         CAST(('0x' || substr(md5(s), 17, 8)) AS BIGINT) % 4096 AS p3
+  FROM sh WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS h FROM probe
+  WHERE p1 IN (SELECT p FROM bpos) AND p2 IN (SELECT p FROM bpos)
+        AND p3 IN (SELECT p FROM bpos)
+  GROUP BY doc_id)
+SELECT z.doc_id, CAST(z.n AS BIGINT) AS n_shingles,
+       coalesce(h.h, 0) AS n_hits
+FROM sizes z LEFT JOIN hits h ON z.doc_id = h.doc_id
+WHERE z.doc_id % 97 <> 0"""
+
     q["tfidf_terms"] = _W + """,
 tok AS (
   SELECT doc_id, t, count(*) AS c

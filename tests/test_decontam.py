@@ -104,3 +104,41 @@ def test_tfidf_rare_term_outranks_common(ray_session):
         best = min((-c * math.log(n / df[w]), w) for w, c in tf.items())
         assert top1[d][0] == best[1]
         assert abs(top1[d][1] - (-best[0])) < 1e-6
+
+
+def test_bloom_no_false_negatives_and_rule_parity(ray_session):
+    """Every exact overlap is a bloom hit (no false negatives); hit
+    counts match a direct bloom recomputation shingle-by-shingle."""
+    import pyarrow.parquet as pq
+    from skewer_ray.functions.decontam import (BENCH_MOD,
+                                               _bloom_positions,
+                                               bloom_decontaminate)
+    from skewer_ray.functions.dedup import shingles_of
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_shingles"], r["n_hits"])
+           for r in bloom_decontaminate(docs).take_all()}
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    bits: set[int] = set()
+    shing = {}
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        sh = shingles_of(txt)
+        shing[d] = sh
+        if d % BENCH_MOD == 0:
+            for s in sh:
+                bits.update(_bloom_positions(s))
+    bench_sh = set().union(*(shing[d] for d in shing
+                             if d % BENCH_MOD == 0))
+    for d, sh in shing.items():
+        if d % BENCH_MOD == 0 or not sh:
+            assert d not in got
+            continue
+        n_hits = sum(all(p in bits for p in _bloom_positions(s))
+                     for s in sh)
+        assert got[d] == (len(sh), n_hits)
+        # no false negatives vs the exact set
+        assert n_hits >= len(sh & bench_sh)
