@@ -594,6 +594,94 @@ def q_topk_terms(sf_dir: str):
                      "n": pa.array([r["n"] for r in rows], pa.int64())})
 
 
+SPAN_K = 5          # words per span for cross-doc duplicate detection
+
+
+def q_dup_span_fraction(sf_dir: str):
+    """Cross-document duplicate-span fraction: for every doc with ≥ K
+    words, the share of its distinct K-word spans that also occur in
+    at least one OTHER document — the span-level dedup signal used to
+    flag boilerplate/copied text (complementary to ``text_repetition``,
+    which is within-doc). Reported as exact integer ppm.
+
+    Shape: per-doc distinct (span, doc) pairs (map-only — a doc's text
+    lives in one row, so its span total is known at map time); ONE
+    span-keyed bucket groupby marks spans with ≥2 distinct docs and
+    emits per-doc partial shared-counts (vectorized pandas inside each
+    bucket — no per-span Python calls); one doc-keyed bucket combine
+    merges partials with the per-doc totals. A viral span shared by
+    every doc costs one row per (span, doc) pair — bounded by the
+    explode size, never quadratic."""
+    from ..stages.buckets import grouped_by_bucket
+    from ..functions.textstats import norm_words
+
+    def explode(batch: pa.Table) -> pa.Table:
+        docs, grams = [], []
+        tdocs, tn = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            ws = norm_words(t)
+            if len(ws) < SPAN_K:
+                continue
+            spans = {" ".join(ws[i:i + SPAN_K])
+                     for i in range(len(ws) - SPAN_K + 1)}
+            docs.extend([d] * len(spans))
+            grams.extend(sorted(spans))
+            tdocs.append(d)
+            tn.append(len(spans))
+        return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                         "g": pa.array(grams, pa.string())})
+
+    def doc_totals(batch: pa.Table) -> pa.Table:
+        docs, tn = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            ws = norm_words(t)
+            if len(ws) < SPAN_K:
+                continue
+            docs.append(d)
+            tn.append(len({" ".join(ws[i:i + SPAN_K])
+                           for i in range(len(ws) - SPAN_K + 1)}))
+        return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                         "n_shared": pa.array([0] * len(docs),
+                                              pa.int64()),
+                         "n_grams": pa.array(tn, pa.int64())})
+
+    rows = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+    totals = _docs(sf_dir).map_batches(doc_totals,
+                                       batch_format="pyarrow")
+
+    def shared_partials(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(
+                               zero_copy_only=False),
+                           "g": b["g"].to_pylist()})
+        nd = df.groupby("g")["doc_id"].nunique()
+        shared = df[df["g"].map(nd) >= 2]
+        cnt = shared.groupby("doc_id").size()
+        return pa.table({
+            "doc_id": pa.array(cnt.index.to_numpy(), pa.int64()),
+            "n_shared": pa.array(cnt.to_numpy(), pa.int64()),
+            "n_grams": pa.array([0] * len(cnt), pa.int64())})
+
+    partials = grouped_by_bucket(rows, shared_partials, key="g") \
+        .union(totals)
+
+    def merge(b: pa.Table) -> pa.Table:
+        g = b.group_by("doc_id").aggregate(
+            [("n_shared", "sum"), ("n_grams", "sum")])
+        ns = g["n_shared_sum"].to_numpy(zero_copy_only=False)
+        ng = g["n_grams_sum"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "n_grams": pa.array(ng, pa.int64()),
+            "n_shared": pa.array(ns, pa.int64()),
+            "shared_ppm": pa.array(ns * 1_000_000 // ng, pa.int64())})
+
+    return grouped_by_bucket(partials, merge, key="doc_id",
+                             coalesce=False)
+
+
 LM_MIN_COUNT = 20   # emit bigrams seen at least this often
 
 
@@ -894,6 +982,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "bigram_lm": q_bigram_lm,
     "bloom_decontam": q_bloom_decontam,
+    "dup_span_fraction": q_dup_span_fraction,
     "shard_docs": q_shard_docs,
     "ann_range": q_ann_range,
     "knn_classify": q_knn_classify,

@@ -762,6 +762,27 @@ k AS (SELECT doc_id, quality,
 t AS (SELECT quantile_disc(qk, 0.25) AS thr FROM k)
 SELECT doc_id, quality FROM k, t WHERE qk >= thr"""
 
+    # cross-doc duplicate-span fraction: distinct 5-word spans per doc,
+    # shared = span occurs in ≥2 distinct docs; ppm via exact floor
+    q["dup_span_fraction"] = _W + """,
+p5 AS (
+  SELECT doc_id, words, unnest(range(0, len(words) - 4)) AS i
+  FROM w WHERE len(words) >= 5),
+g5 AS (
+  SELECT DISTINCT doc_id,
+         words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' '
+         || words[i+4] || ' ' || words[i+5] AS g
+  FROM p5),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM g5 GROUP BY doc_id),
+shg AS (SELECT g FROM g5 GROUP BY g
+        HAVING count(DISTINCT doc_id) >= 2),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        FROM g5 JOIN shg USING (g) GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams, coalesce(c.n_shared, 0) AS n_shared,
+       coalesce(c.n_shared, 0) * 1000000 // t.n_grams AS shared_ppm
+FROM tot t LEFT JOIN cnt c ON t.doc_id = c.doc_id"""
+
     # bigram LM counts: P(w2|w1) as integer ppm (floor), denominators
     # over ALL bigrams of w1, emitted rows filtered to n >= 20
     q["bigram_lm"] = _W + """,

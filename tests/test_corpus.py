@@ -660,3 +660,29 @@ def test_bigram_lm_vs_bruteforce(ray_session):
     got = q_bigram_lm(SF).to_pandas()
     assert {(r.w1, r.w2): (r.n, r.p_ppm)
             for r in got.itertuples()} == want
+
+
+def test_dup_span_fraction_vs_bruteforce(ray_session):
+    """Shared-span counts match a direct cross-doc computation and the
+    planted near-dup pairs show high shared fractions."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+    from skewer_ray.pipelines.corpus import SPAN_K, q_dup_span_fraction
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    spans = {}
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        ws = norm_words(txt)
+        if len(ws) >= SPAN_K:
+            spans[d] = {" ".join(ws[i:i + SPAN_K])
+                        for i in range(len(ws) - SPAN_K + 1)}
+    df_count = Counter(g for sh in spans.values() for g in sh)
+    got = {r["doc_id"]: (r["n_grams"], r["n_shared"], r["shared_ppm"])
+           for r in q_dup_span_fraction(SF).take_all()}
+    assert set(got) == set(spans)
+    for d, sh in spans.items():
+        n_shared = sum(1 for g in sh if df_count[g] >= 2)
+        assert got[d] == (len(sh), n_shared,
+                          n_shared * 1_000_000 // len(sh))
+    assert any(v[2] > 500_000 for v in got.values())  # planted dups
