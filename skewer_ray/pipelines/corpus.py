@@ -594,6 +594,33 @@ def q_topk_terms(sf_dir: str):
                      "n": pa.array([r["n"] for r in rows], pa.int64())})
 
 
+def q_distinct_terms_lang(sf_dir: str):
+    """Exact per-language vocabulary size via SALTED repartitioning
+    (stages/agg.salted_distinct_count): values split across 64 salt
+    groups so a whale language never concentrates its vocabulary in
+    one task — the north rule's salted-shuffle treatment for the
+    aggregate a combiner cannot bound."""
+    from ..functions.textstats import norm_words
+    from ..stages.agg import salted_distinct_count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text", "lang"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        langs, words = [], []
+        for lg, t in zip(batch["lang"].to_pylist(),
+                         batch["text"].to_pylist()):
+            ws = norm_words(t)
+            langs.extend([lg] * len(ws))
+            words.extend(ws)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "word": pa.array(words, pa.string())})
+
+    return salted_distinct_count(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        "lang", "word")
+
+
 SPAN_K = 5          # words per span for cross-doc duplicate detection
 
 
@@ -983,6 +1010,7 @@ QUERIES = {
     "bigram_lm": q_bigram_lm,
     "bloom_decontam": q_bloom_decontam,
     "dup_span_fraction": q_dup_span_fraction,
+    "distinct_terms_lang": q_distinct_terms_lang,
     "shard_docs": q_shard_docs,
     "ann_range": q_ann_range,
     "knn_classify": q_knn_classify,

@@ -762,6 +762,13 @@ k AS (SELECT doc_id, quality,
 t AS (SELECT quantile_disc(qk, 0.25) AS thr FROM k)
 SELECT doc_id, quality FROM k, t WHERE qk >= thr"""
 
+    # exact per-language vocabulary (engine: salted two-round shuffle)
+    q["distinct_terms_lang"] = _W + """
+SELECT d.lang, CAST(count(DISTINCT t) AS BIGINT) AS n_distinct
+FROM (SELECT doc_id, unnest(words) AS t FROM w) x
+JOIN documents d ON x.doc_id = d.doc_id
+GROUP BY d.lang"""
+
     # cross-doc duplicate-span fraction: distinct 5-word spans per doc,
     # shared = span occurs in ≥2 distinct docs; ppm via exact floor
     q["dup_span_fraction"] = _W + """,

@@ -138,3 +138,58 @@ def grouped_count(ds, keys: list[str], pre=None, combine: str = "driver"):
                          "n": pc.cast(b["sum(n)"], pa.int64())})
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+N_SALTS = 64
+
+
+def salted_distinct_count(ds, key: str, value_col: str,
+                          n_salts: int = N_SALTS, pre=None):
+    """Exact COUNT(DISTINCT value) GROUP BY key via SALTED
+    repartitioning — the north rule's hot-key treatment for the one
+    aggregate a map-side combiner canNOT bound: distinct-counting
+    keeps per-group SET state proportional to the value domain, so a
+    whale key would concentrate its entire domain in one task.
+
+    Salt = crc32(value) % n_salts: round 1 shuffles by (key, salt), so
+    a whale key's values split across ``n_salts`` independent groups —
+    and the split is EXACT, because equal values always hash to the
+    same salt, so no value is double-counted across groups. Each group
+    emits one (key, n_distinct_partial) row; round 2 is a tiny keyed
+    sum. Both exchanges run over hash buckets of their keys
+    (stages/buckets) with vectorized pandas dedup inside."""
+    import zlib
+
+    from .buckets import grouped_by_bucket
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        if pre is not None:
+            b = pre(b)
+        vals = b[value_col].to_pylist()
+        salt = pa.array(
+            [zlib.crc32(str(v).encode()) % n_salts for v in vals],
+            pa.int32())
+        return pa.table({key: b[key], value_col: b[value_col],
+                         "salt": salt})
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            key: b[key].to_pylist(),
+            "salt": b["salt"].to_numpy(zero_copy_only=False),
+            "v": b[value_col].to_pylist()})
+        g = df.groupby([key, "salt"])["v"].nunique().reset_index()
+        return pa.table({
+            key: pa.array(g[key].tolist()),
+            "nd": pa.array(g["v"].to_numpy(), pa.int64())})
+
+    partials = grouped_by_bucket(
+        ds.map_batches(add_salt, batch_format="pyarrow"),
+        partial, key=[key, "salt"])
+
+    def total(b: pa.Table) -> pa.Table:
+        g = b.group_by(key).aggregate([("nd", "sum")])
+        return pa.table({key: g[key],
+                         "n_distinct": pc.cast(g["nd_sum"], pa.int64())})
+
+    return grouped_by_bucket(partials, total, key=key, coalesce=False)

@@ -173,3 +173,34 @@ def test_range_join_counts_bruteforce(ray_session):
         n = ((df.user_id == a.user_id) & (df.ts >= a.ts - lb)
              & (df.ts < a.ts)).sum()
         assert got[a.event_id] == n
+
+
+def test_salted_distinct_count_whale_key(ray_session):
+    """A whale key holding most of a large value domain: the salted
+    two-round shuffle still produces the exact distinct count, and no
+    single (key, salt) group ever sees more than ~domain/n_salts of
+    the whale's values."""
+    import zlib
+
+    import numpy as np
+    from skewer_ray.stages.agg import salted_distinct_count
+
+    rng = np.random.default_rng(3)
+    whale_vals = [f"v{int(x)}" for x in rng.integers(0, 50_000, 80_000)]
+    minnow_vals = [f"m{int(x)}" for x in rng.integers(0, 100, 2_000)]
+    tbl = pa.table({
+        "k": pa.array(["whale"] * len(whale_vals)
+                      + ["minnow"] * len(minnow_vals)),
+        "v": pa.array(whale_vals + minnow_vals)})
+    out = {r["k"]: r["n_distinct"]
+           for r in salted_distinct_count(
+               rd.from_arrow(tbl).repartition(16), "k", "v").take_all()}
+    assert out == {"whale": len(set(whale_vals)),
+                   "minnow": len(set(minnow_vals))}
+    # the salt really shards the whale's domain
+    n_salts = 64
+    per_salt = {}
+    for v in set(whale_vals):
+        per_salt.setdefault(zlib.crc32(v.encode()) % n_salts, 0)
+        per_salt[zlib.crc32(v.encode()) % n_salts] += 1
+    assert max(per_salt.values()) < len(set(whale_vals)) / n_salts * 2
