@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_latency": q.q_turn_latency,
         # leakage-free conv-granularity train/val/test split
         "holdout_split": q.q_holdout_split,
+        # sliding turn-window training-sample construction (1→N)
+        "conv_windows": q.q_conv_windows,
         # conversation-level dedup by (role, tool) interaction pattern
         "conv_pattern_dedup": q.q_conv_pattern_dedup,
         # user-composable grok named-pattern extraction

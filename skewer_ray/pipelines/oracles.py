@@ -312,6 +312,23 @@ SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
 FROM b WHERE from_role IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
+    # sliding turn windows (8 turns, stride 4): each turn joins the ≤2
+    # windows covering it; window w exists iff its start w*4 < n_turns
+    q["conv_windows"] = f"""
+WITH t AS (
+  SELECT conv_id, role || ': ' || text AS line,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY turn_idx) - 1 AS rn
+  FROM read_parquet('{_tpath(sf_name)}')),
+x AS (SELECT conv_id, line, rn, unnest(range(0, 2)) AS k FROM t),
+win AS (
+  SELECT conv_id, line, rn, rn // 4 - k AS w
+  FROM x
+  WHERE rn // 4 - k >= 0 AND rn < (rn // 4 - k) * 4 + 8)
+SELECT conv_id, w AS win_idx, CAST(count(*) AS BIGINT) AS n_turns,
+       string_agg(line, chr(10) ORDER BY rn) AS window_text
+FROM win GROUP BY conv_id, w"""
+
     # conversation-granularity holdout split: pure md5-byte assignment,
     # per-split conv/turn totals
     q["holdout_split"] = f"""

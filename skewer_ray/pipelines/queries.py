@@ -486,6 +486,49 @@ def q_turn_latency(sf_dir: str):
                               pa.float64())})
 
 
+WIN_TURNS = 8       # turns per training window
+WIN_STRIDE = 4      # window stride (turns)
+
+
+def q_conv_windows(sf_dir: str):
+    """Training-sample construction: each conversation expands to
+    overlapping windows of ``WIN_TURNS`` consecutive turns at stride
+    ``WIN_STRIDE`` (1→N), each window assembled as ordered "role: text"
+    lines — how long-context samples are actually cut from dialogue
+    corpora. ONE bucket-keyed shuffle (conversation co-location); the
+    window slicing is an in-bucket loop over window starts, bounded by
+    turns/stride per conversation."""
+    from ..stages.buckets import grouped_by_bucket, run_starts
+    ds = read_transcripts(sf_dir)
+
+    def windows(batch: pa.Table) -> pa.Table:
+        conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, conv))
+        conv_s = conv[order]
+        roles = batch["role"].to_pylist()
+        texts = batch["text"].to_pylist()
+        lines = [f"{roles[i]}: {texts[i]}" for i in order]
+        starts = np.flatnonzero(run_starts(conv_s))
+        ends = np.append(starts[1:], len(conv_s))
+        out_conv, out_w, out_n, out_text = [], [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            for w, off in enumerate(range(0, n, WIN_STRIDE)):
+                chunk = lines[s + off:s + min(off + WIN_TURNS, n)]
+                out_conv.append(conv_s[s])
+                out_w.append(w)
+                out_n.append(len(chunk))
+                out_text.append("\n".join(chunk))
+        return pa.table({
+            "conv_id": pa.array(out_conv, pa.string()),
+            "win_idx": pa.array(out_w, pa.int64()),
+            "n_turns": pa.array(out_n, pa.int64()),
+            "window_text": pa.array(out_text, pa.string())})
+
+    return grouped_by_bucket(ds, windows)
+
+
 SPLIT_TRAIN = 244   # md5(conv_id)[0] < 244 → train (244/256)
 SPLIT_VAL = 250     # < 250 → val (6/256); rest → test
 

@@ -252,3 +252,27 @@ def test_incremental_conv_stats_equals_full(ray_session):
     incr = q_incremental_conv_stats(SF).to_pandas().sort_values(
         "conv_id").reset_index(drop=True)
     assert full.equals(incr[full.columns])
+
+
+def test_conv_windows_cover_and_overlap(ray_session):
+    """Windows tile each conversation at the configured stride: window
+    w holds turns [w*stride, w*stride+size); consecutive windows
+    overlap by size-stride turns; every turn is covered."""
+    from skewer_ray.pipelines.flagship import read_transcripts
+    from skewer_ray.pipelines.queries import (WIN_STRIDE, WIN_TURNS,
+                                              q_conv_windows)
+
+    got = q_conv_windows(SF).to_pandas()
+    src = read_transcripts(SF).to_pandas().sort_values(
+        ["conv_id", "turn_idx"])
+    for conv, g in src.groupby("conv_id"):
+        lines = [f"{r}: {t}" for r, t in zip(g["role"], g["text"])]
+        n = len(lines)
+        mine = got[got["conv_id"] == conv].set_index("win_idx")
+        want_ws = list(range(0, (n + WIN_STRIDE - 1) // WIN_STRIDE))
+        want_ws = [w for w in want_ws if w * WIN_STRIDE < n]
+        assert sorted(mine.index) == want_ws
+        for w in want_ws:
+            chunk = lines[w * WIN_STRIDE:w * WIN_STRIDE + WIN_TURNS]
+            assert mine.loc[w, "n_turns"] == len(chunk)
+            assert mine.loc[w, "window_text"] == "\n".join(chunk)
