@@ -65,6 +65,12 @@ def main(argv=None):
     counts = sub.add_parser("counts", help="print per-sink counts")
     counts.add_argument("--out", required=True)
 
+    comp = sub.add_parser("compact",
+                          help="merge small parquet fragments per hive "
+                               "leaf (content-preserving, atomic swap)")
+    comp.add_argument("--out", required=True)
+    comp.add_argument("--target-rows", type=int, default=1_000_000)
+
     args = ap.parse_args(argv)
     if args.cmd == "run" and not args.test and not args.out:
         ap.error("run requires --out (unless --test)")
@@ -73,6 +79,14 @@ def main(argv=None):
         path = os.path.join(args.out, "metrics", "sink_counts.json")
         with open(path) as fh:
             print(json.dumps(json.load(fh), indent=1))
+        return 0
+
+    if args.cmd == "compact":
+        from .state.compact import compact_output
+        reports = compact_output(args.out, target_rows=args.target_rows)
+        before = sum(r["files_before"] for r in reports)
+        after = sum(r["files_after"] for r in reports)
+        print(f"{len(reports)} leaves: {before} -> {after} files")
         return 0
 
     _ensure_ray(args.num_cpus)

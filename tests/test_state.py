@@ -97,3 +97,35 @@ def test_retry_rejected_delivers_with_fixed_filter(small_input, tmp_path, ray_se
     assert n == 78 * 3
     retry_dir = os.path.join(out, "retries", "000")
     assert os.path.isfile(os.path.join(retry_dir, "_manifest.json"))
+
+
+def test_compaction_preserves_content(ray_session, tmp_path):
+    """Compacting a fragmented hive leaf reduces file count and leaves
+    the row multiset and schema byte-identical; single-file leaves are
+    untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from skewer_ray.state.compact import compact_output, leaf_dirs
+
+    root = tmp_path / "out"
+    leaf = root / "sink=kafka" / "route=a"
+    leaf.mkdir(parents=True)
+    for i in range(7):
+        pq.write_table(pa.table({
+            "uid": [f"{i}:{j}" for j in range(100)],
+            "n": list(range(i * 100, i * 100 + 100))}),
+            leaf / f"part-{i}.parquet")
+    solo = root / "sink=kafka" / "route=b"
+    solo.mkdir(parents=True)
+    pq.write_table(pa.table({"uid": ["x"], "n": [1]}),
+                   solo / "only.parquet")
+
+    before = pq.read_table(str(leaf)).sort_by("uid")
+    reports = compact_output(str(root), target_rows=250)
+    by_leaf = {r["leaf"]: r for r in reports}
+    assert by_leaf[str(leaf)]["files_before"] == 7
+    assert by_leaf[str(leaf)]["files_after"] == 3   # 700 rows / 250
+    assert by_leaf[str(solo)]["files_after"] == 1   # no-op
+    after = pq.read_table(str(leaf)).sort_by("uid")
+    assert after.equals(before)
+    assert len(leaf_dirs(str(root))) == 2
