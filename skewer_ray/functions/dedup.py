@@ -577,9 +577,11 @@ def connected_components(pairs_ds, a_col: str = "doc_a",
     def rename_min(b: pa.Table) -> pa.Table:
         return pa.table({"node": b["node"], "label": b["min(label)"]})
 
+    converged = False
     for _ in range(max_iters):
         cur = labels.sum("label")
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
         msgs = (edges.join(labels, "inner", nparts,
@@ -589,6 +591,12 @@ def connected_components(pairs_ds, a_col: str = "doc_a",
                   .groupby("node").min("label")
                   .map_batches(rename_min, batch_format="pyarrow")
                   .materialize())
+    if not converged and labels.sum("label") != prev_sum:
+        # fail LOUDLY: returning un-converged labels would silently
+        # split components (wrong cluster_rep) downstream
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            "rounds — component diameter exceeds max_iters; raise it")
 
     def finalize(b: pa.Table) -> pa.Table:
         return pa.table({"doc_id": b["node"], "cluster_rep": b["label"]})

@@ -416,9 +416,12 @@ def q_lang_centroid_dist(sf_dir: str):
     # through the exchange as fixed-stride little-endian f32 bytes
     # (numpy view both ways, no per-row Python)
     def pack(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "emb_bin": pa.array([], pa.binary())})
         arr = b["embedding"].combine_chunks()
         flat = np.asarray(arr.flatten(), dtype="<f4")
-        dim = len(flat) // b.num_rows if b.num_rows else 0
+        dim = len(flat) // b.num_rows
         offs = np.arange(0, (b.num_rows + 1) * dim * 4, dim * 4,
                          dtype=np.int32)
         bin_arr = pa.Array.from_buffers(
@@ -468,7 +471,11 @@ def q_lang_centroid_dist(sf_dir: str):
             v = np.asarray(r["s"], dtype=np.float64)
             a[0] = v if a[0] is None else a[0] + v
             a[1] += r["n"]
-    cents = {k: np.round(v / n, 6) for k, (v, n) in acc.items()}
+    # floor-quantize the centroid (not round): np.round is half-even,
+    # DuckDB round() is half-away — floor has ONE semantic on both
+    # engines, so only a genuine 1e-13 summation-order straddle of a
+    # 1e-6 cell boundary could ever differ (vs every tie differing)
+    cents = {k: np.floor(v / n * 1e6) / 1e6 for k, (v, n) in acc.items()}
     cents_ref = ray.put(cents)
 
     def dist(b: pa.Table) -> pa.Table:
@@ -476,7 +483,10 @@ def q_lang_centroid_dist(sf_dir: str):
         mat = unpack(b)
         lg = b["lang"].to_pylist()
         cm = np.stack([c[l] for l in lg]) if lg else mat
-        d = np.round(np.sqrt(((mat - cm) ** 2).sum(axis=1)), 6)
+        # dist is emitted UNrounded: the driver comparator rounds both
+        # engines' floats with the same mode, which in-pipeline
+        # round-vs-ROUND() could not guarantee
+        d = np.sqrt(((mat - cm) ** 2).sum(axis=1))
         return pa.table({"vec_id": b["vec_id"], "lang": b["lang"],
                          "dist": pa.array(d, pa.float64())})
 
@@ -644,7 +654,6 @@ def q_dup_span_fraction(sf_dir: str):
 
     def explode(batch: pa.Table) -> pa.Table:
         docs, grams = [], []
-        tdocs, tn = [], []
         for d, t in zip(batch["doc_id"].to_pylist(),
                         batch["text"].to_pylist()):
             ws = norm_words(t)
@@ -654,31 +663,16 @@ def q_dup_span_fraction(sf_dir: str):
                      for i in range(len(ws) - SPAN_K + 1)}
             docs.extend([d] * len(spans))
             grams.extend(sorted(spans))
-            tdocs.append(d)
-            tn.append(len(spans))
         return pa.table({"doc_id": pa.array(docs, pa.int64()),
                          "g": pa.array(grams, pa.string())})
 
-    def doc_totals(batch: pa.Table) -> pa.Table:
-        docs, tn = [], []
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()):
-            ws = norm_words(t)
-            if len(ws) < SPAN_K:
-                continue
-            docs.append(d)
-            tn.append(len({" ".join(ws[i:i + SPAN_K])
-                           for i in range(len(ws) - SPAN_K + 1)}))
-        return pa.table({"doc_id": pa.array(docs, pa.int64()),
-                         "n_shared": pa.array([0] * len(docs),
-                                              pa.int64()),
-                         "n_grams": pa.array(tn, pa.int64())})
-
     rows = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
-    totals = _docs(sf_dir).map_batches(doc_totals,
-                                       batch_format="pyarrow")
 
     def shared_partials(b: pa.Table) -> pa.Table:
+        # spans are DISTINCT per doc, and each (g, doc) row lands in
+        # exactly one bucket — so per-doc row counts here sum to the
+        # doc's span total across buckets (one corpus scan, no second
+        # totals pass)
         import pandas as pd
         df = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(
                                zero_copy_only=False),
@@ -686,13 +680,15 @@ def q_dup_span_fraction(sf_dir: str):
         nd = df.groupby("g")["doc_id"].nunique()
         shared = df[df["g"].map(nd) >= 2]
         cnt = shared.groupby("doc_id").size()
+        tot = df.groupby("doc_id").size()
+        out = pd.DataFrame({"n_shared": cnt, "n_grams": tot}) \
+            .fillna(0).astype("int64").reset_index()
         return pa.table({
-            "doc_id": pa.array(cnt.index.to_numpy(), pa.int64()),
-            "n_shared": pa.array(cnt.to_numpy(), pa.int64()),
-            "n_grams": pa.array([0] * len(cnt), pa.int64())})
+            "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+            "n_shared": pa.array(out["n_shared"].to_numpy(), pa.int64()),
+            "n_grams": pa.array(out["n_grams"].to_numpy(), pa.int64())})
 
-    partials = grouped_by_bucket(rows, shared_partials, key="g") \
-        .union(totals)
+    partials = grouped_by_bucket(rows, shared_partials, key="g")
 
     def merge(b: pa.Table) -> pa.Table:
         g = b.group_by("doc_id").aggregate(
@@ -741,25 +737,32 @@ def q_bigram_lm(sf_dir: str):
         _docs(sf_dir).map_batches(explode, batch_format="pyarrow"),
         ["w1", "w2"], combine="shuffle")
 
-    # unigram totals per w1 from the combined bigram counts (each w1's
-    # rows land in one hash partition, but Ray's groupby output blocks
-    # may split a key — re-key by w1 so the denominator sum is exact)
-    def per_w1(batch: pa.Table) -> pa.Table:
-        tot = int(pc.sum(batch["n"]).as_py())
-        keep = pc.greater_equal(batch["n"], LM_MIN_COUNT)
-        b = batch.filter(keep)
-        if b.num_rows == 0:
-            return pa.table({"w1": pa.array([], pa.string()),
-                             "w2": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64()),
-                             "p_ppm": pa.array([], pa.int64())})
-        n = b["n"].to_numpy(zero_copy_only=False)
-        ppm = (n * 1_000_000) // tot            # exact integer floor
-        return pa.table({"w1": b["w1"], "w2": b["w2"], "n": b["n"],
-                         "p_ppm": pa.array(ppm, pa.int64())})
+    # unigram totals per w1 from the combined bigram counts; the
+    # exchange keys on a hash bucket of w1 (stages/buckets) so one
+    # vectorized call covers hundreds of unigram groups instead of one
+    # Python invocation per vocabulary entry
+    from ..stages.buckets import grouped_by_bucket
 
-    return counts.groupby("w1").map_groups(per_w1,
-                                           batch_format="pyarrow")
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "w1": batch["w1"].to_pylist(),
+            "w2": batch["w2"].to_pylist(),
+            "n": batch["n"].to_numpy(zero_copy_only=False)})
+        tot = df.groupby("w1")["n"].transform("sum").to_numpy()
+        keep = df["n"].to_numpy() >= LM_MIN_COUNT
+        n = df["n"].to_numpy()[keep]
+        ppm = n * 1_000_000 // tot[keep]        # exact integer floor
+        return pa.table({
+            "w1": pa.array(df["w1"].to_numpy()[keep].tolist(),
+                           pa.string()),
+            "w2": pa.array(df["w2"].to_numpy()[keep].tolist(),
+                           pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "p_ppm": pa.array(ppm, pa.int64())})
+
+    return grouped_by_bucket(counts, per_bucket, key="w1",
+                             coalesce=False)
 
 
 IDX_MIN_DF = 5      # index only terms in ≥ this many docs
@@ -795,23 +798,35 @@ def q_inverted_index(sf_dir: str):
                 [sorted(per_term[k])[:IDX_POSTINGS] for k in ks],
                 pa.list_(pa.int64()))})
 
-    def merge(batch: pa.Table) -> pa.Table:
-        df = int(pc.sum(batch["pdf"]).as_py())
-        if df < IDX_MIN_DF:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "df": pa.array([], pa.int64()),
-                             "postings": pa.array([], pa.string())})
-        ids = sorted(x for lst in batch["prefix"].to_pylist()
-                     for x in lst)[:IDX_POSTINGS]
+    def merge_bucket(batch: pa.Table) -> pa.Table:
+        # one call per hash bucket of terms: df sums vectorized; the
+        # Python prefix-merge loop runs only over terms PASSING the df
+        # floor (tiny), never the whole vocabulary
+        import pandas as pd
+        df = pd.DataFrame({
+            "term": batch["term"].to_pylist(),
+            "pdf": batch["pdf"].to_numpy(zero_copy_only=False),
+            "prefix": batch["prefix"].to_pylist()})
+        tot = df.groupby("term")["pdf"].sum()
+        keep = tot[tot >= IDX_MIN_DF]
+        out_t, out_df, out_post = [], [], []
+        sub = df[df["term"].isin(keep.index)]
+        for term, grp in sub.groupby("term"):
+            ids = sorted(x for lst in grp["prefix"]
+                         for x in lst)[:IDX_POSTINGS]
+            out_t.append(term)
+            out_df.append(int(keep[term]))
+            out_post.append(",".join(map(str, ids)))
         return pa.table({
-            "term": batch["term"].slice(0, 1),
-            "df": pa.array([df], pa.int64()),
-            "postings": pa.array([",".join(map(str, ids))], pa.string())})
+            "term": pa.array(out_t, pa.string()),
+            "df": pa.array(out_df, pa.int64()),
+            "postings": pa.array(out_post, pa.string())})
 
-    return (_docs(sf_dir)
-            .map_batches(explode_partial, batch_format="pyarrow")
-            .groupby("term")
-            .map_groups(merge, batch_format="pyarrow"))
+    from ..stages.buckets import grouped_by_bucket
+    return grouped_by_bucket(
+        _docs(sf_dir).map_batches(explode_partial,
+                                  batch_format="pyarrow"),
+        merge_bucket, key="term")
 
 
 def q_events_hopping(sf_dir: str):

@@ -821,19 +821,21 @@ FROM g JOIN r ON g.term = r.term AND r.rn <= 20
 GROUP BY g.term, g.df"""
 
     # per-language embedding centroid + per-vector L2 distance to its
-    # own centroid. Centroids round to 6 dp on BOTH engines before the
-    # distance, so f64 summation-order differences (~1e-13) can't leak
-    # into the compared values; dist rounds to 6 dp again.
+    # own centroid. Centroids FLOOR-quantize to 1e-6 on both engines
+    # (floor has one semantic everywhere; round() is half-away in
+    # DuckDB but half-even in numpy) so the distance inputs agree;
+    # dist itself is unrounded — the driver comparator rounds both
+    # engines' floats identically.
     q["lang_centroid_dist"] = """
 WITH x AS (
   SELECT e.vec_id, d.lang,
          unnest(e.embedding) AS v,
          unnest(range(1, len(e.embedding) + 1)) AS dim
   FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
-c AS (SELECT lang, dim, round(avg(v), 6) AS c
+c AS (SELECT lang, dim, floor(avg(v) * 1000000) / 1000000 AS c
       FROM x GROUP BY lang, dim)
 SELECT x.vec_id, x.lang,
-       round(sqrt(sum((x.v - c.c) * (x.v - c.c))), 6) AS dist
+       sqrt(sum((x.v - c.c) * (x.v - c.c))) AS dist
 FROM x JOIN c ON x.lang = c.lang AND x.dim = c.dim
 GROUP BY x.vec_id, x.lang"""
 

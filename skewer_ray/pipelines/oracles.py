@@ -344,8 +344,8 @@ SELECT split, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
        CAST(count(*) AS BIGINT) AS n_turns
 FROM s GROUP BY split ORDER BY split"""
 
-    # per-role-transition latency stats: integer-µs gap sums (exact),
-    # one float division at the very end (identical IEEE both engines)
+    # per-role-transition latency stats: exact integer µs end-to-end
+    # (mean = floor-divided µs — no float rounding mode in play)
     q["turn_latency"] = f"""
 WITH b AS (
   SELECT role AS to_role, epoch_us(ts) AS us,
@@ -354,9 +354,8 @@ WITH b AS (
   FROM read_parquet('{_tpath(sf_name)}')
   WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
 SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n,
-       round(sum(us - prev_us) / (count(*) * 1000000.0), 6)
-         AS avg_gap_s,
-       max(us - prev_us) / 1000000.0 AS max_gap_s
+       CAST(sum(us - prev_us) // count(*) AS BIGINT) AS avg_gap_us,
+       CAST(max(us - prev_us) AS BIGINT) AS max_gap_us
 FROM b WHERE from_role IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2"""
 

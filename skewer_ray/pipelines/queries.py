@@ -299,8 +299,15 @@ def q_incremental_conv_stats(sf_dir: str):
 
     specs = [("ts", "count"), ("ts", "min"), ("ts", "max"),
              ("chars", "sum")]
-    state_dir = os.path.join("/tmp/skewer_ray_incr",
-                             os.path.basename(os.path.normpath(sf_dir)))
+    # per-invocation checkpoint dir: corpus identity by abspath hash,
+    # uniqueness by uuid so concurrent invocations (bench + correctness)
+    # never race each other's state
+    import hashlib
+    import uuid
+    state_dir = os.path.join(
+        "/tmp/skewer_ray_incr",
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        + "-" + uuid.uuid4().hex[:8])
     # ingest #1: aggregate the old half and CHECKPOINT the partials
     shutil.rmtree(state_dir, ignore_errors=True)
     grouped_stats(half(ds, True), "conv_id", specs, pre=pre) \
@@ -420,8 +427,9 @@ def q_turn_latency(sf_dir: str):
     are an int64-µs diff masked at conversation boundaries, reduced
     by a pandas C groupby; partial (n, sum_µs, max_µs) rows combine
     map-side so the driver merge touches role-pairs, not turns. All
-    sums are exact integers — the only float op is the final one-shot
-    division, identical IEEE on both engines."""
+    sums are exact integers end-to-end: the mean is emitted as
+    floor-divided integer microseconds, so no float rounding mode can
+    diverge between engines."""
     from ..stages.buckets import grouped_by_bucket
     ds = read_transcripts(sf_dir)
 
@@ -479,11 +487,9 @@ def q_turn_latency(sf_dir: str):
         "from_role": pa.array([k[0] for k in ks], pa.string()),
         "to_role": pa.array([k[1] for k in ks], pa.string()),
         "n": pa.array([acc[k][0] for k in ks], pa.int64()),
-        "avg_gap_s": pa.array(
-            [round(acc[k][1] / (acc[k][0] * 1e6), 6) for k in ks],
-            pa.float64()),
-        "max_gap_s": pa.array([acc[k][2] / 1e6 for k in ks],
-                              pa.float64())})
+        "avg_gap_us": pa.array([acc[k][1] // acc[k][0] for k in ks],
+                               pa.int64()),
+        "max_gap_us": pa.array([acc[k][2] for k in ks], pa.int64())})
 
 
 WIN_TURNS = 8       # turns per training window

@@ -236,9 +236,8 @@ def test_turn_latency_vs_pandas(ray_session):
     for (fr, to), r in want.iterrows():
         g = got.loc[(fr, to)]
         assert g["n"] == r["count"]
-        assert abs(g["avg_gap_s"] -
-                   round(r["sum"] / (r["count"] * 1e6), 6)) < 1e-9
-        assert abs(g["max_gap_s"] - r["max"] / 1e6) < 1e-9
+        assert g["avg_gap_us"] == int(r["sum"]) // int(r["count"])
+        assert g["max_gap_us"] == int(r["max"])
 
 
 def test_incremental_conv_stats_equals_full(ray_session):

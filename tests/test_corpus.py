@@ -603,9 +603,9 @@ def test_lang_centroid_dist_vs_numpy(ray_session):
     ids = emb["vec_id"].to_pylist()
     mat = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
     langs = np.asarray([lang_of[i] for i in ids])
-    cents = {l: np.round(mat[langs == l].mean(axis=0), 6)
+    cents = {l: np.floor(mat[langs == l].mean(axis=0) * 1e6) / 1e6
              for l in set(langs)}
-    want = {i: round(float(np.sqrt(((v - cents[l]) ** 2).sum())), 6)
+    want = {i: float(np.sqrt(((v - cents[l]) ** 2).sum()))
             for i, v, l in zip(ids, mat, langs)}
 
     got = q_lang_centroid_dist(SF).to_pandas()

@@ -129,3 +129,35 @@ def test_compaction_preserves_content(ray_session, tmp_path):
     after = pq.read_table(str(leaf)).sort_by("uid")
     assert after.equals(before)
     assert len(leaf_dirs(str(root))) == 2
+
+
+def test_compaction_recovery_and_hidden_scratch(ray_session, tmp_path):
+    """A crash mid-swap (leaf renamed away, replacement not yet in
+    place) is repaired by recover(); _-prefixed scratch dirs are never
+    visible to Arrow dataset discovery."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    from skewer_ray.state.compact import compact_output, recover
+
+    root = tmp_path / "out"
+    leaf = root / "sink=kafka" / "route=a"
+    leaf.mkdir(parents=True)
+    for i in range(3):
+        pq.write_table(pa.table({"uid": [f"{i}"], "n": [i]}),
+                       leaf / f"part-{i}.parquet")
+
+    # simulate the crash window: leaf moved to _old, no replacement
+    os.rename(leaf, root / "sink=kafka" / "_old-route=a-deadbeef")
+    (root / "sink=kafka" / "_compact-route=a-deadbeef").mkdir()
+    # scratch dirs are invisible to readers even mid-crash
+    assert pds.dataset(str(root), partitioning="hive").count_rows() == 0
+    assert recover(str(root)) == 1
+    assert pq.read_table(str(leaf)).num_rows == 3
+    # and a fresh compact_output run recovers then compacts
+    reports = compact_output(str(root), target_rows=10)
+    assert reports[0]["files_after"] == 1
+    assert pq.read_table(str(leaf)).sort_by("uid")["n"].to_pylist() \
+        == [0, 1, 2]
