@@ -271,3 +271,37 @@ def test_scrub_and_mask_are_idempotent(s):
     assert scrub_pii(pa.array([once])).to_pylist()[0] == once
     m1 = mask_templates(col).to_pylist()[0]
     assert mask_templates(pa.array([m1])).to_pylist()[0] == m1
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
+                min_size=0, max_size=200))
+def test_segmented_cumsum_matches_per_group(pairs):
+    """segmented_cumsum over key-sorted rows == an independent cumsum
+    per key run (values ≥ 0 precondition of the kernel)."""
+    import numpy as np
+    from skewer_ray.stages.buckets import run_starts, segmented_cumsum
+
+    pairs.sort(key=lambda t: t[0])
+    keys = np.asarray([k for k, _ in pairs], dtype=np.int64)
+    vals = np.asarray([v for _, v in pairs], dtype=np.int64)
+    got = segmented_cumsum(vals, run_starts(keys))
+    want = np.empty_like(vals)
+    i = 0
+    while i < len(keys):
+        j = i
+        while j < len(keys) and keys[j] == keys[i]:
+            j += 1
+        want[i:j] = np.cumsum(vals[i:j])
+        i = j
+    assert np.array_equal(got, want)
+
+
+@given(st.lists(st.integers(0, 3), min_size=0, max_size=100))
+def test_run_starts_marks_value_changes(keys):
+    import numpy as np
+    from skewer_ray.stages.buckets import run_starts
+
+    arr = np.asarray(sorted(keys), dtype=np.int64)
+    starts = run_starts(arr)
+    for i, s in enumerate(starts):
+        assert s == (i == 0 or arr[i] != arr[i - 1])
