@@ -1,0 +1,105 @@
+"""Snapshot diff: reconcile two versions of a keyed table.
+
+The data-engineering primitive behind incremental syncs and
+table-format time travel: given version A and version B of a table with
+a unique key, classify every key as ``added`` (B only), ``removed``
+(A only), ``changed`` (both, payload hash differs) or ``unchanged``,
+and emit per-status totals plus an exact key checksum.
+
+Distributed shape (100-TB-safe):
+  1. each side is reduced at the map stage to (key, md5-prefix payload
+     hash, side tag) — the exchange carries two narrow int columns per
+     row, never the payload;
+  2. the tagged union makes ONE key-bucket exchange
+     (stages/buckets — unique keys, so no skew: every bucket holds
+     ~|keys|/n_buckets rows);
+  3. inside a bucket, a vectorized pandas pivot joins the ≤2 rows per
+     key and classifies; per-status partial (n, key_sum) rows leave the
+     bucket — output bounded by 4 rows per bucket;
+  4. tiny driver merge over the 4-status domain.
+
+Payload hash = first 8 bytes of md5 of the compared column, matching
+what DuckDB's ``md5(...)`` can reproduce; 64-bit collisions are
+negligible for diff purposes and the rule is identical on both sides.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+STATUSES = ["added", "changed", "removed", "unchanged"]
+
+
+def _h64(values: list[str]) -> np.ndarray:
+    """Signed int64 view of the first 8 md5 bytes — all 64 bits kept,
+    so equality is exactly DuckDB's substr(md5(x),1,16) equality."""
+    return np.array(
+        [int.from_bytes(hashlib.md5(v.encode()).digest()[:8], "big",
+                        signed=True)
+         for v in values], dtype=np.int64)
+
+
+def snapshot_diff(a_ds, b_ds, key: str, payload: str) -> pa.Table:
+    """Per-status (status, n, key_sum) between table versions A and B."""
+    from ..stages.buckets import grouped_by_bucket
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                key: b[key],
+                "h": pa.array(_h64([x if x is not None else ""
+                                    for x in b[payload].to_pylist()]),
+                              pa.int64()),
+                "side": pa.array(np.full(b.num_rows, side, np.int8)),
+            })
+        return f
+
+    union = a_ds.map_batches(tag(0), batch_format="pyarrow") \
+                .union(b_ds.map_batches(tag(1), batch_format="pyarrow"))
+
+    empty = pa.table({"status": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "key_sum": pa.array([], pa.int64())})
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        if df.empty:
+            return empty
+        g = df.pivot_table(index=key, columns="side", values="h",
+                           aggfunc="first")
+        in_a = 0 in g.columns
+        in_b = 1 in g.columns
+        ha = g[0] if in_a else pd.Series(np.nan, index=g.index)
+        hb = g[1] if in_b else pd.Series(np.nan, index=g.index)
+        status = np.where(
+            ha.isna(), "added",
+            np.where(hb.isna(), "removed",
+                     np.where(ha == hb, "unchanged", "changed")))
+        keys = g.index.to_numpy()
+        out = (pd.DataFrame({"status": status,
+                             "n": np.ones(len(g), np.int64),
+                             "key_sum": keys.astype(np.int64)})
+               .groupby("status", sort=False).sum().reset_index())
+        return pa.table({
+            "status": pa.array(out["status"], pa.string()),
+            "n": pa.array(out["n"], pa.int64()),
+            "key_sum": pa.array(out["key_sum"], pa.int64()),
+        })
+
+    acc: dict[str, list[int]] = {}
+    for b in grouped_by_bucket(union, per_bucket, key=key) \
+            .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["status"], [0, 0])
+            a[0] += r["n"]
+            a[1] += r["key_sum"]
+    return pa.table({
+        "status": pa.array(STATUSES, pa.string()),
+        "n": pa.array([acc.get(s, [0, 0])[0] for s in STATUSES], pa.int64()),
+        "key_sum": pa.array([acc.get(s, [0, 0])[1] for s in STATUSES],
+                            pa.int64()),
+    })

@@ -1,0 +1,87 @@
+"""One PageRank power-iteration step over the conversation→tool graph.
+
+Iterative graph analytics on a Ray Data engine: nodes are conversations
+(sources) and tools (sinks), with a directed edge conv→tool for every
+tool the conversation invoked at least once. Starting from the uniform
+distribution, one damped PageRank step moves mass
+
+    in_mass(tool) = Σ_{conv → tool}  pr₀(conv) / outdeg(conv)
+
+All arithmetic is EXACT integer: with outdeg ≤ 15 in this graph, every
+1/outdeg is represented as ``MASS_UNIT // outdeg`` with
+``MASS_UNIT = lcm(1..15) = 360360`` — no float summation order can
+diverge between the engine and the SQL oracle. The reported
+``in_mass`` is therefore in units of pr₀/360360 (the caller applies the
+damping factor and 1/N normalization outside, where N is a scalar).
+
+Distributed shape (100-TB-safe):
+  1. narrow projection (conv_id, tool), tool-less turns dropped at the
+     read batch;
+  2. ONE conv-keyed bucket exchange (stages/buckets — conversations
+     co-located, hundreds per vectorized UDF call);
+  3. inside a bucket: pandas drop_duplicates → per-conv outdeg →
+     per-(tool) partial sums of MASS_UNIT // outdeg — output rows are
+     bounded by |tools| per bucket, not by turns;
+  4. tiny driver merge over the |tools|-sized domain.
+
+A full multi-round PageRank repeats step 2-4 with pr fed back through
+``ray.put`` (mass vector is |nodes|-bounded); one round is the
+oracle-gated unit because fixed-point iteration counts are a job
+parameter, not an operator semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MASS_UNIT = 360360  # lcm(1..15); exact 1/outdeg for outdeg ≤ 15
+MAX_OUTDEG = 15
+
+
+def pagerank_tool_mass(ds):
+    """in-mass per tool after one uniform-start PageRank step.
+
+    ``ds`` must carry (conv_id, tool) columns. Returns a pyarrow Table
+    (node, in_mass, n_sources) sorted by node."""
+    from ..stages.buckets import grouped_by_bucket
+
+    def prune(b: pa.Table) -> pa.Table:
+        keep = pa.compute.and_(
+            pa.compute.is_valid(b["tool"]),
+            pa.compute.not_equal(b["tool"], ""))
+        b = b.filter(keep)
+        return pa.table({"conv_id": b["conv_id"], "tool": b["tool"]})
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas().drop_duplicates(["conv_id", "tool"])
+        deg = df.groupby("conv_id", sort=False)["tool"].transform("size")
+        if len(deg) and int(deg.max()) > MAX_OUTDEG:
+            raise ValueError(
+                f"outdeg {int(deg.max())} > {MAX_OUTDEG}: raise MASS_UNIT "
+                "to the lcm of the new degree bound")
+        share = MASS_UNIT // deg.to_numpy(np.int64) if len(deg) else \
+            np.empty(0, np.int64)
+        out = (pd.DataFrame({"node": df["tool"].to_numpy(),
+                             "in_mass": share,
+                             "n_sources": np.ones(len(df), np.int64)})
+               .groupby("node", sort=False).sum().reset_index())
+        return pa.table({"node": pa.array(out["node"], pa.string()),
+                         "in_mass": pa.array(out["in_mass"], pa.int64()),
+                         "n_sources": pa.array(out["n_sources"], pa.int64())})
+
+    partials = grouped_by_bucket(
+        ds.map_batches(prune, batch_format="pyarrow"), per_bucket)
+    acc: dict[str, list[int]] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["node"], [0, 0])
+            a[0] += r["in_mass"]
+            a[1] += r["n_sources"]
+    nodes = sorted(acc)
+    return pa.table({
+        "node": pa.array(nodes, pa.string()),
+        "in_mass": pa.array([acc[n][0] for n in nodes], pa.int64()),
+        "n_sources": pa.array([acc[n][1] for n in nodes], pa.int64()),
+    })

@@ -1,0 +1,86 @@
+"""Symmetric int8 scalar quantization of an embedding column.
+
+The standard storage/serving compression for embedding tables at scale:
+per-dimension symmetric max-abs scaling,
+
+    q_d(v) = clamp(floor(v_d · 127 / amax_d), -127, 127)
+
+where ``amax_d = max |v_d|`` over the whole corpus. floor (not round)
+is the quantizer so the engine and the SQL oracle share one exactly-
+specified rule; both sides compute the identical IEEE-double expression
+``(v * 127) / amax`` (f32 values widened to f64, same operation order),
+and max/abs are exact, so the codes match bit-for-bit cross-engine.
+
+Distributed shape (100-TB-safe):
+  1. pass 1 — per-batch per-dimension max-abs partials (rows bounded by
+     the dimension count, not the corpus) → driver merge to the amax
+     vector;
+  2. the amax vector is broadcast once via ``ray.put`` (closure
+     capture), NOT re-shipped per batch;
+  3. pass 2 — embarrassingly-parallel map emitting integer summaries of
+     each vector's code block (sum / L1 / position-weighted checksum),
+     all exact int64.
+
+Zero-amax dimensions (constant-zero columns) quantize to 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _batch_matrix(b: pa.Table, col: str) -> np.ndarray:
+    """(n, dim) float64 matrix from a fixed-length list<float> column."""
+    arr = b[col].combine_chunks()
+    dim = len(arr[0]) if len(arr) else 0
+    return np.asarray(arr.values.to_numpy(zero_copy_only=False),
+                      dtype=np.float64).reshape(-1, dim)
+
+
+def dimension_max_abs(emb_ds, col: str = "embedding") -> np.ndarray:
+    """Exact per-dimension max(|v|) via bounded partial rows."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _batch_matrix(b, col)
+        amax = np.abs(m).max(axis=0) if m.size else np.empty(0)
+        return pa.table({"d": pa.array(np.arange(amax.size), pa.int32()),
+                         "amax": pa.array(amax, pa.float64())})
+
+    acc: dict[int, float] = {}
+    for b in emb_ds.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for d, a in zip(b["d"].to_pylist(), b["amax"].to_pylist()):
+            # setdefault so all-zero dimensions still appear (amax 0.0)
+            if a >= acc.setdefault(d, 0.0):
+                acc[d] = a
+    return np.array([acc[d] for d in sorted(acc)], dtype=np.float64)
+
+
+def quantize_embeddings(emb_ds, col: str = "embedding"):
+    """Dataset of per-vector int8-code summaries.
+
+    Output columns: vec_id, q_sum (Σ codes), q_l1 (Σ |codes|),
+    q_checksum (Σ codes·(d+1)) — all exact int64, so the DuckDB oracle
+    reproduces them bit-for-bit from the same floor-quantizer."""
+    amax = dimension_max_abs(emb_ds, col)
+    amax_ref = ray.put(amax)
+
+    def quant(b: pa.Table) -> pa.Table:
+        a = ray.get(amax_ref)
+        m = _batch_matrix(b, col)
+        safe = np.where(a > 0.0, a, 1.0)
+        q = np.floor((m * 127.0) / safe)
+        q = np.clip(q, -127, 127).astype(np.int64)
+        q[:, a == 0.0] = 0
+        w = np.arange(1, q.shape[1] + 1, dtype=np.int64)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "q_sum": pa.array(q.sum(axis=1), pa.int64()),
+            "q_l1": pa.array(np.abs(q).sum(axis=1), pa.int64()),
+            "q_checksum": pa.array((q * w).sum(axis=1), pa.int64()),
+        })
+
+    return emb_ds.map_batches(quant, batch_format="pyarrow")

@@ -996,6 +996,71 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample(_docs_full(sf_dir))
 
 
+def q_bpe_merges(sf_dir: str):
+    """Tokenizer-training inner step: corpus-wide adjacent character-
+    pair counts (BPE round 0) via one vectorized UTF-32 kernel per
+    batch; the exchange is bounded by the charset² pair domain
+    (functions/bpe.bpe_merge_candidates)."""
+    from ..functions.bpe import bpe_merge_candidates
+    return bpe_merge_candidates(_docs(sf_dir))
+
+
+def q_embedding_quantize(sf_dir: str):
+    """Symmetric int8 scalar quantization of the embedding table:
+    per-dimension max-abs partials (dim-bounded exchange) → broadcast
+    scale vector → embarrassingly-parallel floor-quantize map; exact
+    integer code summaries so the oracle is bit-for-bit
+    (functions/quantize.quantize_embeddings)."""
+    from ..functions.quantize import quantize_embeddings
+    return quantize_embeddings(_emb(sf_dir))
+
+
+# snapshot_diff's version-B derivation rule — applied identically by the
+# engine map and the SQL oracle so the diff target is deterministic:
+# %13 → removed, else %7 → text + ' [rev2]', and every %11 doc also
+# spawns a brand-new key at doc_id + DIFF_NEW_OFFSET.
+DIFF_NEW_OFFSET = 10_000_000
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Table-version reconciliation (incremental-sync primitive):
+    classify every key as added / removed / changed / unchanged between
+    version A (documents) and a deterministically-derived version B —
+    payload-hash rows only cross ONE key-bucket exchange
+    (functions/diff.snapshot_diff)."""
+    from ..functions.diff import snapshot_diff
+
+    def derive_b(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        keep = ids % 13 != 0
+        out_ids = list(ids[keep])
+        out_txt = [t + " [rev2]" if i % 7 == 0 else t
+                   for i, t in zip(ids[keep], np.asarray(texts,
+                                                         dtype=object)[keep])]
+        new = ids % 11 == 0
+        out_ids += list(ids[new] + DIFF_NEW_OFFSET)
+        out_txt += list(np.asarray(texts, dtype=object)[new])
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "text": pa.array(out_txt, pa.string())})
+
+    a = _docs(sf_dir)
+    b = _docs(sf_dir).map_batches(derive_b, batch_format="pyarrow")
+    return snapshot_diff(a, b, key="doc_id", payload="text")
+
+
+def q_pagerank_tools(sf_dir: str):
+    """One exact-integer PageRank power-iteration step over the
+    conversation→tool invocation graph — in-mass per tool in units of
+    1/(360360·N) with lcm-based 1/outdeg shares, ONE conv-keyed bucket
+    exchange (functions/graph.pagerank_tool_mass)."""
+    from ..functions.graph import pagerank_tool_mass
+    from ..gen import ensure_transcripts
+    path = ensure_transcripts(sf_dir)
+    ds = rd.read_parquet(path, columns=["conv_id", "tool"])
+    return pagerank_tool_mass(ds)
+
+
 QUERIES = {
     "parse_collectd": q_parse_collectd,
     "parse_macos": q_parse_macos,
@@ -1056,6 +1121,10 @@ QUERIES = {
     "source_journald": q_source_journald,
     "cms_terms": q_cms_terms,
     "stratified_sample": q_stratified_sample,
+    "bpe_merges": q_bpe_merges,
+    "embedding_quantize": q_embedding_quantize,
+    "snapshot_diff": q_snapshot_diff,
+    "pagerank_tools": q_pagerank_tools,
 }
 
 

@@ -969,4 +969,64 @@ SELECT doc_id,
   END AS duration_ms
 FROM documents"""
 
+    # BPE round-0 merge candidates: adjacent char pairs over word
+    # OCCURRENCES (non-distinct), top-20 by (n DESC, pair ASC)
+    q["bpe_merges"] = _W + """,
+wo AS (SELECT unnest(words) AS word FROM w),
+pr AS (
+  SELECT substr(word, i, 1) AS left_sym,
+         substr(word, i + 1, 1) AS right_sym
+  FROM (SELECT word, unnest(range(1, len(word))) AS i
+        FROM wo WHERE len(word) >= 2))
+SELECT left_sym, right_sym, CAST(count(*) AS BIGINT) AS n
+FROM pr GROUP BY 1, 2
+ORDER BY n DESC, left_sym, right_sym LIMIT 20"""
+
+    # int8 symmetric quantization: identical IEEE-double expression
+    # (v·127)/amax with floor, exact integer summaries (weights d=1..dim
+    # from generate_subscripts match the engine's d+1)
+    q["embedding_quantize"] = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+a AS (SELECT d, max(abs(v)) AS amax FROM e GROUP BY d),
+qv AS (
+  SELECT e.vec_id, e.d,
+         CASE WHEN a.amax > 0 THEN
+           CAST(least(greatest(floor((v * 127) / a.amax), -127), 127)
+                AS BIGINT)
+         ELSE 0 END AS q
+  FROM e JOIN a USING (d))
+SELECT vec_id, CAST(sum(q) AS BIGINT) AS q_sum,
+       CAST(sum(abs(q)) AS BIGINT) AS q_l1,
+       CAST(sum(q * d) AS BIGINT) AS q_checksum
+FROM qv GROUP BY vec_id"""
+
+    # snapshot diff vs the derived v2 (corpus.DIFF_NEW_OFFSET rule);
+    # hash rule = first 8 md5 bytes, same as functions/diff._h64
+    q["snapshot_diff"] = """
+WITH a AS (SELECT doc_id, substr(md5(text), 1, 16) AS h FROM documents),
+b AS (
+  SELECT doc_id,
+         substr(md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                         ELSE text END), 1, 16) AS h
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, substr(md5(text), 1, 16) AS h
+  FROM documents WHERE doc_id % 11 = 0),
+j AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS k,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.h = b.h THEN 'unchanged' ELSE 'changed' END AS status
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+agg AS (SELECT status, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS key_sum FROM j GROUP BY status)
+SELECT s.status, COALESCE(agg.n, 0) AS n,
+       COALESCE(agg.key_sum, 0) AS key_sum
+FROM (VALUES ('added'), ('changed'), ('removed'), ('unchanged'))
+     s(status)
+LEFT JOIN agg USING (status) ORDER BY s.status"""
+
     return q

@@ -428,4 +428,18 @@ SELECT {mask_rules_sql('text')} AS template, count(*) AS n
 FROM read_parquet('{_tpath(sf_name)}')
 GROUP BY 1"""
 
+    # one PageRank step over the conv→tool graph: exact lcm-integer
+    # 1/outdeg shares (functions/graph.MASS_UNIT = lcm(1..15))
+    q["pagerank_tools"] = f"""
+WITH e AS (
+  SELECT DISTINCT conv_id, tool
+  FROM read_parquet('{_tpath(sf_name)}')
+  WHERE tool IS NOT NULL AND tool <> ''),
+deg AS (SELECT conv_id, count(*) AS outdeg FROM e GROUP BY conv_id)
+SELECT e.tool AS node,
+       CAST(sum(360360 // deg.outdeg) AS BIGINT) AS in_mass,
+       CAST(count(*) AS BIGINT) AS n_sources
+FROM e JOIN deg USING (conv_id)
+GROUP BY 1 ORDER BY 1"""
+
     return q

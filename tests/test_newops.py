@@ -1,0 +1,135 @@
+"""Tests for the graph / bpe / quantize / diff operator family."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from skewer_ray.functions.bpe import pair_counts_kernel, bpe_merge_candidates
+from skewer_ray.functions.diff import snapshot_diff
+from skewer_ray.functions.graph import MASS_UNIT, pagerank_tool_mass
+from skewer_ray.functions.quantize import dimension_max_abs, quantize_embeddings
+
+
+# ---------- BPE pair counting ----------
+
+def brute_pairs(words):
+    from collections import Counter
+    c = Counter()
+    for w in words:
+        for i in range(len(w) - 1):
+            c[(w[i], w[i + 1])] += 1
+    return c
+
+
+def test_pair_kernel_matches_bruteforce():
+    words = ["hello", "world", "a", "", "aa", "héllo", "日本語", "ab ab".split()[0]]
+    keys, counts = pair_counts_kernel(words)
+    got = {(chr(int(k) >> 32), chr(int(k) & 0xFFFFFFFF)): int(n)
+           for k, n in zip(keys, counts)}
+    assert got == dict(brute_pairs(words))
+
+
+def test_pair_kernel_never_pairs_across_words():
+    keys, _ = pair_counts_kernel(["ab", "cd"])
+    pairs = {(chr(int(k) >> 32), chr(int(k) & 0xFFFFFFFF)) for k in keys}
+    assert ("b", "c") not in pairs
+    assert pairs == {("a", "b"), ("c", "d")}
+
+
+def test_bpe_merge_candidates_end_to_end(ray_session):
+    import ray.data as rd
+    docs = rd.from_items([{"doc_id": 0, "text": "aa ab aa"},
+                          {"doc_id": 1, "text": "AB"}])
+    t = bpe_merge_candidates(docs, top_k=3)
+    rows = [(r["left_sym"], r["right_sym"], r["n"]) for r in t.to_pylist()]
+    # words: aa, ab, aa, ab → pairs (a,a)x2, (a,b)x2; tie → (a,a) first
+    assert rows == [("a", "a", 2), ("a", "b", 2)]
+
+
+# ---------- int8 quantization ----------
+
+def _emb_ds(mat):
+    import ray.data as rd
+    return rd.from_items([
+        {"vec_id": i, "embedding": [float(x) for x in row]}
+        for i, row in enumerate(mat)])
+
+
+def test_dimension_max_abs_exact(ray_session):
+    mat = np.array([[1.0, -4.0, 0.0], [-2.5, 3.0, 0.0]], np.float32)
+    amax = dimension_max_abs(_emb_ds(mat))
+    assert np.array_equal(amax, np.array([2.5, 4.0, 0.0]))
+
+
+def test_quantize_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((40, 8)).astype(np.float32)
+    mat[:, 5] = 0.0  # constant-zero dimension quantizes to 0
+    out = {r["vec_id"]: r for r in
+           quantize_embeddings(_emb_ds(mat)).take_all()}
+    amax = np.abs(mat.astype(np.float64)).max(axis=0)
+    safe = np.where(amax > 0, amax, 1.0)
+    q = np.clip(np.floor(mat.astype(np.float64) * 127.0 / safe),
+                -127, 127).astype(np.int64)
+    q[:, amax == 0.0] = 0
+    w = np.arange(1, 9)
+    for i in range(40):
+        assert out[i]["q_sum"] == q[i].sum()
+        assert out[i]["q_l1"] == np.abs(q[i]).sum()
+        assert out[i]["q_checksum"] == (q[i] * w).sum()
+    # extreme rows hit ±127 exactly
+    assert np.abs(q).max() == 127
+
+
+# ---------- snapshot diff ----------
+
+def test_snapshot_diff_hand_case(ray_session):
+    import ray.data as rd
+    a = rd.from_items([{"k": 1, "p": "x"}, {"k": 2, "p": "y"},
+                       {"k": 3, "p": "z"}])
+    b = rd.from_items([{"k": 1, "p": "x"}, {"k": 2, "p": "CHANGED"},
+                       {"k": 9, "p": "new"}])
+    t = snapshot_diff(a, b, key="k", payload="p")
+    rows = {r["status"]: (r["n"], r["key_sum"]) for r in t.to_pylist()}
+    assert rows == {"added": (1, 9), "changed": (1, 2),
+                    "removed": (1, 3), "unchanged": (1, 1)}
+
+
+def test_snapshot_diff_conservation(ray_session):
+    import ray.data as rd
+    a = rd.from_items([{"k": i, "p": f"t{i}"} for i in range(100)])
+    b = rd.from_items([{"k": i, "p": f"t{i}"} for i in range(50, 150)])
+    t = snapshot_diff(a, b, key="k", payload="p")
+    rows = {r["status"]: r["n"] for r in t.to_pylist()}
+    assert rows["removed"] == 50 and rows["added"] == 50
+    assert rows["unchanged"] == 50 and rows["changed"] == 0
+    # |A ∪ B| keys all accounted exactly once
+    assert sum(rows.values()) == 150
+
+
+# ---------- pagerank step ----------
+
+def test_pagerank_hand_graph(ray_session):
+    import ray.data as rd
+    turns = [
+        # conv A uses t1, t2 (outdeg 2); conv B uses t1 (outdeg 1)
+        {"conv_id": "A", "tool": "t1"}, {"conv_id": "A", "tool": "t2"},
+        {"conv_id": "A", "tool": "t1"},  # duplicate edge collapses
+        {"conv_id": "B", "tool": "t1"}, {"conv_id": "B", "tool": ""},
+        {"conv_id": "C", "tool": None},
+    ]
+    t = pagerank_tool_mass(rd.from_items(turns))
+    rows = {r["node"]: (r["in_mass"], r["n_sources"]) for r in t.to_pylist()}
+    assert rows == {"t1": (MASS_UNIT // 2 + MASS_UNIT, 2),
+                    "t2": (MASS_UNIT // 2, 1)}
+
+
+def test_pagerank_mass_conservation(ray_session):
+    """Each source conv emits exactly MASS_UNIT total (lcm exactness)."""
+    import ray.data as rd
+    turns = []
+    for c in range(30):
+        for t in range(1 + c % 15):
+            turns.append({"conv_id": f"c{c}", "tool": f"tool{t}"})
+    tbl = pagerank_tool_mass(rd.from_items(turns))
+    assert sum(r["in_mass"] for r in tbl.to_pylist()) == 30 * MASS_UNIT
