@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trim_context": q.q_trim_context,
         # per-role-transition response-time stats (LAG(ts) OVER shape)
         "turn_latency": q.q_turn_latency,
+        # HDR-style log2-bucketed gap histogram (unbounded-domain path)
+        "gap_hist": q.q_gap_hist,
         # leakage-free conv-granularity train/val/test split
         "holdout_split": q.q_holdout_split,
         # sliding turn-window training-sample construction (1→N)

@@ -1049,6 +1049,63 @@ def q_snapshot_diff(sf_dir: str):
     return snapshot_diff(a, b, key="doc_id", payload="text")
 
 
+SAMPLE_Q_PREFIX = 0x20  # keep-rate 32/256 = 1/8 of event_ids
+
+
+def q_sampled_quantiles(sf_dir: str):
+    """Quantiles over a DETERMINISTIC hash sample — the scale path for
+    percentile estimation when the value domain is unbounded (the exact
+    counting-sort of events_quantiles needs a bounded cell domain).
+    Membership is a pure md5 function of event_id (first byte < 0x20 →
+    1/8 rate), so the sample — and therefore the estimate — is
+    bit-reproducible across engines, partitionings and cluster sizes;
+    the quantile over the sample reuses the exact ceil(p·n)-1 selection
+    on 2-dp cents. Exchange: per-batch (type, cents) partial counts of
+    SAMPLED rows only."""
+    import hashlib
+    import math
+    quantiles = (0.50, 0.90, 0.99)
+    ds = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b["event_id"].to_pylist()
+        keep = np.array([hashlib.md5(str(i).encode()).digest()[0]
+                         < SAMPLE_Q_PREFIX for i in ids], bool)
+        t = b.filter(pa.array(keep))
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "cents": cents,
+                      "n": pa.array(np.ones(t.num_rows, np.int64))})
+        return g.group_by(["event_type", "cents"]).aggregate([("n", "sum")])
+
+    acc: dict[str, dict[int, int]] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            d = acc.setdefault(r["event_type"], {})
+            d[r["cents"]] = d.get(r["cents"], 0) + r["n_sum"]
+    rows = []
+    for et in sorted(acc):
+        counts = acc[et]
+        n = sum(counts.values())
+        targets = {p: max(0, math.ceil(p * n) - 1) for p in quantiles}
+        got: dict[float, int] = {}
+        seen = 0
+        for cents in sorted(counts):
+            lo, seen = seen, seen + counts[cents]
+            for p, idx in targets.items():
+                if lo <= idx < seen:
+                    got[p] = cents
+        rows.append((et, n) + tuple(round(got[p] / 100.0, 6)
+                                    for p in quantiles))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_sampled": pa.array([r[1] for r in rows], pa.int64()),
+        "p50": pa.array([r[2] for r in rows], pa.float64()),
+        "p90": pa.array([r[3] for r in rows], pa.float64()),
+        "p99": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
 def q_pagerank_tools(sf_dir: str):
     """One exact-integer PageRank power-iteration step over the
     conversation→tool invocation graph — in-mass per tool in units of
@@ -1125,6 +1182,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "snapshot_diff": q_snapshot_diff,
     "pagerank_tools": q_pagerank_tools,
+    "sampled_quantiles": q_sampled_quantiles,
 }
 
 

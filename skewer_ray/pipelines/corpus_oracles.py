@@ -1029,4 +1029,18 @@ FROM (VALUES ('added'), ('changed'), ('removed'), ('unchanged'))
      s(status)
 LEFT JOIN agg USING (status) ORDER BY s.status"""
 
+    # hash-sampled quantiles: identical md5 membership rule (first byte
+    # < 0x20), quantile_disc over the 2-dp sampled values
+    q["sampled_quantiles"] = """
+WITH s AS (
+  SELECT event_type, round(value * 100) / 100.0 AS v
+  FROM events
+  WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 2))
+             AS INTEGER) < 32)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
+       round(quantile_disc(v, 0.50), 6) AS p50,
+       round(quantile_disc(v, 0.90), 6) AS p90,
+       round(quantile_disc(v, 0.99), 6) AS p99
+FROM s GROUP BY event_type"""
+
     return q

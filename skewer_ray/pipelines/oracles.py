@@ -428,6 +428,24 @@ SELECT {mask_rules_sql('text')} AS template, count(*) AS n
 FROM read_parquet('{_tpath(sf_name)}')
 GROUP BY 1"""
 
+    # log₂-bucketed gap histogram: bin = #powers-of-two ≤ gap (exact
+    # integer bit length — mirrors the engine's frexp exponent)
+    q["gap_hist"] = f"""
+WITH b AS (
+  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY conv_id ORDER BY turn_idx) AS g
+  FROM read_parquet('{_tpath(sf_name)}')),
+g2 AS (
+  SELECT g, CASE WHEN g > 0 THEN
+      (SELECT count(*) FROM range(0, 63) t(j)
+       WHERE (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) <= g)
+    ELSE 0 END AS bin
+  FROM b WHERE g IS NOT NULL)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(g) AS BIGINT) AS min_gap_us,
+       CAST(max(g) AS BIGINT) AS max_gap_us
+FROM g2 GROUP BY bin ORDER BY bin"""
+
     # one PageRank step over the conv→tool graph: exact lcm-integer
     # 1/outdeg shares (functions/graph.MASS_UNIT = lcm(1..15))
     q["pagerank_tools"] = f"""

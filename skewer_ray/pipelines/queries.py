@@ -492,6 +492,62 @@ def q_turn_latency(sf_dir: str):
         "max_gap_us": pa.array([acc[k][2] for k in ks], pa.int64())})
 
 
+def q_gap_hist(sf_dir: str):
+    """HDR-style log₂-bucketed latency histogram: turn-gap microseconds
+    binned by bit length (bin = #{j : 2^j ≤ gap}, 0 for gap ≤ 0) — the
+    bounded-cell histogram shape for an UNBOUNDED value domain, where a
+    fixed-width histogram (events_histogram) or exact counting sort
+    (events_quantiles) would need data-dependent cells. Binning is
+    exact integer end-to-end: the engine takes the bit length from
+    ``np.frexp``'s exponent (exact for gaps < 2^53 µs ≈ 285 years), the
+    oracle counts powers of two below the gap — no float log2 at either
+    engine. ONE conv-keyed bucket exchange; per-bin partials (≤ 64
+    cells) combine map-side."""
+    import pandas as pd
+
+    from ..stages.buckets import grouped_by_bucket
+    ds = read_transcripts(sf_dir)
+
+    def prune(b: pa.Table) -> pa.Table:
+        return pa.table({"conv_id": b["conv_id"],
+                         "turn_idx": b["turn_idx"],
+                         "us": pc.cast(b["ts"], pa.int64())})
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        us = batch["us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((turn, conv))
+        conv_s, us_s = conv[order], us[order]
+        same = conv_s[1:] == conv_s[:-1]
+        g = (us_s[1:] - us_s[:-1])[same]
+        bins = np.where(g > 0, np.frexp(g.astype(np.float64))[1], 0) \
+            .astype(np.int64)
+        agg = (pd.DataFrame({"bin": bins, "g": g})
+               .groupby("bin")["g"].agg(["count", "min", "max"]))
+        return pa.table({
+            "bin": pa.array(agg.index.to_numpy(), pa.int64()),
+            "n": pa.array(agg["count"].to_numpy(), pa.int64()),
+            "mn": pa.array(agg["min"].to_numpy(), pa.int64()),
+            "mx": pa.array(agg["max"].to_numpy(), pa.int64())})
+
+    acc: dict[int, list[int]] = {}
+    for b in grouped_by_bucket(
+            ds.map_batches(prune, batch_format="pyarrow"), per_bucket) \
+            .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["bin"], [0, None, None])
+            a[0] += r["n"]
+            a[1] = r["mn"] if a[1] is None else min(a[1], r["mn"])
+            a[2] = r["mx"] if a[2] is None else max(a[2], r["mx"])
+    ks = sorted(acc)
+    return pa.table({
+        "bin": pa.array(ks, pa.int64()),
+        "n": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "min_gap_us": pa.array([acc[k][1] for k in ks], pa.int64()),
+        "max_gap_us": pa.array([acc[k][2] for k in ks], pa.int64())})
+
+
 WIN_TURNS = 8       # turns per training window
 WIN_STRIDE = 4      # window stride (turns)
 

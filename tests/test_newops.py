@@ -124,6 +124,33 @@ def test_pagerank_hand_graph(ray_session):
                     "t2": (MASS_UNIT // 2, 1)}
 
 
+# ---------- gap histogram binning / sampled quantiles ----------
+
+def test_frexp_bin_equals_bit_length():
+    """The engine's frexp-exponent bin must equal integer bit_length
+    (what the SQL power-of-two count computes) across the whole range,
+    including exact powers of two."""
+    vals = [1, 2, 3, 4, 7, 8, 1023, 1024, 1025, 10**6,
+            2**40, 2**40 + 1, 2**52 - 1, 2**52]
+    g = np.array(vals, np.int64)
+    bins = np.frexp(g.astype(np.float64))[1]
+    assert list(bins) == [v.bit_length() for v in vals]
+
+
+def test_sample_membership_matches_sql_rule():
+    """md5-first-byte < 0x20 (engine) ≡ hex-prefix < 32 (oracle)."""
+    import duckdb
+    import hashlib
+    ids = list(range(500))
+    eng = [hashlib.md5(str(i).encode()).digest()[0] < 0x20 for i in ids]
+    sql = [r[0] for r in duckdb.sql(
+        "SELECT CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 2)) "
+        "AS INTEGER) < 32 FROM range(500) t(i) ORDER BY i").fetchall()]
+    assert eng == sql
+    rate = sum(eng) / len(eng)
+    assert 0.06 < rate < 0.20  # nominal 1/8
+
+
 def test_pagerank_mass_conservation(ray_session):
     """Each source conv emits exactly MASS_UNIT total (lcm exactness)."""
     import ray.data as rd
