@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_latency": q.q_turn_latency,
         # HDR-style log2-bucketed gap histogram (unbounded-domain path)
         "gap_hist": q.q_gap_hist,
+        # market-basket tool-pair co-occurrence (bounded pair domain)
+        "tool_cooccurrence": q.q_tool_cooccurrence,
         # leakage-free conv-granularity train/val/test split
         "holdout_split": q.q_holdout_split,
         # sliding turn-window training-sample construction (1→N)

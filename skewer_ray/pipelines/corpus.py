@@ -1049,6 +1049,53 @@ def q_snapshot_diff(sf_dir: str):
     return snapshot_diff(a, b, key="doc_id", payload="text")
 
 
+DAY_US = 86_400_000_000
+
+
+def q_events_rollup(sf_dir: str):
+    """Multi-granularity ROLLUP aggregate — (event_type, day) fine
+    cells, per-type subtotals and the grand total from ONE scan: the
+    coarser levels are derived from the combined fine level by exact
+    integer summary-of-summary folds (no second pass over the data, no
+    extra exchange; GROUP BY ROLLUP in the oracle). Sentinels 'ALL'/-1
+    mark rolled-up dimensions so no nullable column crosses the
+    engine/SQL compare."""
+    from ..stages.agg import grouped_stats
+
+    def pre(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64())
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pc.divide(ts, DAY_US),
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100)),
+                             pa.int64()),
+        })
+
+    fine = grouped_stats(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts", "value"]),
+        ["event_type", "day"], [("cents", "count"), ("cents", "sum")],
+        pre=pre, combine="driver")
+    import pandas as pd
+    f = pd.DataFrame({"event_type": fine["event_type"].to_pylist(),
+                      "day": fine["day"].to_pylist(),
+                      "n": fine["n"].to_pylist(),
+                      "sum_cents": fine["sum_cents"].to_pylist()})
+    by_type = (f.groupby("event_type", as_index=False)[["n", "sum_cents"]]
+               .sum())
+    by_type["day"] = -1
+    grand = pd.DataFrame({"event_type": ["ALL"], "day": [-1],
+                          "n": [f["n"].sum()],
+                          "sum_cents": [f["sum_cents"].sum()]})
+    out = pd.concat([f, by_type, grand], ignore_index=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "day": pa.array(out["day"].astype("int64"), pa.int64()),
+        "n": pa.array(out["n"].astype("int64"), pa.int64()),
+        "sum_cents": pa.array(out["sum_cents"].astype("int64"), pa.int64()),
+    })
+
+
 SAMPLE_Q_PREFIX = 0x20  # keep-rate 32/256 = 1/8 of event_ids
 
 
@@ -1183,6 +1230,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "pagerank_tools": q_pagerank_tools,
     "sampled_quantiles": q_sampled_quantiles,
+    "events_rollup": q_events_rollup,
 }
 
 

@@ -1043,4 +1043,18 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled,
        round(quantile_disc(v, 0.99), 6) AS p99
 FROM s GROUP BY event_type"""
 
+    # ROLLUP: fine (type, day) cells + per-type + grand total, exact
+    # integer cents; sentinels instead of NULL grouping markers
+    q["events_rollup"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(day, -1) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM e GROUP BY ROLLUP(event_type, day)"""
+
     return q

@@ -446,6 +446,17 @@ SELECT bin, CAST(count(*) AS BIGINT) AS n,
        CAST(max(g) AS BIGINT) AS max_gap_us
 FROM g2 GROUP BY bin ORDER BY bin"""
 
+    # market-basket tool co-occurrence: distinct-pair self-join
+    q["tool_cooccurrence"] = f"""
+WITH e AS (
+  SELECT DISTINCT conv_id, tool
+  FROM read_parquet('{_tpath(sf_name)}')
+  WHERE tool IS NOT NULL AND tool <> '')
+SELECT a.tool AS tool_a, b.tool AS tool_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM e a JOIN e b ON a.conv_id = b.conv_id AND a.tool < b.tool
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
     # one PageRank step over the conv→tool graph: exact lcm-integer
     # 1/outdeg shares (functions/graph.MASS_UNIT = lcm(1..15))
     q["pagerank_tools"] = f"""

@@ -548,6 +548,56 @@ def q_gap_hist(sf_dir: str):
         "max_gap_us": pa.array([acc[k][2] for k in ks], pa.int64())})
 
 
+def q_tool_cooccurrence(sf_dir: str):
+    """Market-basket affinity: for every unordered tool pair, the
+    number of conversations that used BOTH. ONE conv-keyed bucket
+    exchange of the distinct (conv, tool) projection; the in-bucket
+    pair expansion is a vectorized pandas self-merge bounded by
+    outdeg² ≤ 15² per conversation, and partials live on the ≤ C(15,2)
+    pair domain, so the driver merge is tiny at any corpus size."""
+    import pandas as pd
+
+    from ..stages.buckets import grouped_by_bucket
+    ds = read_transcripts(sf_dir)
+
+    def prune(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b["tool"]), pc.not_equal(b["tool"], ""))
+        b = b.filter(keep)
+        return pa.table({"conv_id": b["conv_id"], "tool": b["tool"]})
+
+    empty = pa.table({"tool_a": pa.array([], pa.string()),
+                      "tool_b": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates(["conv_id", "tool"])
+        if df.empty:
+            return empty
+        m = df.merge(df, on="conv_id")
+        m = m[m["tool_x"] < m["tool_y"]]
+        if m.empty:
+            return empty
+        agg = (m.groupby(["tool_x", "tool_y"], sort=False)
+               .size().reset_index(name="n"))
+        return pa.table({"tool_a": pa.array(agg["tool_x"], pa.string()),
+                         "tool_b": pa.array(agg["tool_y"], pa.string()),
+                         "n": pa.array(agg["n"].astype("int64"),
+                                       pa.int64())})
+
+    acc: dict[tuple, int] = {}
+    for b in grouped_by_bucket(
+            ds.map_batches(prune, batch_format="pyarrow"), per_bucket) \
+            .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            k = (r["tool_a"], r["tool_b"])
+            acc[k] = acc.get(k, 0) + r["n"]
+    ks = sorted(acc)
+    return pa.table({
+        "tool_a": pa.array([k[0] for k in ks], pa.string()),
+        "tool_b": pa.array([k[1] for k in ks], pa.string()),
+        "n": pa.array([acc[k] for k in ks], pa.int64())})
+
+
 WIN_TURNS = 8       # turns per training window
 WIN_STRIDE = 4      # window stride (turns)
 

@@ -151,6 +151,46 @@ def test_sample_membership_matches_sql_rule():
     assert 0.06 < rate < 0.20  # nominal 1/8
 
 
+# ---------- rollup / co-occurrence ----------
+
+def test_events_rollup_levels_consistent(ray_session):
+    """Fine cells, per-type subtotals and the grand total must agree
+    exactly (integer summary-of-summary)."""
+    from skewer_ray.pipelines.corpus import q_events_rollup
+    t = q_events_rollup("/root/testdata/sf0.001").to_pylist()
+    fine = [r for r in t if r["event_type"] != "ALL" and r["day"] != -1]
+    subs = {r["event_type"]: r for r in t
+            if r["event_type"] != "ALL" and r["day"] == -1}
+    grand = [r for r in t if r["event_type"] == "ALL"]
+    assert len(grand) == 1 and grand[0]["day"] == -1
+    assert grand[0]["n"] == sum(r["n"] for r in fine)
+    assert grand[0]["sum_cents"] == sum(r["sum_cents"] for r in fine)
+    for et, s in subs.items():
+        rows = [r for r in fine if r["event_type"] == et]
+        assert s["n"] == sum(r["n"] for r in rows)
+        assert s["sum_cents"] == sum(r["sum_cents"] for r in rows)
+
+
+def test_tool_cooccurrence_matches_duckdb(ray_session):
+    import duckdb
+    from skewer_ray.gen import ensure_transcripts
+    from skewer_ray.pipelines.queries import q_tool_cooccurrence
+    path = ensure_transcripts("/root/testdata/sf0.001")
+    got = [(r["tool_a"], r["tool_b"], r["n"])
+           for r in q_tool_cooccurrence("/root/testdata/sf0.001")
+           .to_pylist()]
+    want = duckdb.sql(f"""
+        WITH e AS (SELECT DISTINCT conv_id, tool
+                   FROM read_parquet('{path}/part-*.parquet')
+                   WHERE tool <> '')
+        SELECT a.tool, b.tool, count(*)
+        FROM e a JOIN e b ON a.conv_id = b.conv_id AND a.tool < b.tool
+        GROUP BY 1, 2 ORDER BY 1, 2""").fetchall()
+    assert got == [tuple(w) for w in want]
+    # unordered pairs only, lexicographic
+    assert all(a < b for a, b, _ in got)
+
+
 def test_pagerank_mass_conservation(ray_session):
     """Each source conv emits exactly MASS_UNIT total (lcm exactness)."""
     import ray.data as rd
