@@ -305,3 +305,51 @@ def test_run_starts_marks_value_changes(keys):
     starts = run_starts(arr)
     for i, s in enumerate(starts):
         assert s == (i == 0 or arr[i] != arr[i - 1])
+
+
+# ---------- new-op kernels (graph/bpe/quantize/diff round) ----------
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=8), max_size=30))
+def test_bpe_pair_kernel_matches_counter(words):
+    from collections import Counter
+
+    from skewer_ray.functions.bpe import pair_counts_kernel
+
+    # NUL is the kernel's separator — excluded from the word alphabet
+    words = [w.replace("\x00", "") for w in words]
+    keys, counts = pair_counts_kernel(words)
+    got = {(chr(int(k) >> 32), chr(int(k) & 0xFFFFFFFF)): int(n)
+           for k, n in zip(keys, counts)}
+    want = Counter()
+    for w in words:
+        for i in range(len(w) - 1):
+            want[(w[i], w[i + 1])] += 1
+    assert got == dict(want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 2**52))
+def test_gap_bin_is_bit_length(g):
+    import numpy as np
+
+    bins = np.frexp(np.array([g], np.int64).astype(np.float64))[1]
+    assert int(bins[0]) == g.bit_length()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False, width=32),
+                min_size=4, max_size=64).map(tuple))
+def test_quantize_codes_in_range_and_monotone(vals):
+    import numpy as np
+
+    m = np.array([vals], np.float32).astype(np.float64)
+    amax = np.abs(m).max(axis=0)
+    safe = np.where(amax > 0, amax, 1.0)
+    q = np.clip(np.floor(m * 127.0 / safe), -127, 127)
+    q[:, amax == 0.0] = 0
+    assert (np.abs(q) <= 127).all()
+    # sign preserved (floor can shift a positive value down but never
+    # below -127 or across more than one unit of scale)
+    pos = m[0] > safe * (1.0 / 127.0)
+    assert (q[0][pos] >= 1).all()
