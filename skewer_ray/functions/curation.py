@@ -503,3 +503,76 @@ def shard_docs(docs_ds, n_shards: int = N_SHARDS,
         "n_docs": pa.array([acc[k][0] for k in ks], pa.int64()),
         "tokens": pa.array([acc[k][1] for k in ks], pa.int64()),
     })
+
+
+def curate_docs(docs_ds, p: float = QUALITY_P, scale: int = QUALITY_SCALE,
+                targets: dict[str, int] | None = None):
+    """Composed curation flagship: quality gate → exact dedup →
+    mix rebalance as ONE streaming job over a single text scan.
+
+    The three stages are the production corpus-prep chain, each reusing
+    this module's exactly-specified rules so the end-to-end DuckDB
+    oracle composes from the per-stage oracles:
+
+      1. the text column is scanned ONCE into a narrow (doc_id, lang,
+         qk, text_hash) projection (quality + canonical-words md5 in
+         the same pass), materialized — at 100 TB this is the only
+         full-width read; everything after touches 4 thin columns;
+      2. global p-quantile gate: bounded qk histogram (map-side
+         combine, ≤ ``scale`` cells) → broadcast threshold filter;
+      3. exact dedup among gate SURVIVORS: hash-bucket keyed exchange,
+         min-doc_id row kept per content hash (vectorized idxmin over
+         all of a bucket's groups);
+      4. mix rebalance over dedup survivors via ``rebalance_mix`` —
+         per-lang counts, exact-rational keep rates, md5 coin.
+
+    Returns the final Dataset of (doc_id, lang) survivors."""
+    from .textstats import norm_words, text_stats_batch
+    from ..stages.buckets import grouped_by_bucket
+
+    def derive(b: pa.Table) -> pa.Table:
+        s = text_stats_batch(b)
+        qk = pc.cast(pc.floor(pc.multiply(s["quality"], scale)), pa.int64())
+        hs = [hashlib.md5(" ".join(norm_words(t)).encode()).hexdigest()
+              for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "lang": b["lang"],
+                         "qk": qk,
+                         "text_hash": pa.array(hs, pa.string())})
+
+    proj = docs_ds.map_batches(derive, batch_format="pyarrow").materialize()
+
+    # stage 2: threshold = quantile_disc(p) over the bounded histogram
+    import math
+    acc = _quality_hist(proj)
+    n = sum(acc.values())
+    idx = max(0, math.ceil(p * n) - 1)
+    seen, thr = 0, 0
+    for qk in sorted(acc):
+        if seen <= idx < seen + acc[qk]:
+            thr = qk
+            break
+        seen += acc[qk]
+
+    gated = proj.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["qk"], thr))
+                   .select(["doc_id", "lang", "text_hash"]),
+        batch_format="pyarrow")
+
+    # stage 3: first-per-content-hash among survivors
+    def keep_min(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string())})
+        rows = df.loc[df.groupby("text_hash", sort=False)["doc_id"].idxmin()]
+        return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                         "lang": pa.array(rows["lang"], pa.string())})
+
+    deduped = grouped_by_bucket(gated, keep_min, key="text_hash",
+                                coalesce=False).materialize()
+
+    # stage 4: rebalance_mix iterates its input twice (counts, filter) —
+    # the materialized survivor set re-reads from the object store
+    return rebalance_mix(deduped, targets=targets, cols=("doc_id", "lang"))

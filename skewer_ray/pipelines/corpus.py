@@ -1049,6 +1049,18 @@ def q_snapshot_diff(sf_dir: str):
     return snapshot_diff(a, b, key="doc_id", payload="text")
 
 
+def q_curated_docs(sf_dir: str):
+    """End-to-end corpus-curation flagship: global-quantile quality
+    gate → exact dedup among survivors → exact-rational mix rebalance,
+    composed as ONE streaming job with a single text scan
+    (functions/curation.curate_docs); the oracle chains the same three
+    per-stage SQL rules."""
+    from ..functions.curation import curate_docs
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    return curate_docs(docs)
+
+
 DAY_US = 86_400_000_000
 
 
@@ -1231,6 +1243,7 @@ QUERIES = {
     "pagerank_tools": q_pagerank_tools,
     "sampled_quantiles": q_sampled_quantiles,
     "events_rollup": q_events_rollup,
+    "curated_docs": q_curated_docs,
 }
 
 

@@ -1057,4 +1057,44 @@ SELECT COALESCE(event_type, 'ALL') AS event_type,
        CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM e GROUP BY ROLLUP(event_type, day)"""
 
+    # composed curation flagship: the quality_filter, dedup_exact and
+    # rebalance_mix rules chained over the SURVIVOR set at each stage
+    q["curated_docs"] = _W + f""",
+qual AS (
+  SELECT doc_id,
+    0.4 * least(len(words), 100) / 100
+    + 0.3 * (1.0 - CASE WHEN len(regexp_extract_all(text, '{_TOK}')) = 0
+                        THEN 0.0
+                        ELSE len(regexp_extract_all(text, '{_PUNCT}'))
+                             / len(regexp_extract_all(text, '{_TOK}'))
+                   END)
+    + 0.3 * least(1.0, 5.0 *
+        CASE WHEN len(words) = 0 THEN 0.0
+             ELSE len(list_filter(words, t -> t IN ({en}))) / len(words)
+        END) AS quality
+  FROM w),
+k AS (SELECT doc_id, CAST(floor(quality * 10000) AS BIGINT) AS qk
+      FROM qual),
+t AS (SELECT quantile_disc(qk, 0.25) AS thr FROM k),
+s1 AS (
+  SELECT w.doc_id, md5(array_to_string(w.words, ' ')) AS h
+  FROM w JOIN k ON w.doc_id = k.doc_id, t WHERE k.qk >= t.thr),
+s2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY h),
+s3 AS (SELECT d.doc_id, d.lang FROM documents d JOIN s2 USING (doc_id)),
+c AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n FROM s3 GROUP BY lang),
+tt(lang, w) AS (VALUES ('de', 15), ('en', 40), ('es', 15),
+                       ('fr', 15), ('zh', 15)),
+j AS (SELECT c.lang, c.n, CAST(tt.w AS HUGEINT) AS w
+      FROM c JOIN tt ON c.lang = tt.lang),
+m AS (SELECT j1.lang AS ml, j1.n AS mn, j1.w AS mw FROM j j1
+      WHERE NOT EXISTS (SELECT 1 FROM j j2
+                        WHERE j2.n * j1.w < j1.n * j2.w
+                           OR (j2.n * j1.w = j1.n * j2.w
+                               AND j2.lang < j1.lang)))
+SELECT s3.doc_id, s3.lang
+FROM s3 JOIN j ON s3.lang = j.lang, m
+WHERE CAST(CAST(('0x' || substr(md5(CAST(s3.doc_id AS VARCHAR)), 1, 16))
+                AS UBIGINT) AS HUGEINT) * (m.mw * j.n)
+      < CAST(18446744073709551616 AS HUGEINT) * (j.w * m.mn)"""
+
     return q

@@ -318,3 +318,28 @@ def test_holdout_split_covers_and_is_conv_pure(ray_session):
     assert got == {s: (r["n_convs"], r["n_turns"])
                    for s, r in want.iterrows()}
     assert sum(v[1] for v in got.values()) == len(src)
+
+
+def test_curate_docs_composition(ray_session):
+    """The composed flagship must agree stage-by-stage with the
+    standalone operators it chains."""
+    import ray.data as rd
+    from skewer_ray.functions.curation import curate_docs, quality_filter_docs, rebalance_mix
+    from skewer_ray.functions.dedup import exact_dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    got = sorted((r["doc_id"], r["lang"])
+                 for r in curate_docs(docs).take_all())
+
+    # stepwise: gate ids → dedup keeps within gate → rebalance filter
+    gate_ids = {r["doc_id"] for r in quality_filter_docs(docs).take_all()}
+    gated_docs = docs.filter(lambda r: r["doc_id"] in gate_ids)
+    keeps = {r["keep_id"] for r in exact_dedup(gated_docs).take_all()}
+    survivors = docs.filter(lambda r: r["doc_id"] in keeps)
+    want = sorted((r["doc_id"], r["lang"])
+                  for r in rebalance_mix(survivors,
+                                         cols=("doc_id", "lang")).take_all())
+    assert got == want
+    assert len(got) == len({d for d, _ in got})  # unique keys
