@@ -1256,4 +1256,6 @@ def bench_subset():
         ("dedup_clusters", q_dedup_clusters),
         ("rank_docs", q_rank_docs),
         ("inverted_index", q_inverted_index),
+        ("curated_docs", q_curated_docs),
+        ("pagerank_tools", q_pagerank_tools),
     ]
