@@ -109,6 +109,30 @@ EDGE_5424 = [
     # PRI above int32: rejected (documented deviation — Go would
     # silently wrap the int→int32 conversion)
     _err(f"<4294967296>1 {T} h a - - - m"),
+    # SD present, no MSG at all → (SP+ msg)? absent, empty message
+    _ok(f'<34>1 {T} h a - - [x@1 k="v"]',
+        34, 1, T_NS, "h", "a", "", "", "", '{"x@1":{"k":"v"}}'),
+    # duplicate param name inside one element: last wins (Go map
+    # assignment in SetProperty)
+    _ok(f'<34>1 {T} h a - - [x@1 k="1" k="2"] m',
+        34, 1, T_NS, "h", "a", "", "", "m", '{"x@1":{"k":"2"}}'),
+    # SD-ID with no params is a valid (empty) element
+    _ok(f'<34>1 {T} h a - - [x@1] m',
+        34, 1, T_NS, "h", "a", "", "", "m", '{"x@1":{}}'),
+    # mixed parameterized + empty elements
+    _ok(f'<34>1 {T} h a - - [x@1 k="v"][y@2] m',
+        34, 1, T_NS, "h", "a", "", "", "m",
+        '{"x@1":{"k":"v"},"y@2":{}}'),
+    # procid without hostname/appname
+    _ok(f"<34>1 {T} - - 99 - - m", 34, 1, T_NS, "", "", "99", "", "m"),
+    # TAB is not a separator (grammar SP = 0x20): preserved inside MSG
+    _ok(f"<34>1 {T} h a - - - a\tb",
+        34, 1, T_NS, "h", "a", "", "", "a\tb"),
+    # leap second: Go's time package has none — Parse rejects :60
+    _err("<34>1 2026-01-15T05:10:60Z h a - - - m"),
+    # >9 fractional digits: parsed, truncated to nanoseconds
+    _ok("<34>1 2026-01-15T05:10:02.123456789012Z h a - - - m",
+        34, 1, 1768453802123456789, "h", "a", "", "", "m"),
 ]
 
 # --- RFC3164 fallback ladder ----------------------------------------------
@@ -166,6 +190,20 @@ EDGE_3164 = [
     # priority 0 boundary
     _lad("<0>Jan 15 05:10:02 host app: m", 0, _J15_NS, "host", "app",
          "", "m"),
+    # empty procid brackets: parseTag j>i with nothing between
+    _lad("<34>Jan 15 05:10:02 host app[]: m",
+         34, _J15_NS, "host", "app", "", "m"),
+    # two tokens, neither tag-like: fallthrough treats s[0] as TAG (not
+    # hostname) and s[1] as the message (rfc3164_format.go:160-163)
+    _lad("<34>Jan 15 05:10:02 host justaword",
+         34, _J15_NS, "", "host", "", "justaword"),
+    # two tokens where only s[1] is tag-like: the kept reference BUG
+    # parses the tag from s[0] while s[0] also stays the hostname, and
+    # s[1] is dropped (rfc3164_format.go:147-152)
+    _lad("<34>Jan 15 05:10:02 host app: ",
+         34, _J15_NS, "host", "host", "", ""),
+    # space inside the PRI digits → Atoi fails → message-only
+    _lad("<3 4>oops", 0, NOW_NS, msg="<3 4>oops"),
 ]
 
 
