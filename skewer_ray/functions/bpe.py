@@ -8,11 +8,16 @@ module implements round 0 exactly (symbols = single characters of the
 canonical lowercase word stream, pair counts weighted by word
 occurrences, NOT distinct words) and emits the top-K merge candidates.
 
-Vectorized kernel: every word in the batch is joined with a NUL
+Vectorized kernel: every word in the batch is joined with a NEWLINE
 separator and re-encoded as UTF-32, giving one uint32 codepoint array
 for the whole batch; adjacent pairs are the stride-1 zip of that array
 with itself, packed into uint64 keys (left<<32 | right) and counted
 with one ``np.unique`` — no Python loop over words or characters.
+Newline is safe as the separator BY CONSTRUCTION: the word stream is
+``norm_words`` output (split on ``\\s+``), so no word can contain any
+whitespace — unlike NUL, which is not whitespace and could legally
+appear inside a word (review finding: a NUL separator silently dropped
+such pairs while the SQL oracle counted them).
 
 Scale shape: per-batch partial counts are bounded by the distinct-pair
 domain (≈ charset², a few hundred for ASCII text), so the exchange is
@@ -28,16 +33,20 @@ import pyarrow as pa
 TOP_PAIRS = 20
 
 
+_SEP = 0x0A  # '\n' — cannot occur inside a norm_words word (whitespace)
+
+
 def pair_counts_kernel(words: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """(packed uint64 pair keys, counts) for adjacent in-word char pairs."""
+    """(packed uint64 pair keys, counts) for adjacent in-word char
+    pairs. ``words`` must be whitespace-free (norm_words output)."""
     if not words:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
-    blob = "\x00".join(words)
+    blob = "\n".join(words)
     cp = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
     if cp.size < 2:
         return np.empty(0, np.uint64), np.empty(0, np.int64)
     left, right = cp[:-1], cp[1:]
-    ok = (left != 0) & (right != 0)  # pairs never straddle a separator
+    ok = (left != _SEP) & (right != _SEP)  # pairs never straddle a separator
     keys = (left[ok].astype(np.uint64) << np.uint64(32)) \
         | right[ok].astype(np.uint64)
     uniq, counts = np.unique(keys, return_counts=True)

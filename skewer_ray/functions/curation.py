@@ -396,6 +396,22 @@ def _quality_hist(scores) -> dict[int, int]:
     return acc
 
 
+def _hist_quantile(acc: dict[int, int], p: float) -> int:
+    """quantile_disc over a {cell: count} histogram: index selection at
+    ceil(p·n)−1 — THE shared threshold rule; every engine-side quantile
+    gate must use this one implementation so it can never drift from
+    the oracle's quantile_disc."""
+    import math
+    n = sum(acc.values())
+    idx = max(0, math.ceil(p * n) - 1)
+    seen = 0
+    for qk in sorted(acc):
+        if seen <= idx < seen + acc[qk]:
+            return qk
+        seen += acc[qk]
+    return 0
+
+
 def quality_filter_docs(docs_ds, p: float = QUALITY_P,
                         scale: int = QUALITY_SCALE):
     """Keep documents at or above the global p-th quantile of the
@@ -409,19 +425,8 @@ def quality_filter_docs(docs_ds, p: float = QUALITY_P,
     semantics), then a broadcast-scalar filter. Quantization uses
     floor(quality × scale), identical across engines given identical
     doubles — no round-half mode skew."""
-    import math
-
     scores = _quality_scores(docs_ds, scale)
-    acc = _quality_hist(scores)
-    n = sum(acc.values())
-    idx = max(0, math.ceil(p * n) - 1)
-    seen = 0
-    thr = 0
-    for qk in sorted(acc):
-        if seen <= idx < seen + acc[qk]:
-            thr = qk
-            break
-        seen += acc[qk]
+    thr = _hist_quantile(_quality_hist(scores), p)
 
     def keep(b: pa.Table) -> pa.Table:
         return b.filter(pc.greater_equal(b["qk"], thr)) \
@@ -543,16 +548,7 @@ def curate_docs(docs_ds, p: float = QUALITY_P, scale: int = QUALITY_SCALE,
     proj = docs_ds.map_batches(derive, batch_format="pyarrow").materialize()
 
     # stage 2: threshold = quantile_disc(p) over the bounded histogram
-    import math
-    acc = _quality_hist(proj)
-    n = sum(acc.values())
-    idx = max(0, math.ceil(p * n) - 1)
-    seen, thr = 0, 0
-    for qk in sorted(acc):
-        if seen <= idx < seen + acc[qk]:
-            thr = qk
-            break
-        seen += acc[qk]
+    thr = _hist_quantile(_quality_hist(proj), p)
 
     gated = proj.map_batches(
         lambda b: b.filter(pc.greater_equal(b["qk"], thr))

@@ -60,34 +60,32 @@ def snapshot_diff(a_ds, b_ds, key: str, payload: str) -> pa.Table:
     union = a_ds.map_batches(tag(0), batch_format="pyarrow") \
                 .union(b_ds.map_batches(tag(1), batch_format="pyarrow"))
 
-    empty = pa.table({"status": pa.array([], pa.string()),
-                      "n": pa.array([], pa.int64()),
-                      "key_sum": pa.array([], pa.int64())})
-
     def per_bucket(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-        df = batch.to_pandas()
-        if df.empty:
-            return empty
-        g = df.pivot_table(index=key, columns="side", values="h",
-                           aggfunc="first")
-        in_a = 0 in g.columns
-        in_b = 1 in g.columns
-        ha = g[0] if in_a else pd.Series(np.nan, index=g.index)
-        hb = g[1] if in_b else pd.Series(np.nan, index=g.index)
-        status = np.where(
-            ha.isna(), "added",
-            np.where(hb.isna(), "removed",
-                     np.where(ha == hb, "unchanged", "changed")))
-        keys = g.index.to_numpy()
-        out = (pd.DataFrame({"status": status,
-                             "n": np.ones(len(g), np.int64),
-                             "key_sum": keys.astype(np.int64)})
-               .groupby("status", sort=False).sum().reset_index())
+        # pure int64 numpy set algebra — never pandas outer-merge or
+        # pivot, whose NaN fill coerces the hashes to float64 and
+        # compares only 53 mantissa bits (exactness bug caught in
+        # review: two distinct hashes agreeing in the top 53 bits would
+        # be called 'unchanged')
+        side = batch["side"].to_numpy(zero_copy_only=False)
+        keys = batch[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        ak, ah = keys[side == 0], hs[side == 0]
+        bk, bh = keys[side == 1], hs[side == 1]
+        common, ia, ib = np.intersect1d(ak, bk, return_indices=True)
+        changed = ah[ia] != bh[ib]
+        added = np.setdiff1d(bk, ak, assume_unique=False)
+        removed = np.setdiff1d(ak, bk, assume_unique=False)
+        rows = [("added", added.size, int(added.sum())),
+                ("changed", int(changed.sum()),
+                 int(common[changed].sum())),
+                ("removed", removed.size, int(removed.sum())),
+                ("unchanged", int((~changed).sum()),
+                 int(common[~changed].sum()))]
+        rows = [r for r in rows if r[1] > 0]
         return pa.table({
-            "status": pa.array(out["status"], pa.string()),
-            "n": pa.array(out["n"], pa.int64()),
-            "key_sum": pa.array(out["key_sum"], pa.int64()),
+            "status": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "key_sum": pa.array([r[2] for r in rows], pa.int64()),
         })
 
     acc: dict[str, list[int]] = {}

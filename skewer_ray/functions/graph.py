@@ -39,19 +39,24 @@ MASS_UNIT = 360360  # lcm(1..15); exact 1/outdeg for outdeg ≤ 15
 MAX_OUTDEG = 15
 
 
+def prune_tool_edges(b: pa.Table) -> pa.Table:
+    """THE conv→tool edge rule (shared by PageRank and the
+    co-occurrence operator so their oracles can never drift apart):
+    project (conv_id, tool), keeping rows with a non-null, non-empty
+    tool."""
+    keep = pa.compute.and_(
+        pa.compute.is_valid(b["tool"]),
+        pa.compute.not_equal(b["tool"], ""))
+    b = b.filter(keep)
+    return pa.table({"conv_id": b["conv_id"], "tool": b["tool"]})
+
+
 def pagerank_tool_mass(ds):
     """in-mass per tool after one uniform-start PageRank step.
 
     ``ds`` must carry (conv_id, tool) columns. Returns a pyarrow Table
     (node, in_mass, n_sources) sorted by node."""
     from ..stages.buckets import grouped_by_bucket
-
-    def prune(b: pa.Table) -> pa.Table:
-        keep = pa.compute.and_(
-            pa.compute.is_valid(b["tool"]),
-            pa.compute.not_equal(b["tool"], ""))
-        b = b.filter(keep)
-        return pa.table({"conv_id": b["conv_id"], "tool": b["tool"]})
 
     def per_bucket(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -72,7 +77,8 @@ def pagerank_tool_mass(ds):
                          "n_sources": pa.array(out["n_sources"], pa.int64())})
 
     partials = grouped_by_bucket(
-        ds.map_batches(prune, batch_format="pyarrow"), per_bucket)
+        ds.map_batches(prune_tool_edges, batch_format="pyarrow"),
+        per_bucket)
     acc: dict[str, list[int]] = {}
     for b in partials.iter_batches(batch_format="pyarrow"):
         for r in b.to_pylist():

@@ -33,10 +33,14 @@ import ray
 
 
 def _batch_matrix(b: pa.Table, col: str) -> np.ndarray:
-    """(n, dim) float64 matrix from a fixed-length list<float> column."""
+    """(n, dim) float64 matrix from a fixed-length list<float> column.
+
+    ``flatten()``, not ``.values``: on a sliced ListArray (as Ray block
+    splits produce) ``.values`` returns the WHOLE child buffer ignoring
+    the slice offset, while flatten() honors it."""
     arr = b[col].combine_chunks()
     dim = len(arr[0]) if len(arr) else 0
-    return np.asarray(arr.values.to_numpy(zero_copy_only=False),
+    return np.asarray(arr.flatten().to_numpy(zero_copy_only=False),
                       dtype=np.float64).reshape(-1, dim)
 
 

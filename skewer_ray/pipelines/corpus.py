@@ -1088,6 +1088,13 @@ def q_events_rollup(sf_dir: str):
                         columns=["event_type", "ts", "value"]),
         ["event_type", "day"], [("cents", "count"), ("cents", "sum")],
         pre=pre, combine="driver")
+    if fine.num_rows == 0 or "event_type" not in fine.column_names:
+        # empty corpus: zero rows on BOTH engines (the oracle's HAVING
+        # count(*) > 0 drops DuckDB's NULL-sum grand-total row)
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "day": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "sum_cents": pa.array([], pa.int64())})
     import pandas as pd
     f = pd.DataFrame({"event_type": fine["event_type"].to_pylist(),
                       "day": fine["day"].to_pylist(),

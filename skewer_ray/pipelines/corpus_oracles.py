@@ -1055,7 +1055,8 @@ SELECT COALESCE(event_type, 'ALL') AS event_type,
        COALESCE(day, -1) AS day,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(cents) AS BIGINT) AS sum_cents
-FROM e GROUP BY ROLLUP(event_type, day)"""
+FROM e GROUP BY ROLLUP(event_type, day)
+HAVING count(*) > 0"""
 
     # composed curation flagship: the quality_filter, dedup_exact and
     # rebalance_mix rules chained over the SURVIVOR set at each stage

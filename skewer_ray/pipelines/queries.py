@@ -417,6 +417,27 @@ def q_role_transitions(sf_dir: str):
     })
 
 
+def _conv_gaps(batch: pa.Table, with_roles: bool = False):
+    """THE shared LAG(ts)-over-(conv, turn) kernel: sort a bucket's
+    rows by (conv_id, turn_idx), mask pairs at conversation boundaries,
+    and return the int64-µs gaps between consecutive turns — plus, when
+    asked, the (from_role, to_role) arrays aligned with them. One
+    implementation so every gap-based operator tracks the oracle's
+    `LAG ... OVER (PARTITION BY conv_id ORDER BY turn_idx)` identically
+    (review: this scaffold had been duplicated per query)."""
+    conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+    turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+    us = batch["us"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((turn, conv))
+    conv_s, us_s = conv[order], us[order]
+    same = conv_s[1:] == conv_s[:-1]
+    g = (us_s[1:] - us_s[:-1])[same]
+    if not with_roles:
+        return g
+    roles_s = np.asarray(batch["role"].to_pylist(), dtype=object)[order]
+    return g, roles_s[:-1][same], roles_s[1:][same]
+
+
 def q_turn_latency(sf_dir: str):
     """Turn-latency stats per role transition: for each (from_role →
     to_role) pair, the count, mean and max time gap between consecutive
@@ -438,19 +459,10 @@ def q_turn_latency(sf_dir: str):
                          "turn_idx": b["turn_idx"],
                          "role": b["role"],
                          "us": pc.cast(b["ts"], pa.int64())})
-
     def per_bucket(batch: pa.Table) -> pa.Table:
         import pandas as pd
-        conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
-        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
-        us = batch["us"].to_numpy(zero_copy_only=False)
-        roles = np.asarray(batch["role"].to_pylist(), dtype=object)
-        order = np.lexsort((turn, conv))
-        conv_s, us_s, roles_s = conv[order], us[order], roles[order]
-        same = conv_s[1:] == conv_s[:-1]
-        df = pd.DataFrame({"f": roles_s[:-1][same],
-                           "t": roles_s[1:][same],
-                           "g": (us_s[1:] - us_s[:-1])[same]})
+        g, from_r, to_r = _conv_gaps(batch, with_roles=True)
+        df = pd.DataFrame({"f": from_r, "t": to_r, "g": g})
         if df.empty:
             return pa.table({
                 "from_role": pa.array([], pa.string()),
@@ -514,22 +526,20 @@ def q_gap_hist(sf_dir: str):
                          "us": pc.cast(b["ts"], pa.int64())})
 
     def per_bucket(batch: pa.Table) -> pa.Table:
-        conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
-        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
-        us = batch["us"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((turn, conv))
-        conv_s, us_s = conv[order], us[order]
-        same = conv_s[1:] == conv_s[:-1]
-        g = (us_s[1:] - us_s[:-1])[same]
+        g = _conv_gaps(batch)
         bins = np.where(g > 0, np.frexp(g.astype(np.float64))[1], 0) \
             .astype(np.int64)
         agg = (pd.DataFrame({"bin": bins, "g": g})
                .groupby("bin")["g"].agg(["count", "min", "max"]))
         return pa.table({
-            "bin": pa.array(agg.index.to_numpy(), pa.int64()),
-            "n": pa.array(agg["count"].to_numpy(), pa.int64()),
-            "mn": pa.array(agg["min"].to_numpy(), pa.int64()),
-            "mx": pa.array(agg["max"].to_numpy(), pa.int64())})
+            "bin": pa.array(agg.index.to_numpy().astype(np.int64),
+                            pa.int64()),
+            "n": pa.array(agg["count"].to_numpy().astype(np.int64),
+                          pa.int64()),
+            "mn": pa.array(agg["min"].to_numpy().astype(np.int64),
+                           pa.int64()),
+            "mx": pa.array(agg["max"].to_numpy().astype(np.int64),
+                           pa.int64())})
 
     acc: dict[int, list[int]] = {}
     for b in grouped_by_bucket(
@@ -557,13 +567,9 @@ def q_tool_cooccurrence(sf_dir: str):
     pair domain, so the driver merge is tiny at any corpus size."""
     import pandas as pd
 
+    from ..functions.graph import prune_tool_edges
     from ..stages.buckets import grouped_by_bucket
     ds = read_transcripts(sf_dir)
-
-    def prune(b: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.is_valid(b["tool"]), pc.not_equal(b["tool"], ""))
-        b = b.filter(keep)
-        return pa.table({"conv_id": b["conv_id"], "tool": b["tool"]})
 
     empty = pa.table({"tool_a": pa.array([], pa.string()),
                       "tool_b": pa.array([], pa.string()),
@@ -586,7 +592,8 @@ def q_tool_cooccurrence(sf_dir: str):
 
     acc: dict[tuple, int] = {}
     for b in grouped_by_bucket(
-            ds.map_batches(prune, batch_format="pyarrow"), per_bucket) \
+            ds.map_batches(prune_tool_edges, batch_format="pyarrow"),
+            per_bucket) \
             .iter_batches(batch_format="pyarrow"):
         for r in b.to_pylist():
             k = (r["tool_a"], r["tool_b"])

@@ -312,12 +312,15 @@ def test_run_starts_marks_value_changes(keys):
 @settings(max_examples=150, deadline=None)
 @given(st.lists(st.text(min_size=0, max_size=8), max_size=30))
 def test_bpe_pair_kernel_matches_counter(words):
+    import re
     from collections import Counter
 
     from skewer_ray.functions.bpe import pair_counts_kernel
 
-    # NUL is the kernel's separator — excluded from the word alphabet
-    words = [w.replace("\x00", "") for w in words]
+    # the kernel's contract: words are norm_words output, i.e.
+    # whitespace-free (NUL and other non-whitespace controls are LEGAL
+    # word characters and must be counted like any char)
+    words = [re.sub(r"\s+", "", w) for w in words]
     keys, counts = pair_counts_kernel(words)
     got = {(chr(int(k) >> 32), chr(int(k) & 0xFFFFFFFF)): int(n)
            for k, n in zip(keys, counts)}
