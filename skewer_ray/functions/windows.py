@@ -549,3 +549,114 @@ def retention_cohorts(events_ds):
         "week_offset": pa.array([k[1] for k in ks], pa.int64()),
         "n_users": pa.array([acc[k] for k in ks], pa.int64()),
     })
+
+
+LATENESS_US = 300_000_000    # 5-minute allowed lateness
+LATE_BUCKETS = 512
+
+
+def late_event_counts(events_ds, max_id: int,
+                      lateness_us: int = LATENESS_US,
+                      n_buckets: int = LATE_BUCKETS):
+    """Watermark-style late-data detection: an event is LATE when it
+    arrives (arrival order = event_id) more than ``lateness_us`` behind
+    the running maximum event time seen so far — the batch form of a
+    streaming watermark with allowed lateness.
+
+    The running max over a GLOBAL order is a segmented prefix scan,
+    never a single-node sort (same shape as curation.pack_sequences):
+    (1) contiguous buckets by event_id // span (≤ n_buckets at any
+    scale); per-bucket max-ts partials combine map-side and the driver
+    prefix-maxes ≤ n_buckets scalars; (2) each bucket sorts locally by
+    event_id, seeds np.maximum.accumulate with its broadcast
+    predecessor max, and emits per-type partial counts — the exchange
+    carries (types × buckets) rows, not events.
+
+    Returns (event_type, n_late, n_total, late_id_sum) sorted by type;
+    all-integer outputs, so the SQL oracle (MAX OVER ... ROWS 1
+    PRECEDING) reproduces them exactly."""
+    import ray
+
+    span = max(1, (max_id + n_buckets) // n_buckets)
+
+    def derive(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["event_id"], pa.int64())
+        return pa.table({
+            "event_id": ids,
+            "event_type": b["event_type"],
+            "us": pc.cast(b["ts"], pa.int64()),
+            "bucket": pc.divide(ids, span),
+        })
+
+    derived = events_ds.map_batches(
+        derive, batch_format="pyarrow").materialize()
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        return b.select(["bucket", "us"]).group_by("bucket") \
+                .aggregate([("us", "max")])
+
+    bmax: dict[int, int] = {}
+    for b in derived.map_batches(bucket_partial, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            bmax[r["bucket"]] = max(bmax.get(r["bucket"], r["us_max"]),
+                                    r["us_max"])
+    prior: dict[int, int] = {}
+    run = None
+    for bk in sorted(bmax):
+        prior[bk] = run  # None for the first bucket: no watermark yet
+        run = bmax[bk] if run is None else max(run, bmax[bk])
+    prior_ref = ray.put(prior)
+
+    def scan_group(tbl: pa.Table) -> pa.Table:
+        from .decontam import _cached_get
+        priors = _cached_get(prior_ref)
+        idx = pc.sort_indices(tbl["event_id"])
+        ids = tbl["event_id"].take(idx).to_numpy(zero_copy_only=False)
+        us = tbl["us"].take(idx).to_numpy(zero_copy_only=False)
+        types = np.asarray(tbl["event_type"].take(idx).to_pylist(),
+                           dtype=object)
+        seed = priors[int(tbl["bucket"][0].as_py())]
+        run = np.maximum.accumulate(us)
+        # watermark BEFORE each event: strict prefix max. The very
+        # first event of the stream has no watermark — seed it with its
+        # own timestamp (diff 0, never late); an int64-min sentinel
+        # would UNDERFLOW in (pmax - us) and wrap positive.
+        pmax = np.empty_like(us)
+        pmax[0] = seed if seed is not None else us[0]
+        if len(us) > 1:
+            pmax[1:] = run[:-1]
+            if seed is not None:
+                pmax[1:] = np.maximum(pmax[1:], seed)
+        late = (pmax - us) > lateness_us
+        import pandas as pd
+        agg = (pd.DataFrame({
+            "event_type": types,
+            "n_late": late.astype(np.int64),
+            "n_total": np.ones(len(us), np.int64),
+            "late_id_sum": np.where(late, ids, 0)})
+            .groupby("event_type", sort=False).sum().reset_index())
+        return pa.table({
+            "event_type": pa.array(agg["event_type"], pa.string()),
+            "n_late": pa.array(agg["n_late"].astype("int64"), pa.int64()),
+            "n_total": pa.array(agg["n_total"].astype("int64"),
+                                pa.int64()),
+            "late_id_sum": pa.array(agg["late_id_sum"].astype("int64"),
+                                    pa.int64())})
+
+    acc: dict[str, list[int]] = {}
+    for b in derived.groupby("bucket") \
+                    .map_groups(scan_group, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["event_type"], [0, 0, 0])
+            a[0] += r["n_late"]
+            a[1] += r["n_total"]
+            a[2] += r["late_id_sum"]
+    ks = sorted(acc)
+    return pa.table({
+        "event_type": pa.array(ks, pa.string()),
+        "n_late": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "n_total": pa.array([acc[k][1] for k in ks], pa.int64()),
+        "late_id_sum": pa.array([acc[k][2] for k in ks], pa.int64()),
+    })

@@ -1115,6 +1115,23 @@ def q_events_rollup(sf_dir: str):
     })
 
 
+def q_late_events(sf_dir: str):
+    """Watermark-style late-data detection over the event stream —
+    running-max event time by arrival order via a distributed segmented
+    prefix scan (functions/windows.late_event_counts); max event_id
+    comes from parquet footer statistics, no extra scan."""
+    import pyarrow.parquet as pq
+
+    from ..functions.windows import late_event_counts
+    md = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata
+    col = next(j for j in range(md.num_columns)
+               if md.row_group(0).column(j).path_in_schema == "event_id")
+    max_id = max(md.row_group(i).column(col).statistics.max
+                 for i in range(md.num_row_groups))
+    return late_event_counts(
+        _events(sf_dir, ["event_id", "event_type", "ts"]), max_id)
+
+
 SAMPLE_Q_PREFIX = 0x20  # keep-rate 32/256 = 1/8 of event_ids
 
 
@@ -1251,6 +1268,7 @@ QUERIES = {
     "sampled_quantiles": q_sampled_quantiles,
     "events_rollup": q_events_rollup,
     "curated_docs": q_curated_docs,
+    "late_events": q_late_events,
 }
 
 

@@ -1098,4 +1098,21 @@ WHERE CAST(CAST(('0x' || substr(md5(CAST(s3.doc_id AS VARCHAR)), 1, 16))
                 AS UBIGINT) AS HUGEINT) * (m.mw * j.n)
       < CAST(18446744073709551616 AS HUGEINT) * (j.w * m.mn)"""
 
+    # watermark late-data rule: strict-prefix running max of event time
+    # over arrival order (event_id), late iff > 5 min behind
+    q["late_events"] = """
+WITH o AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM events)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE pmax - us > 300000000) AS BIGINT)
+         AS n_late,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(COALESCE(sum(event_id)
+                     FILTER (WHERE pmax - us > 300000000), 0) AS BIGINT)
+         AS late_id_sum
+FROM o GROUP BY event_type ORDER BY event_type"""
+
     return q

@@ -200,3 +200,45 @@ def test_pagerank_mass_conservation(ray_session):
             turns.append({"conv_id": f"c{c}", "tool": f"tool{t}"})
     tbl = pagerank_tool_mass(rd.from_items(turns))
     assert sum(r["in_mass"] for r in tbl.to_pylist()) == 30 * MASS_UNIT
+
+
+# ---------- watermark late-event scan ----------
+
+def test_late_events_matches_serial_scan(ray_session):
+    """Distributed segmented prefix scan ≡ a serial watermark sweep,
+    including bucket boundaries and the no-watermark first event."""
+    import ray.data as rd
+    from skewer_ray.functions.windows import late_event_counts
+
+    rng = np.random.default_rng(11)
+    n, lateness = 400, 50
+    ts = np.cumsum(rng.integers(0, 30, n))    # mostly increasing...
+    jitter = rng.integers(0, 200, n)
+    ts = ts + jitter - jitter.min()           # ...with genuine regressions
+    rows = [{"event_id": i, "event_type": f"t{i % 3}",
+             "ts": int(ts[i])} for i in range(n)]
+
+    # engine expects a timestamp-typed column; feed int64 µs directly
+    import pyarrow as pa_
+    tbl = pa_.table({
+        "event_id": pa_.array([r["event_id"] for r in rows], pa_.int64()),
+        "event_type": pa_.array([r["event_type"] for r in rows]),
+        "ts": pa_.array([r["ts"] for r in rows], pa_.timestamp("us")),
+    })
+    ds = rd.from_arrow(tbl)
+    got = {r["event_type"]: (r["n_late"], r["n_total"], r["late_id_sum"])
+           for r in late_event_counts(ds, max_id=n - 1,
+                                      lateness_us=lateness,
+                                      n_buckets=7).to_pylist()}
+
+    want: dict = {}
+    wm = None
+    for i in range(n):
+        late = wm is not None and (wm - int(ts[i])) > lateness
+        a = want.setdefault(f"t{i % 3}", [0, 0, 0])
+        a[0] += int(late)
+        a[1] += 1
+        a[2] += i if late else 0
+        wm = int(ts[i]) if wm is None else max(wm, int(ts[i]))
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert sum(v[0] for v in got.values()) > 0  # scenario has late events
