@@ -88,3 +88,85 @@ def quantize_embeddings(emb_ds, col: str = "embedding"):
         })
 
     return emb_ds.map_batches(quant, batch_format="pyarrow")
+
+
+def quantized_topk(emb_ds, query_ids: list[int], k: int = 5):
+    """Similarity search over the int8 codes — the ANN serving path a
+    quantized embedding store actually runs: scores are int8×int8 dot
+    products accumulated in int64, so scoring and ordering
+    (score DESC, vec_id ASC) are EXACT integer arithmetic with no float
+    rounding mode anywhere; the DuckDB oracle rebuilds codes and scores
+    bit-for-bit from the same floor-quantizer.
+
+    Shape mirrors similarity.brute_force_topk: dim-bounded amax
+    partials (one extra narrow pass), broadcast query codes via
+    ``ray.put``, per-block partial top-k, bounded driver merge."""
+    import ray
+    import ray.data as rd
+
+    amax = dimension_max_abs(emb_ds)
+    safe = np.where(amax > 0.0, amax, 1.0)
+
+    def codes_of(m: np.ndarray) -> np.ndarray:
+        q = np.floor((m * 127.0) / safe)
+        q = np.clip(q, -127, 127).astype(np.int64)
+        q[:, amax == 0.0] = 0
+        return q
+
+    qset = set(int(q) for q in query_ids)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pa.array([int(v) in qset
+                         for v in batch["vec_id"].to_pylist()])
+        return batch.filter(mask)
+
+    rows = (emb_ds.select_columns(["vec_id", "embedding"])
+            .map_batches(pick, batch_format="pyarrow").take_all())
+    rows.sort(key=lambda r: r["vec_id"])
+    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    qcodes = codes_of(np.array([r["embedding"] for r in rows],
+                               dtype=np.float64))
+    broadcast = ray.put((qids, qcodes))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        b_qids, b_qcodes = ray.get(broadcast)
+        cids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keep = np.array([c not in qset for c in cids])
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.int64())})
+        if not keep.any():
+            return empty
+        cids = cids[keep]
+        cmat = _batch_matrix(batch, "embedding")[keep]
+        scores = b_qcodes @ codes_of(cmat).T  # int64 exact
+        q_out, v_out, s_out = [], [], []
+        kk = min(k, scores.shape[1])
+        for qi in range(len(b_qids)):
+            idx = np.lexsort((cids, -scores[qi]))[:kk]
+            q_out.extend([int(b_qids[qi])] * len(idx))
+            v_out.extend(int(cids[j]) for j in idx)
+            s_out.extend(int(scores[qi, j]) for j in idx)
+        return pa.table({"query_id": pa.array(q_out, pa.int64()),
+                         "vec_id": pa.array(v_out, pa.int64()),
+                         "score": pa.array(s_out, pa.int64())})
+
+    parts = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+    rows = parts.take_all()  # bounded: ≤ blocks × queries × k
+    q = np.array([r["query_id"] for r in rows], dtype=np.int64)
+    v = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    s = np.array([r["score"] for r in rows], dtype=np.int64)
+    q_out, r_out, v_out, s_out = [], [], [], []
+    for qid in np.unique(q):
+        m = q == qid
+        idx = np.lexsort((v[m], -s[m]))[:k]
+        q_out.extend([int(qid)] * len(idx))
+        r_out.extend(range(1, len(idx) + 1))
+        v_out.extend(int(x) for x in v[m][idx])
+        s_out.extend(int(x) for x in s[m][idx])
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(q_out, pa.int64()),
+        "rank": pa.array(r_out, pa.int64()),
+        "vec_id": pa.array(v_out, pa.int64()),
+        "score": pa.array(s_out, pa.int64()),
+    }))

@@ -1015,6 +1015,16 @@ def q_embedding_quantize(sf_dir: str):
     return quantize_embeddings(_emb(sf_dir))
 
 
+def q_ann_quantized(sf_dir: str):
+    """Top-k similarity over int8-quantized codes — the quantized-store
+    serving path: int8×int8 dot products accumulated in int64, exact
+    integer ordering end-to-end (functions/quantize.quantized_topk);
+    the oracle rebuilds codes AND scores from the same floor-quantizer
+    in SQL."""
+    from ..functions.quantize import quantized_topk
+    return quantized_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
 # snapshot_diff's version-B derivation rule — applied identically by the
 # engine map and the SQL oracle so the diff target is deterministic:
 # %13 → removed, else %7 → text + ' [rev2]', and every %11 doc also
@@ -1269,6 +1279,7 @@ QUERIES = {
     "events_rollup": q_events_rollup,
     "curated_docs": q_curated_docs,
     "late_events": q_late_events,
+    "ann_quantized": q_ann_quantized,
 }
 
 

@@ -1115,4 +1115,33 @@ SELECT event_type,
          AS late_id_sum
 FROM o GROUP BY event_type ORDER BY event_type"""
 
+    # quantized ANN: codes rebuilt by the identical floor-quantizer,
+    # int8×int8 dot scores summed as BIGINT — exact integer ordering
+    q["ann_quantized"] = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+a AS (SELECT d, max(abs(v)) AS amax FROM e GROUP BY d),
+qv AS (
+  SELECT e.vec_id, e.d,
+         CASE WHEN a.amax > 0 THEN
+           CAST(least(greatest(floor((v * 127) / a.amax), -127), 127)
+                AS BIGINT)
+         ELSE 0 END AS q
+  FROM e JOIN a USING (d)),
+scores AS (
+  SELECT ql.vec_id AS query_id, db.vec_id AS vec_id,
+         CAST(sum(ql.q * db.q) AS BIGINT) AS score
+  FROM qv ql JOIN qv db ON ql.d = db.d
+  WHERE ql.vec_id IN (0,1,2,3,4,5,6,7,8,9)
+    AND db.vec_id NOT IN (0,1,2,3,4,5,6,7,8,9)
+  GROUP BY 1, 2),
+r AS (SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+FROM r WHERE rank <= 5"""
+
     return q

@@ -242,3 +242,24 @@ def test_late_events_matches_serial_scan(ray_session):
         wm = int(ts[i]) if wm is None else max(wm, int(ts[i]))
     assert got == {k: tuple(v) for k, v in want.items()}
     assert sum(v[0] for v in got.values()) > 0  # scenario has late events
+
+
+def test_quantized_topk_recall_and_exactness(ray_session):
+    """int8-code top-k must (a) be deterministic integers and (b) agree
+    with float brute force on most neighbors at 8-bit precision."""
+    from skewer_ray.functions.quantize import quantized_topk
+    from skewer_ray.functions.similarity import brute_force_topk
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((120, 16)).astype(np.float32)
+    ds = _emb_ds(mat)
+    qk = quantized_topk(ds, [0, 1, 2], k=5).take_all()
+    assert all(isinstance(r["score"], int) for r in qk)
+    # int8×int8 dots over 16 dims stay far from int64 bounds
+    assert all(abs(r["score"]) <= 16 * 127 * 127 for r in qk)
+    got = {(r["query_id"], r["vec_id"]) for r in qk}
+    bf = {(r["query_id"], r["vec_id"]) for r in
+          brute_force_topk(_emb_ds(mat), [0, 1, 2], k=5).take_all()}
+    # cosine normalizes, the quantized path scores raw dots — allow
+    # moderate divergence but demand real overlap
+    assert len(got & bf) >= 7  # ≥ ~half of 15 pairs
