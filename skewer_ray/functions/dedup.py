@@ -602,3 +602,118 @@ def connected_components(pairs_ds, a_col: str = "doc_a",
         return pa.table({"doc_id": b["node"], "cluster_rep": b["label"]})
 
     return labels.map_batches(finalize, batch_format="pyarrow")
+
+
+def prefix_filter_pairs(docs_ds, threshold: float = 0.5):
+    """Exact Jaccard near-dup pairs via PPJoin/AllPairs-style PREFIX
+    FILTERING — the sub-quadratic EXACT path (the triangle path pays
+    O(N²) verification; MinHash-LSH is sub-quadratic but approximate).
+
+    Theorem (AllPairs): under any global token order, if
+    J(x, y) ≥ τ then x and y share a token within each one's first
+    |S| − ceil(τ·|S|) + 1 tokens — so emitting only PREFIX tokens as
+    join keys finds every qualifying pair. Order = (document frequency
+    ASC, token ASC): rare tokens land in prefixes, so bucket sizes stay
+    tiny and hot (stop-)shingles never generate candidates.
+
+    Distributed shape: (1) shingle DF via per-batch partial counts,
+    driver-merged and broadcast once — the same bounded-vocabulary
+    assumption as decontam.tfidf_top_terms (its docstring carries the
+    scale discussion); (2) each doc emits ~(1−τ)·|S| prefix rows
+    (token, doc, full shingle set for verification); (3) ONE
+    token-keyed bucket exchange; in-bucket exact-Jaccard verification
+    of same-token candidates; (4) candidate pairs (found once per
+    shared prefix token) dedup on the driver — bounded by the near-dup
+    pair count, the standing assumption of the near-dup family.
+
+    Output (doc_a, doc_b, jaccard) — identical to ngram_jaccard_pairs,
+    and gated by the SAME exact-pairs SQL oracle."""
+    import math
+
+    import ray
+
+    from ..stages.buckets import grouped_by_bucket
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(shingles_of(t))
+        return pa.table({"s": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    df: dict[str, int] = {}
+    for b in docs_ds.map_batches(df_partial, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+        for s, n in zip(b["s"].to_pylist(), b["n"].to_pylist()):
+            df[s] = df.get(s, 0) + n
+    df_ref = ray.put(df)
+
+    def expand_prefix(batch: pa.Table) -> pa.Table:
+        from .decontam import _cached_get
+        order = _cached_get(df_ref)
+        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        tok_out, id_out, set_out = [], [], []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            sh = sorted(shingles_of(t), key=lambda s: (order[s], s))
+            if not sh:
+                continue
+            p = len(sh) - math.ceil(threshold * len(sh)) + 1
+            for tok in sh[:p]:
+                tok_out.append(tok)
+                id_out.append(int(ids[i]))
+                set_out.append(sh)
+        return pa.table({
+            "token": pa.array(tok_out, pa.string()),
+            "doc_id": pa.array(id_out, pa.int64()),
+            "shingles": pa.array(set_out, pa.large_list(pa.string())),
+        })
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "j": pa.array([], pa.float64())})
+
+    def bucket_verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        toks = batch["token"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        shs = batch["shingles"].to_pylist()
+        by_tok: dict[str, list[int]] = {}
+        for r, tok in enumerate(toks):
+            by_tok.setdefault(tok, []).append(r)
+        a_out, b_out, j_out = [], [], []
+        for rows in by_tok.values():
+            for xi in range(len(rows)):
+                for yi in range(xi + 1, len(rows)):
+                    x, y = rows[xi], rows[yi]
+                    if ids[x] == ids[y]:
+                        continue
+                    sx, sy = frozenset(shs[x]), frozenset(shs[y])
+                    inter = len(sx & sy)
+                    if not inter:
+                        continue
+                    jac = inter / (len(sx) + len(sy) - inter)
+                    if jac >= threshold:
+                        a, b = sorted((ids[x], ids[y]))
+                        a_out.append(a)
+                        b_out.append(b)
+                        j_out.append(round(jac, 6))
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64()),
+                         "j": pa.array(j_out, pa.float64())})
+
+    prefix_rows = docs_ds.map_batches(expand_prefix,
+                                      batch_format="pyarrow")
+    cands = grouped_by_bucket(prefix_rows, bucket_verify, key="token")
+    seen: dict[tuple[int, int], float] = {}
+    for b in cands.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            seen[(r["a"], r["b"])] = r["j"]
+    ks = sorted(seen)
+    return pa.table({
+        "doc_a": pa.array([k[0] for k in ks], pa.int64()),
+        "doc_b": pa.array([k[1] for k in ks], pa.int64()),
+        "jaccard": pa.array([seen[k] for k in ks], pa.float64()),
+    })

@@ -1015,6 +1015,15 @@ def q_embedding_quantize(sf_dir: str):
     return quantize_embeddings(_emb(sf_dir))
 
 
+def q_dedup_prefix(sf_dir: str):
+    """Exact Jaccard pairs via PPJoin-style prefix filtering — the
+    sub-quadratic EXACT near-dup path (functions/dedup.
+    prefix_filter_pairs); must produce the identical pair set to the
+    triangle path, so it shares dedup_ngram's exact SQL oracle."""
+    from ..functions.dedup import prefix_filter_pairs
+    return prefix_filter_pairs(_docs(sf_dir))
+
+
 def q_ann_quantized(sf_dir: str):
     """Top-k similarity over int8-quantized codes — the quantized-store
     serving path: int8×int8 dot products accumulated in int64, exact
@@ -1280,6 +1289,7 @@ QUERIES = {
     "curated_docs": q_curated_docs,
     "late_events": q_late_events,
     "ann_quantized": q_ann_quantized,
+    "dedup_prefix": q_dedup_prefix,
 }
 
 

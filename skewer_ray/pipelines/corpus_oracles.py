@@ -1144,4 +1144,8 @@ r AS (SELECT query_id, vec_id, score,
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
 FROM r WHERE rank <= 5"""
 
+    # the prefix-filter path must reproduce the EXACT pair set of the
+    # triangle path — same oracle by construction
+    q["dedup_prefix"] = q["dedup_ngram"]
+
     return q

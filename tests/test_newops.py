@@ -263,3 +263,36 @@ def test_quantized_topk_recall_and_exactness(ray_session):
     # cosine normalizes, the quantized path scores raw dots — allow
     # moderate divergence but demand real overlap
     assert len(got & bf) >= 7  # ≥ ~half of 15 pairs
+
+
+def test_prefix_filter_equals_triangle(ray_session):
+    """The PPJoin prefix-filter path and the triangle all-pairs path
+    are two algorithms for the same exact semantics — their pair sets
+    must be identical on a corpus with engineered near-dups."""
+    import ray.data as rd
+    from skewer_ray.functions.dedup import ngram_jaccard_pairs, prefix_filter_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again with zeal").split()
+    docs = []
+    rng = np.random.default_rng(5)
+    for i in range(60):
+        w = list(base)
+        for _ in range(rng.integers(0, 4)):       # light mutations
+            w[rng.integers(0, len(w))] = f"tok{rng.integers(0, 9)}"
+        docs.append({"doc_id": i, "text": " ".join(w)})
+    for i in range(60, 90):                        # unrelated docs
+        docs.append({"doc_id": i, "text": " ".join(
+            f"u{rng.integers(0, 500)}" for _ in range(12))})
+    ds1 = rd.from_items(docs)
+    ds2 = rd.from_items(docs)
+    def rows(res):
+        return res.take_all() if hasattr(res, "take_all") \
+            else res.to_pylist()
+
+    tri = {(r["doc_a"], r["doc_b"], r["jaccard"])
+           for r in rows(ngram_jaccard_pairs(ds1))}
+    pf = {(r["doc_a"], r["doc_b"], r["jaccard"])
+          for r in rows(prefix_filter_pairs(ds2))}
+    assert pf == tri
+    assert len(tri) > 10  # scenario really has near-dups
