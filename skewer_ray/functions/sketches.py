@@ -48,11 +48,7 @@ def kmv_distinct_terms(docs_ds, k: int = KMV_K):
 
     rows = docs_ds.map_batches(local, batch_format="pyarrow").take_all()
     top = sorted({r["h"] for r in rows})[:k]
-    if len(top) < k:
-        est = float(len(top))
-    else:
-        kth_frac = int(top[k - 1][:_FRAC_DIGITS], 16) / _FRAC_DEN
-        est = round((k - 1) / kth_frac, 6)
+    est = kmv_estimate(top, k)
     return pa.table({"k": pa.array([k], pa.int64()),
                      "n_hashes": pa.array([len(top)], pa.int64()),
                      "estimate": pa.array([est], pa.float64())})
@@ -169,3 +165,100 @@ SELECT term,
        CAST(min(coalesce(grid.cn, 0)) AS BIGINT) AS estimate
 FROM probe LEFT JOIN grid ON probe.d = grid.d AND probe.cell = grid.cell
 GROUP BY term"""
+
+
+def kmv_estimate(top: list[str], k: int = KMV_K) -> float:
+    """THE shared KMV estimator rule (exact below k): callers pass the
+    globally k-smallest distinct md5 hex hashes."""
+    if len(top) < k:
+        return float(len(top))
+    kth_frac = int(top[k - 1][:_FRAC_DIGITS], 16) / _FRAC_DEN
+    return round((k - 1) / kth_frac, 6)
+
+
+def profile_table(ds, int_cols: list[str], str_cols: list[str],
+                  k: int = KMV_K) -> pa.Table:
+    """ANALYZE-style column statistics in ONE pass: per column the row
+    count, null count, KMV distinct estimate (exact whenever the
+    column's domain is below k — so small-domain columns get exact
+    counts from the same uniform rule) and min/max (native-typed
+    comparison, emitted as strings).
+
+    Shape: each batch emits one partial row per column carrying scalar
+    stats plus its ≤k smallest value hashes; the driver merge touches
+    columns × batches rows. No shuffle, no second scan — the engine's
+    statistics collection a planner would run before choosing joins."""
+    cols = [(c, "i") for c in int_cols] + [(c, "s") for c in str_cols]
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, ns, nulls = [], [], []
+        min_i, max_i, min_s, max_s, hs = [], [], [], [], []
+        for c, kind in cols:
+            vals = b[c].to_pylist()
+            nn = sum(1 for v in vals if v is None)
+            present = [v for v in vals if v is not None]
+            names.append(c)
+            ns.append(len(vals))
+            nulls.append(nn)
+            top = sorted({hashlib.md5(str(v).encode()).hexdigest()
+                          for v in present})[:k]
+            hs.append(top)
+            if kind == "i":
+                min_i.append(min(present) if present else None)
+                max_i.append(max(present) if present else None)
+                min_s.append(None)
+                max_s.append(None)
+            else:
+                min_i.append(None)
+                max_i.append(None)
+                min_s.append(min(present) if present else None)
+                max_s.append(max(present) if present else None)
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "n_null": pa.array(nulls, pa.int64()),
+            "min_i": pa.array(min_i, pa.int64()),
+            "max_i": pa.array(max_i, pa.int64()),
+            "min_s": pa.array(min_s, pa.string()),
+            "max_s": pa.array(max_s, pa.string()),
+            "hashes": pa.array(hs, pa.large_list(pa.string())),
+        })
+
+    acc: dict[str, dict] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["column"], {
+                "n": 0, "n_null": 0, "min_i": None, "max_i": None,
+                "min_s": None, "max_s": None, "hs": set()})
+            a["n"] += r["n"]
+            a["n_null"] += r["n_null"]
+            for f, lo in (("min_i", True), ("min_s", True)):
+                v = r[f]
+                if v is not None and (a[f] is None or v < a[f]):
+                    a[f] = v
+            for f in ("max_i", "max_s"):
+                v = r[f]
+                if v is not None and (a[f] is None or v > a[f]):
+                    a[f] = v
+            a["hs"].update(r["hashes"])
+
+    order = [c for c, _ in cols]
+    rows = []
+    for c, kind in cols:
+        a = acc[c]
+        top = sorted(a["hs"])[:k]
+        mn = a["min_i"] if kind == "i" else a["min_s"]
+        mx = a["max_i"] if kind == "i" else a["max_s"]
+        rows.append((c, a["n"], a["n_null"], kmv_estimate(top, k),
+                     "" if mn is None else str(mn),
+                     "" if mx is None else str(mx)))
+    rows.sort(key=lambda r: order.index(r[0]))
+    return pa.table({
+        "column": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "n_null": pa.array([r[2] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r[3] for r in rows], pa.float64()),
+        "min_repr": pa.array([r[4] for r in rows], pa.string()),
+        "max_repr": pa.array([r[5] for r in rows], pa.string()),
+    })

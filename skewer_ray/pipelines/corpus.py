@@ -1015,6 +1015,18 @@ def q_embedding_quantize(sf_dir: str):
     return quantize_embeddings(_emb(sf_dir))
 
 
+def q_profile_docs(sf_dir: str):
+    """ANALYZE-style one-pass column statistics for the documents
+    table: per column the row/null counts, a uniform-rule KMV distinct
+    estimate (exact for every domain below k=256 — lang/source come
+    out exact, doc_id/text estimated) and native-typed min/max
+    (functions/sketches.profile_table)."""
+    from ..functions.sketches import profile_table
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return profile_table(ds, int_cols=["doc_id", "n_chars"],
+                         str_cols=["text", "lang", "source"])
+
+
 def q_dedup_prefix(sf_dir: str):
     """Exact Jaccard pairs via PPJoin-style prefix filtering — the
     sub-quadratic EXACT near-dup path (functions/dedup.
@@ -1290,6 +1302,7 @@ QUERIES = {
     "late_events": q_late_events,
     "ann_quantized": q_ann_quantized,
     "dedup_prefix": q_dedup_prefix,
+    "profile_docs": q_profile_docs,
 }
 
 

@@ -1148,4 +1148,28 @@ FROM r WHERE rank <= 5"""
     # triangle path — same oracle by construction
     q["dedup_prefix"] = q["dedup_ngram"]
 
+    # ANALYZE profile: per-column stats, uniform KMV distinct rule
+    # (identical estimator constants to sketches.kmv_estimate)
+    def _prof_col(col: str) -> str:
+        cast = f"CAST({col} AS VARCHAR)"
+        kmv = f"""(SELECT CASE WHEN count(*) < 256
+            THEN CAST(count(*) AS DOUBLE)
+            ELSE round(255 / (CAST(('0x' || substr(max(h), 1, 15))
+                              AS BIGINT) / power(16, 15)), 6) END
+      FROM (SELECT h FROM (SELECT DISTINCT md5({cast}) AS h
+                           FROM documents WHERE {col} IS NOT NULL)
+            ORDER BY h LIMIT 256))"""
+        return f"""SELECT '{col}' AS "column",
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(COALESCE(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_null,
+       {kmv} AS n_distinct,
+       COALESCE(CAST(min({col}) AS VARCHAR), '') AS min_repr,
+       COALESCE(CAST(max({col}) AS VARCHAR), '') AS max_repr
+FROM documents"""
+
+    q["profile_docs"] = "\nUNION ALL\n".join(
+        _prof_col(c) for c in ("doc_id", "n_chars", "text", "lang",
+                               "source"))
+
     return q

@@ -296,3 +296,21 @@ def test_prefix_filter_equals_triangle(ray_session):
           for r in rows(prefix_filter_pairs(ds2))}
     assert pf == tri
     assert len(tri) > 10  # scenario really has near-dups
+
+
+def test_profile_table_stats(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.sketches import profile_table
+
+    rows = [{"a": i, "s": f"v{i % 7}" if i % 10 else None}
+            for i in range(300)]
+    t = profile_table(rd.from_items(rows), int_cols=["a"],
+                      str_cols=["s"]).to_pylist()
+    prof = {r["column"]: r for r in t}
+    assert prof["a"]["n"] == 300 and prof["a"]["n_null"] == 0
+    assert prof["a"]["min_repr"] == "0" and prof["a"]["max_repr"] == "299"
+    # 300 distinct > k=256 → estimate, within KMV error bounds
+    assert 200 < prof["a"]["n_distinct"] < 430
+    assert prof["s"]["n_null"] == 30          # every 10th is None
+    assert prof["s"]["n_distinct"] == 7.0     # below k → exact
+    assert prof["s"]["min_repr"] == "v0" and prof["s"]["max_repr"] == "v6"
