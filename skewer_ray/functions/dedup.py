@@ -634,17 +634,33 @@ def prefix_filter_pairs(docs_ds, threshold: float = 0.5):
 
     from ..stages.buckets import grouped_by_bucket
 
+    # shingle ONCE into a narrow materialized projection — both the DF
+    # pass and the prefix-expand pass consume it, so the text is read
+    # and tokenized a single time (shingling dominates the near-dup
+    # family's CPU), and the second pass can never see a shingle the
+    # DF dict missed (review finding: re-executing docs_ds lineage
+    # twice re-shingled everything and assumed deterministic input)
+    def to_shingles(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.int64())
+        sh = [sorted(shingles_of(t)) for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": ids,
+            "shingles": pa.array(sh, pa.large_list(pa.string()))})
+
+    shingled = docs_ds.map_batches(
+        to_shingles, batch_format="pyarrow").materialize()
+
     def df_partial(batch: pa.Table) -> pa.Table:
         from collections import Counter
         c = Counter()
-        for t in batch["text"].to_pylist():
-            c.update(shingles_of(t))
+        for sh in batch["shingles"].to_pylist():
+            c.update(sh)  # per-doc distinct already
         return pa.table({"s": pa.array(list(c.keys()), pa.string()),
                          "n": pa.array(list(c.values()), pa.int64())})
 
     df: dict[str, int] = {}
-    for b in docs_ds.map_batches(df_partial, batch_format="pyarrow") \
-                    .iter_batches(batch_format="pyarrow"):
+    for b in shingled.map_batches(df_partial, batch_format="pyarrow") \
+                     .iter_batches(batch_format="pyarrow"):
         for s, n in zip(b["s"].to_pylist(), b["n"].to_pylist()):
             df[s] = df.get(s, 0) + n
     df_ref = ray.put(df)
@@ -652,13 +668,12 @@ def prefix_filter_pairs(docs_ds, threshold: float = 0.5):
     def expand_prefix(batch: pa.Table) -> pa.Table:
         from .decontam import _cached_get
         order = _cached_get(df_ref)
-        ids = pc.cast(batch["doc_id"], pa.int64()).to_numpy(
-            zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         tok_out, id_out, set_out = [], [], []
-        for i, t in enumerate(batch["text"].to_pylist()):
-            sh = sorted(shingles_of(t), key=lambda s: (order[s], s))
+        for i, sh in enumerate(batch["shingles"].to_pylist()):
             if not sh:
                 continue
+            sh = sorted(sh, key=lambda s: (order[s], s))
             p = len(sh) - math.ceil(threshold * len(sh)) + 1
             for tok in sh[:p]:
                 tok_out.append(tok)
@@ -704,8 +719,8 @@ def prefix_filter_pairs(docs_ds, threshold: float = 0.5):
                          "b": pa.array(b_out, pa.int64()),
                          "j": pa.array(j_out, pa.float64())})
 
-    prefix_rows = docs_ds.map_batches(expand_prefix,
-                                      batch_format="pyarrow")
+    prefix_rows = shingled.map_batches(expand_prefix,
+                                       batch_format="pyarrow")
     cands = grouped_by_bucket(prefix_rows, bucket_verify, key="token")
     seen: dict[tuple[int, int], float] = {}
     for b in cands.iter_batches(batch_format="pyarrow"):

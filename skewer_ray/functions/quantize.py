@@ -98,11 +98,14 @@ def quantized_topk(emb_ds, query_ids: list[int], k: int = 5):
     rounding mode anywhere; the DuckDB oracle rebuilds codes and scores
     bit-for-bit from the same floor-quantizer.
 
-    Shape mirrors similarity.brute_force_topk: dim-bounded amax
-    partials (one extra narrow pass), broadcast query codes via
-    ``ray.put``, per-block partial top-k, bounded driver merge."""
+    Shape mirrors similarity.brute_force_topk, sharing its query-fetch
+    and deterministic-merge helpers: dim-bounded amax partials (one
+    extra narrow pass), broadcast query codes via ``ray.put``,
+    per-block partial top-k, bounded driver merge."""
     import ray
     import ray.data as rd
+
+    from .similarity import _merge_topk, _query_matrix
 
     amax = dimension_max_abs(emb_ds)
     safe = np.where(amax > 0.0, amax, 1.0)
@@ -114,18 +117,14 @@ def quantized_topk(emb_ds, query_ids: list[int], k: int = 5):
         return q
 
     qset = set(int(q) for q in query_ids)
-
-    def pick(batch: pa.Table) -> pa.Table:
-        mask = pa.array([int(v) in qset
-                         for v in batch["vec_id"].to_pylist()])
-        return batch.filter(mask)
-
-    rows = (emb_ds.select_columns(["vec_id", "embedding"])
-            .map_batches(pick, batch_format="pyarrow").take_all())
-    rows.sort(key=lambda r: r["vec_id"])
-    qids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    qcodes = codes_of(np.array([r["embedding"] for r in rows],
-                               dtype=np.float64))
+    qids, qmat = _query_matrix(emb_ds, query_ids, normalize=False)
+    if qids.size == 0:  # no query id present → typed empty result
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64())}))
+    qcodes = codes_of(qmat)
     broadcast = ray.put((qids, qcodes))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
@@ -152,21 +151,4 @@ def quantized_topk(emb_ds, query_ids: list[int], k: int = 5):
                          "score": pa.array(s_out, pa.int64())})
 
     parts = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
-    rows = parts.take_all()  # bounded: ≤ blocks × queries × k
-    q = np.array([r["query_id"] for r in rows], dtype=np.int64)
-    v = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    s = np.array([r["score"] for r in rows], dtype=np.int64)
-    q_out, r_out, v_out, s_out = [], [], [], []
-    for qid in np.unique(q):
-        m = q == qid
-        idx = np.lexsort((v[m], -s[m]))[:k]
-        q_out.extend([int(qid)] * len(idx))
-        r_out.extend(range(1, len(idx) + 1))
-        v_out.extend(int(x) for x in v[m][idx])
-        s_out.extend(int(x) for x in s[m][idx])
-    return rd.from_arrow(pa.table({
-        "query_id": pa.array(q_out, pa.int64()),
-        "rank": pa.array(r_out, pa.int64()),
-        "vec_id": pa.array(v_out, pa.int64()),
-        "score": pa.array(s_out, pa.int64()),
-    }))
+    return _merge_topk(parts, k, score_col="score", score_type=int)

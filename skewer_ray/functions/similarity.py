@@ -26,7 +26,7 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
-def _query_matrix(emb_ds, query_ids: list[int]):
+def _query_matrix(emb_ds, query_ids: list[int], normalize: bool = True):
     qset = set(int(q) for q in query_ids)
 
     def pick(batch: pa.Table) -> pa.Table:
@@ -39,13 +39,17 @@ def _query_matrix(emb_ds, query_ids: list[int]):
             .map_batches(pick, batch_format="pyarrow").take_all())
     rows.sort(key=lambda r: r["vec_id"])
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = _norm_rows(np.array([r["embedding"] for r in rows],
-                              dtype=np.float64))
-    return ids, mat
+    if not rows:  # no query id present in the store → empty result path
+        return ids, np.empty((0, 0), dtype=np.float64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, (_norm_rows(mat) if normalize else mat)
 
 
-def _merge_topk(partials_ds, k: int):
-    """Final top-k merge of the per-block partial candidate rows.
+def _merge_topk(partials_ds, k: int, score_col: str = "cosine",
+                score_type: type = float):
+    """Final top-k merge of the per-block partial candidate rows — THE
+    shared deterministic merge rule ((score DESC, vec_id ASC), ranks
+    1..k) for every top-k operator, float-cosine or integer-score.
 
     The partial set is BOUNDED by construction (≤ n_blocks × n_queries
     × k rows — the classic tree-reduce tail), so a driver-side
@@ -54,10 +58,12 @@ def _merge_topk(partials_ds, k: int):
     schema warnings). Returns a Dataset for a uniform query surface."""
     import ray.data as rd
 
+    np_type = np.float64 if score_type is float else np.int64
+    pa_type = pa.float64() if score_type is float else pa.int64()
     rows = partials_ds.take_all()
     q = np.array([r["query_id"] for r in rows], dtype=np.int64)
     v = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    s = np.array([r["cosine"] for r in rows], dtype=np.float64)
+    s = np.array([r[score_col] for r in rows], dtype=np_type)
     q_out, r_out, v_out, s_out = [], [], [], []
     for qid in np.unique(q):
         m = q == qid
@@ -65,12 +71,12 @@ def _merge_topk(partials_ds, k: int):
         q_out.extend([int(qid)] * len(idx))
         r_out.extend(range(1, len(idx) + 1))
         v_out.extend(int(x) for x in v[m][idx])
-        s_out.extend(float(x) for x in s[m][idx])
+        s_out.extend(score_type(x) for x in s[m][idx])
     return rd.from_arrow(pa.table({
         "query_id": pa.array(q_out, pa.int64()),
         "rank": pa.array(r_out, pa.int64()),
         "vec_id": pa.array(v_out, pa.int64()),
-        "cosine": pa.array(s_out, pa.float64()),
+        score_col: pa.array(s_out, pa_type),
     }))
 
 

@@ -233,7 +233,7 @@ def profile_table(ds, int_cols: list[str], str_cols: list[str],
                 "min_s": None, "max_s": None, "hs": set()})
             a["n"] += r["n"]
             a["n_null"] += r["n_null"]
-            for f, lo in (("min_i", True), ("min_s", True)):
+            for f in ("min_i", "min_s"):
                 v = r[f]
                 if v is not None and (a[f] is None or v < a[f]):
                     a[f] = v
@@ -243,9 +243,8 @@ def profile_table(ds, int_cols: list[str], str_cols: list[str],
                     a[f] = v
             a["hs"].update(r["hashes"])
 
-    order = [c for c, _ in cols]
     rows = []
-    for c, kind in cols:
+    for c, kind in cols:  # already in declaration order
         a = acc[c]
         top = sorted(a["hs"])[:k]
         mn = a["min_i"] if kind == "i" else a["min_s"]
@@ -253,7 +252,6 @@ def profile_table(ds, int_cols: list[str], str_cols: list[str],
         rows.append((c, a["n"], a["n_null"], kmv_estimate(top, k),
                      "" if mn is None else str(mn),
                      "" if mx is None else str(mx)))
-    rows.sort(key=lambda r: order.index(r[0]))
     return pa.table({
         "column": pa.array([r[0] for r in rows], pa.string()),
         "n": pa.array([r[1] for r in rows], pa.int64()),
