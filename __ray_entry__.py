@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_hist": q.q_gap_hist,
         # market-basket tool-pair co-occurrence (bounded pair domain)
         "tool_cooccurrence": q.q_tool_cooccurrence,
+        # partition-key skew diagnostics (histogram-exact integer Gini)
+        "conv_skew": q.q_conv_skew,
         # leakage-free conv-granularity train/val/test split
         "holdout_split": q.q_holdout_split,
         # sliding turn-window training-sample construction (1→N)

@@ -446,6 +446,31 @@ SELECT bin, CAST(count(*) AS BIGINT) AS n,
        CAST(max(g) AS BIGINT) AS max_gap_us
 FROM g2 GROUP BY bin ORDER BY bin"""
 
+    # conversation-length skew profile: histogram-exact integer Gini
+    # (same cell-folded formula as the engine), quantile_disc median
+    q["conv_skew"] = f"""
+WITH c AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS len
+           FROM read_parquet('{_tpath(sf_name)}') GROUP BY conv_id),
+h AS (SELECT len, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY len),
+o AS (SELECT len, cnt,
+             COALESCE(sum(cnt) OVER (ORDER BY len
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum
+      FROM h),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(len) AS BIGINT) AS tot,
+             CAST(min(len) AS BIGINT) AS mn,
+             CAST(max(len) AS BIGINT) AS mx,
+             CAST(quantile_disc(len, 0.5) AS BIGINT) AS med
+      FROM c),
+g AS (SELECT CAST(sum(len * (2 * cnt * cum + cnt * (cnt + 1)
+                             - cnt * (s.n + 1))) AS BIGINT) AS num
+      FROM o, s GROUP BY s.n)
+SELECT s.n AS n_convs, s.tot AS total_turns, s.mn AS min_len,
+       s.mx AS max_len, s.med AS median_len,
+       CAST((1000000 * g.num) // (s.n * s.tot) AS BIGINT) AS gini_ppm
+FROM s, g"""
+
     # market-basket tool co-occurrence: distinct-pair self-join
     q["tool_cooccurrence"] = f"""
 WITH e AS (

@@ -605,6 +605,50 @@ def q_tool_cooccurrence(sf_dir: str):
         "n": pa.array([acc[k] for k in ks], pa.int64())})
 
 
+def q_conv_skew(sf_dir: str):
+    """Key-skew diagnostics for the partitioning key: the
+    conversation-length distribution reduced to one row — count, total,
+    min/max/median length and an EXACT integer Gini coefficient
+    (emitted as floor-ppm) computed from the bounded length histogram,
+    so no sort of the per-key sizes ever happens. The shuffle sees one
+    (conv, n) partial per batch per conv (grouped_count combine), then
+    ≤ max-length histogram cells; Gini over a histogram is a
+    closed-form integer sum over cumulative counts."""
+    from ..functions.curation import _hist_quantile
+    from ..stages.agg import grouped_count
+    ds = read_transcripts(sf_dir).select_columns(["conv_id"])
+    lens = grouped_count(ds, ["conv_id"], combine="shuffle")
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"len": b["n"],
+                      "c": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by("len").aggregate([("c", "sum")])
+
+    acc: dict[int, int] = {}
+    for b in lens.map_batches(hist, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            acc[r["len"]] = acc.get(r["len"], 0) + r["c_sum"]
+    n = sum(acc.values())
+    total = sum(ln * c for ln, c in acc.items())
+    # Gini numerator Σ_i (2i − n − 1)·x_i over ascending sizes, folded
+    # per histogram cell: L·(2·c·cum + c(c+1) − c(n+1)); exact ints
+    num, cum = 0, 0
+    for ln in sorted(acc):
+        c = acc[ln]
+        num += ln * (2 * c * cum + c * (c + 1) - c * (n + 1))
+        cum += c
+    gini_ppm = (10**6 * num) // (n * total) if n and total else 0
+    return pa.table({
+        "n_convs": pa.array([n], pa.int64()),
+        "total_turns": pa.array([total], pa.int64()),
+        "min_len": pa.array([min(acc) if acc else 0], pa.int64()),
+        "max_len": pa.array([max(acc) if acc else 0], pa.int64()),
+        "median_len": pa.array([_hist_quantile(acc, 0.5)], pa.int64()),
+        "gini_ppm": pa.array([gini_ppm], pa.int64()),
+    })
+
+
 WIN_TURNS = 8       # turns per training window
 WIN_STRIDE = 4      # window stride (turns)
 

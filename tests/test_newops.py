@@ -314,3 +314,31 @@ def test_profile_table_stats(ray_session):
     assert prof["s"]["n_null"] == 30          # every 10th is None
     assert prof["s"]["n_distinct"] == 7.0     # below k → exact
     assert prof["s"]["min_repr"] == "v0" and prof["s"]["max_repr"] == "v6"
+
+
+def test_conv_skew_gini_matches_bruteforce(ray_session):
+    """Histogram-folded Gini must equal the definitional sorted-sizes
+    formula, and a uniform distribution must score 0."""
+    from skewer_ray.pipelines.queries import q_conv_skew
+    r = q_conv_skew("/root/testdata/sf0.001").to_pylist()[0]
+    import duckdb
+    from skewer_ray.gen import ensure_transcripts
+    path = ensure_transcripts("/root/testdata/sf0.001")
+    sizes = sorted(x[0] for x in duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{path}/part-*.parquet') "
+        "GROUP BY conv_id").fetchall())
+    n, tot = len(sizes), sum(sizes)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(sizes))
+    assert r["n_convs"] == n and r["total_turns"] == tot
+    assert r["min_len"] == sizes[0] and r["max_len"] == sizes[-1]
+    assert r["gini_ppm"] == (10**6 * num) // (n * tot)
+    # uniform sizes → Gini exactly 0
+    import numpy as np_
+    from skewer_ray.functions.curation import _hist_quantile
+    acc = {5: 40}
+    cum, gnum = 0, 0
+    for ln in sorted(acc):
+        c = acc[ln]
+        gnum += ln * (2 * c * cum + c * (c + 1) - c * (41))
+        cum += c
+    assert gnum == 0
