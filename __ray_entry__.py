@@ -16,6 +16,34 @@ from typing import Any
 
 ORACLE_SF = "sf0.01"  # the driver's correctness scale
 
+# The driver samples the FIRST N queries() entries (dict order) for its
+# correctness artifact. These 50 already have green rows in
+# CORRECTNESS_r01/r02.json; rotate them to the BACK so round 3 witnesses
+# the 80 entries the driver has never checked (VERDICT.md "Next round" #1).
+_DRIVER_CHECKED_R02 = (
+    "parse_rfc5424", "parse_rfc3164", "parse_degenerate", "parse_json",
+    "parse_rsyslogjson", "parse_gelf", "parse_influx", "parse_w3c",
+    "parse_ltsv", "parse_custom", "route_topics", "route_partition_keys",
+    "filter_results", "sink_counts", "file_sink_routes", "routed_rows_kafka",
+    "encode_rfc5424", "encode_rfc3164", "enrich_groups", "metrics_incoming",
+    "conv_stats", "incremental_conv_stats", "conv_text", "log_templates",
+    "merge_multiline", "role_transitions", "trim_context", "turn_latency",
+    "gap_hist", "tool_cooccurrence", "conv_skew", "holdout_split",
+    "conv_windows", "conv_pattern_dedup", "grok_transcripts",
+    "anonymize_hosts", "parse_collectd", "parse_macos", "parse_edge_syslog",
+    "topk_terms", "events_hopping", "text_quality", "text_langid",
+    "doc_fingerprints", "dedup_exact", "dedup_minhash", "dedup_ngram",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_embedding",
+)
+
+
+def _rotate_unwitnessed_first(full: dict) -> dict:
+    """Unchecked entries first (original relative order), checked 50 last."""
+    checked = set(_DRIVER_CHECKED_R02)
+    ordered = {k: v for k, v in full.items() if k not in checked}
+    ordered.update({k: full[k] for k in _DRIVER_CHECKED_R02 if k in full})
+    return ordered
+
 
 def entry() -> Any:
     """Flagship pipeline at sf0.001: parse → enrich → route → fan-out →
@@ -94,7 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from skewer_ray.pipelines import analytics_joins2  # noqa: F401
     from skewer_ray.pipelines.analytics import QUERIES as analytics_queries
     out.update(analytics_queries)
-    return out
+    return _rotate_unwitnessed_first(out)
 
 
 def oracle_sql() -> dict[str, str]:
