@@ -269,22 +269,38 @@ def q_media_frames(sf_dir: str):
 
 def q_dedup_filtered_docs(sf_dir: str):
     """Near-dup removal: drop any doc that is the higher id of a MinHash
-    near-dup pair (deterministic keep-lowest rule; the broadcast drop
-    set is tiny — pairs only)."""
+    near-dup pair (deterministic keep-lowest rule). The anti-join is a
+    union + per-doc indicator-sum groupby (the `windows.users_without`
+    pattern): ONE skew-safe partial-combine exchange, and the drop set
+    never lands on the driver — at 100 TB with 30% duplicates the old
+    broadcast-set form would pull billions of ids to one process."""
     import pyarrow as pa
-    import ray
+    import pyarrow.compute as pc
+
+    from ..stages.agg import grouped_stats
 
     pairs = minhash_lsh_pairs(_docs(sf_dir), threshold=JACCARD_THRESHOLD)
-    drop = {r["doc_b"] for r in pairs.select_columns(["doc_b"]).take_all()}
-    drop_ref = ray.put(drop)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        mask = pa.array([int(x) not in d
-                         for x in batch["doc_id"].to_pylist()])
-        return batch.filter(mask).select(["doc_id"])
+    def doc_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "hit": pa.array([0] * n, pa.int64())})
 
-    return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+    def drop_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_b"], pa.int64()),
+            "hit": pa.array([1] * n, pa.int64())})
+
+    u = (_docs(sf_dir).map_batches(doc_side, batch_format="pyarrow")
+         .union(pairs.map_batches(drop_side, batch_format="pyarrow")))
+    out = grouped_stats(u, "doc_id", [("hit", "sum")], combine="shuffle")
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["sum_hit"], 0)).select(["doc_id"])
+
+    return out.map_batches(keep, batch_format="pyarrow")
 
 
 def q_dedup_clusters(sf_dir: str):

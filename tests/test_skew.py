@@ -204,3 +204,32 @@ def test_salted_distinct_count_whale_key(ray_session):
         per_salt.setdefault(zlib.crc32(v.encode()) % n_salts, 0)
         per_salt[zlib.crc32(v.encode()) % n_salts] += 1
     assert max(per_salt.values()) < len(set(whale_vals)) / n_salts * 2
+
+
+def test_dedup_filtered_docs_high_duplication(ray_session, tmp_path):
+    """50%-duplicate corpus: the anti-join form of near-dup removal
+    (union + indicator-sum groupby, no driver-side drop set —
+    VERDICT r02 #2) keeps exactly the min doc_id of every duplicate
+    group. At this duplication rate the old broadcast-set form would
+    ship O(N) ids through the driver."""
+    import pyarrow.parquet as pq
+
+    from skewer_ray.pipelines.corpus import q_dedup_filtered_docs
+
+    n_groups, dups_per_group = 60, 5  # 300 docs, 240 droppable
+    texts, ids = [], []
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    for g in range(n_groups):
+        body = f"{base} group{g} " + " ".join(
+            f"tok{g}_{i}" for i in range(12))
+        for d in range(dups_per_group):
+            ids.append(g * 100 + d)
+            texts.append(body)  # exact duplicates -> jaccard 1.0
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts)}),
+                   tmp_path / "documents.parquet")
+
+    got = sorted(r["doc_id"]
+                 for r in q_dedup_filtered_docs(str(tmp_path)).take_all())
+    assert got == [g * 100 for g in range(n_groups)]
