@@ -115,9 +115,23 @@ def exact_dedup(docs_ds):
                                                    batch_format="pyarrow")
 
 
+def _shingle_hash64(s: str) -> int:
+    """64-bit shingle identity hash (md5[:16] reinterpreted as signed
+    int64). Used ONLY as a compact stand-in for the shingle string in
+    the verify exchange: |A∩B| over the hash sets equals the string-set
+    intersection barring a ~2^-65 in-doc collision, so the Jaccard the
+    verifier computes is the exact string-shingle Jaccard the oracle
+    computes."""
+    u = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
 def _doc_shingle_rows(batch: pa.Table) -> pa.Table:
     """One row per (band, band_key, doc_id) with the doc's distinct
-    shingle list carried along for in-bucket verification.
+    shingles carried as a SORTED int64 hash array for in-bucket
+    verification — ~8 bytes per shingle through the shuffle instead of
+    the full 3-word string (VERDICT r02 #3: the string form shipped
+    ~4× the corpus text volume over the exchange).
 
     The md5(f"{i}:{shingle}") component hashes are computed once per
     DISTINCT shingle in the batch (near-dup docs share almost all their
@@ -127,12 +141,14 @@ def _doc_shingle_rows(batch: pa.Table) -> pa.Table:
     texts = batch["text"].to_pylist()
     doc_sh = [shingles_of(t) for t in texts]
     hcache: dict[str, list[str]] = {}
+    idcache: dict[str, int] = {}
     for sh in doc_sh:
         for s in sh:
             if s not in hcache:
                 b = s.encode()
                 hcache[s] = [hashlib.md5(f"{i}:".encode() + b).hexdigest()
                              for i in range(N_HASHES)]
+                idcache[s] = _shingle_hash64(s)
     o_band, o_key, o_id, o_sh = [], [], [], []
     for d, sh in zip(ids, doc_sh):
         if not sh:
@@ -140,17 +156,17 @@ def _doc_shingle_rows(batch: pa.Table) -> pa.Table:
         rows = [hcache[s] for s in sh]
         sigs = [min(r[i] for r in rows) for i in range(N_HASHES)]
         keys = band_keys(sigs)
-        sh_list = sorted(sh)
+        sh_arr = np.sort(np.array([idcache[s] for s in sh], np.int64))
         for b, k in enumerate(keys):
             o_band.append(b)
             o_key.append(k)
             o_id.append(d)
-            o_sh.append(sh_list)
+            o_sh.append(sh_arr)
     return pa.table({
         "band": pa.array(o_band, pa.int32()),
         "band_key": pa.array(o_key, pa.string()),
         "doc_id": pa.array(o_id, pa.int64()),
-        "shingles": pa.array(o_sh, pa.large_list(pa.string())),
+        "shingles": pa.array(o_sh, pa.large_list(pa.int64())),
     })
 
 
@@ -167,16 +183,19 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
 
     def bucket_pairs(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
-        shs = batch["shingles"].to_pylist()
+        # sorted int64 hash arrays; np.intersect1d merge instead of
+        # Python string-set ops
+        shs = [np.asarray(a, np.int64)
+               for a in batch["shingles"].to_pylist()]
         a_out, b_out, j_out = [], [], []
         order = sorted(range(len(ids)), key=lambda i: ids[i])
         for x in range(len(order)):
             i = order[x]
-            si = set(shs[i])
+            si = shs[i]
             for y in range(x + 1, len(order)):
                 jj = order[y]
-                sj = set(shs[jj])
-                inter = len(si & sj)
+                sj = shs[jj]
+                inter = len(np.intersect1d(si, sj, assume_unique=True))
                 if not inter:
                     continue
                 jac = inter / (len(si) + len(sj) - inter)
