@@ -939,35 +939,85 @@ SELECT CAST(floor(cumb / 512.0) AS BIGINT) AS pack_id,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1 ORDER BY 1"""
 
-    # video frame sampling: positions floor(j*(nf-1)/3) for j in 0..3,
-    # nf = 8 + (md5 digits 9-10) % 25, feature = md5(text ':' idx)[0:2]
+    # video frame sampling: positions floor(j*(nf-1)/3) for j in 0..3
+    # over the nf = 8 + doc_id % 25 concatenated-PNG frames; brightness
+    # = floor(mean decoded pixel). The engine really walks the
+    # container and inflates/unfilters the sampled frames
+    # (functions/media.FrameSampleStage); this closed form is what the
+    # synthesized frame content must decode back to.
     q["media_frames"] = """
 WITH v AS (
-  SELECT doc_id, text,
-         8 + CAST(('0x' || substr(md5(text), 9, 2)) AS INTEGER) % 25 AS nf
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+         8 + doc_id % 25 AS nf
   FROM documents WHERE doc_id % 3 = 2
 ),
 f AS (
-  SELECT doc_id, text,
-         CAST(floor(j * (nf - 1) / 3.0) AS BIGINT) AS frame_idx
+  SELECT doc_id, w, h,
+         CAST(floor(t.j * (nf - 1) / 3.0) AS BIGINT) AS frame_idx
   FROM v, range(4) t(j)
+),
+b AS (
+  SELECT doc_id, frame_idx, w, h,
+         CAST(sum((doc_id + 31 * frame_idx + 5 * xs.x + 9 * ys.y) % 256)
+              AS BIGINT) AS s
+  FROM f, range(17) xs(x), range(15) ys(y)
+  WHERE xs.x < w AND ys.y < h
+  GROUP BY doc_id, frame_idx, w, h
 )
 SELECT doc_id, frame_idx, frame_idx * 100 AS frame_ts_ms,
-       CAST(('0x' || substr(md5(text || ':' ||
-             CAST(frame_idx AS VARCHAR)), 1, 2)) AS INTEGER) AS brightness
-FROM f"""
+       s // (w * h) AS brightness
+FROM b"""
 
+    # real-codec features: width/height/channels, duration and the
+    # decoded pixel/sample sum of the synthesized PNG / WAV / PNG-stream
+    # payloads (closed-form content rules in functions/media.py; the
+    # engine computes these from actually-decoded bytes)
     q["media_features"] = """
-SELECT doc_id,
-  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-       ELSE 'video' END AS media_type,
-  strlen(text) AS n_bytes,
-  64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) AS width,
-  64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) AS height,
-  CASE WHEN doc_id % 3 = 0 THEN 0
-       ELSE CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER)
-  END AS duration_ms
-FROM documents"""
+WITH img AS (
+  SELECT doc_id, 8 + doc_id % 17 AS w, 8 + doc_id % 13 AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+imgsum AS (
+  SELECT doc_id, w, h,
+         CAST(sum((doc_id + 3 * xs.x + 7 * ys.y + 11 * cs.c) % 256)
+              AS BIGINT) AS px_sum
+  FROM img, range(25) xs(x), range(21) ys(y), range(3) cs(c)
+  WHERE xs.x < w AND ys.y < h
+  GROUP BY doc_id, w, h
+),
+aud AS (
+  SELECT doc_id, 8 * (64 + doc_id % 129) AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+audsum AS (
+  SELECT doc_id, n,
+         CAST(sum(((13 * doc_id + 5 * ss.i) % 4096) - 2048)
+              AS BIGINT) AS px_sum
+  FROM aud, range(1544) ss(i)
+  WHERE ss.i < n
+  GROUP BY doc_id, n
+),
+vid AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+         8 + doc_id % 25 AS nf
+  FROM documents WHERE doc_id % 3 = 2
+),
+vidsum AS (
+  SELECT doc_id, w, h, nf,
+         CAST(sum((doc_id + 5 * xs.x + 9 * ys.y) % 256)
+              AS BIGINT) AS px_sum
+  FROM vid, range(17) xs(x), range(15) ys(y)
+  WHERE xs.x < w AND ys.y < h
+  GROUP BY doc_id, w, h, nf
+)
+SELECT doc_id, 'image' AS media_type, w AS width, h AS height,
+       CAST(3 AS BIGINT) AS channels, CAST(0 AS BIGINT) AS duration_ms,
+       px_sum
+FROM imgsum
+UNION ALL
+SELECT doc_id, 'audio', 0, 0, 1, n // 8, px_sum FROM audsum
+UNION ALL
+SELECT doc_id, 'video', w, h, 1, nf * 100, px_sum FROM vidsum"""
 
     # BPE round-0 merge candidates: adjacent char pairs over word
     # OCCURRENCES (non-distinct), top-20 by (n DESC, pair ASC)

@@ -122,17 +122,20 @@ def test_ann_topk_ranks(ray_session):
 
 
 def test_media_stage_plumbing(ray_session):
-    from skewer_ray.functions.media import MediaDecodeStage
+    from skewer_ray.functions.media import _image_pixels
     from skewer_ray.pipelines.corpus import q_media_features
     rows = q_media_features(SF).take_all()
     assert len(rows) == 500
     for r in rows[:20]:
         assert r["media_type"] in ("image", "audio", "video")
-        assert 64 <= r["width"] <= 64 + 255
         assert (r["duration_ms"] == 0) == (r["media_type"] == "image")
-    # the real-codec path is an explicit stub
-    with pytest.raises(NotImplementedError):
-        MediaDecodeStage.decode_real(b"x", "image")
+        if r["media_type"] == "image":
+            # features come from REALLY decoded PNG pixels
+            px = _image_pixels(r["doc_id"])
+            assert (r["height"], r["width"], r["channels"]) == px.shape
+            assert r["px_sum"] == int(px.sum())
+        elif r["media_type"] == "audio":
+            assert r["duration_ms"] * 8 % 8 == 0 and r["duration_ms"] > 0
 
 
 def test_frame_sampling_1_to_n(ray_session):
