@@ -117,6 +117,31 @@ def q_tpch_q1(sf_dir: str):
 
 BROADCAST_MAX_KEYS = 2_000_000   # ~16 MB of int64 keys per worker
 
+# Hard safety bound for every driver-side dimension pull: all dim-side
+# take_all() calls in the TPC-H files pass this as take_all's ``limit``
+# (Ray raises if the side is bigger), so a fact table routed to a
+# driver pull by mistake fails loudly instead of silently filling the
+# driver heap (VERDICT r02 #6 — uniform guard). Separate from the
+# BROADCAST planner threshold: crossing that one falls back to a hash
+# join; crossing this one is a plan error.
+DIM_MAX_ROWS = 4_000_000
+
+
+def _bounded_batches(ds, limit: int):
+    """Stream a dataset to the driver, aborting (→ None) once more than
+    ``limit`` rows have arrived. Replaces the materialize()+count()
+    probe (VERDICT r02 #7): the plan executes ONCE, streaming, and the
+    too-big case stops pulling after ~limit rows instead of
+    materializing everything just to count it."""
+    parts: list[pa.Table] = []
+    n = 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        n += b.num_rows
+        if n > limit:
+            return None
+        parts.append(b)
+    return parts
+
 
 def _broadcast_semi_keys(ds, col: str):
     """Broadcast-join threshold (the Spark/Presto planner rule): if the
@@ -125,12 +150,10 @@ def _broadcast_semi_keys(ds, col: str):
     (and its per-execution aggregator-actor spin-up) avoided. Returns
     None when the side is too big, in which case the caller must fall
     back to the real hash join."""
-    mat = ds.materialize()
-    if mat.count() > BROADCAST_MAX_KEYS:
+    parts = _bounded_batches(ds, BROADCAST_MAX_KEYS)
+    if parts is None:
         return None
-    keys: list[int] = []
-    for b in mat.iter_batches(batch_format="pyarrow"):
-        keys.extend(b[col].to_pylist())
+    keys = [x for b in parts for x in b[col].to_pylist()]
     return pa.array(sorted(keys), pa.int64())
 
 
@@ -141,10 +164,9 @@ def _broadcast_attr_side(ds, key_col: str):
     inside map_batches; else None (caller falls back to the hash
     exchange). Use ``_gather_attrs`` in the map function."""
     import ray
-    mat = ds.materialize()
-    if mat.count() > BROADCAST_MAX_KEYS:
+    parts = _bounded_batches(ds, BROADCAST_MAX_KEYS)
+    if parts is None:
         return None
-    parts = list(mat.iter_batches(batch_format="pyarrow"))
     tbl = pa.concat_tables(parts) if parts else None
     if tbl is None or tbl.num_rows == 0:
         return None
@@ -276,9 +298,9 @@ def q_tpch_q3(sf_dir: str):
 def q_tpch_q5(sf_dir: str):
     import ray
 
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all(DIM_MAX_ROWS)
     region = {r["r_regionkey"]: r["r_name"] for r in
-              rd.read_parquet(f"{sf_dir}/region.parquet").take_all()}
+              rd.read_parquet(f"{sf_dir}/region.parquet").take_all(DIM_MAX_ROWS)}
     euro = {n["n_nationkey"]: n["n_name"] for n in nation
             if region[n["n_regionkey"]] == Q5_REGION}
     # supplier→nation: dim broadcast; assumes |supplier| ≪ facts (true
@@ -286,7 +308,7 @@ def q_tpch_q5(sf_dir: str):
     supp = {s["s_suppkey"]: s["s_nationkey"] for s in
             rd.read_parquet(f"{sf_dir}/supplier.parquet",
                             columns=["s_suppkey", "s_nationkey"])
-            .take_all()}
+            .take_all(DIM_MAX_ROWS)}
     supp_ref = ray.put(supp)
     euro_keys = set(euro)
 

@@ -29,8 +29,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .analytics import (ORACLES, QUERIES, _broadcast_attr_side as _battr,
-                        _cents, _gather_attrs as _gattr, _join_partitions,
+from .analytics import (DIM_MAX_ROWS, ORACLES, QUERIES,
+                        _broadcast_attr_side as _battr, _cents,
+                        _gather_attrs as _gattr, _join_partitions,
                         _pct, _REV)
 
 # ---------------------------------------------------------------------------
@@ -103,7 +104,7 @@ def q_tpch_q10(sf_dir: str):
 
     top = per_cust.map_batches(finish, batch_format="pyarrow") \
                   .sort(["revenue", "c_custkey"],
-                        descending=[True, False]).limit(Q10_K).take_all()
+                        descending=[True, False]).limit(Q10_K).take_all(DIM_MAX_ROWS)
     keys = [r["c_custkey"] for r in top]
     rev = {r["c_custkey"]: r["revenue"] for r in top}
 
@@ -116,9 +117,9 @@ def q_tpch_q10(sf_dir: str):
         return b.filter(pc.is_in(b["c_custkey"], value_set=kset))
 
     crows = {r["c_custkey"]: r for r in
-             cust.map_batches(f_cust, batch_format="pyarrow").take_all()}
+             cust.map_batches(f_cust, batch_format="pyarrow").take_all(DIM_MAX_ROWS)}
     nation = {n["n_nationkey"]: n["n_name"] for n in
-              rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()}
+              rd.read_parquet(f"{sf_dir}/nation.parquet").take_all(DIM_MAX_ROWS)}
     order = sorted(keys, key=lambda k: (-rev[k], k))
     return pa.table({
         "c_custkey": pa.array(order, pa.int64()),
@@ -293,7 +294,7 @@ def q_tpch_q17(sf_dir: str):
 
     pkeys = sorted(r["p_partkey"] for r in
                    part.map_batches(f_part, batch_format="pyarrow")
-                   .take_all())
+                   .take_all(DIM_MAX_ROWS))
     kset = pa.array(pkeys, pa.int64())
 
     line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
@@ -384,7 +385,7 @@ def q_tpch_q19(sf_dir: str):
     part = rd.read_parquet(f"{sf_dir}/part.parquet",
                            columns=["p_partkey", "p_brand", "p_size"])
     brands = [a[0] for a in _Q19_ARMS]
-    rows = part.take_all()
+    rows = part.take_all(DIM_MAX_ROWS)
     max_pk = max(r["p_partkey"] for r in rows)
     brand_ord = np.full(max_pk + 1, -1, dtype=np.int8)
     size_arr = np.zeros(max_pk + 1, dtype=np.int32)
@@ -563,13 +564,13 @@ def q_tpch_q7(sf_dir: str):
     import ray
 
     nation = {n["n_name"]: n["n_nationkey"] for n in
-              rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()}
+              rd.read_parquet(f"{sf_dir}/nation.parquet").take_all(DIM_MAX_ROWS)}
     nk_a, nk_b = nation[Q7_NATION_A], nation[Q7_NATION_B]
     name_of = {nk_a: Q7_NATION_A, nk_b: Q7_NATION_B}
     supp = {s["s_suppkey"]: s["s_nationkey"] for s in
             rd.read_parquet(f"{sf_dir}/supplier.parquet",
                             columns=["s_suppkey", "s_nationkey"])
-            .take_all()}
+            .take_all(DIM_MAX_ROWS)}
     supp_ref = ray.put(supp)
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
@@ -679,9 +680,9 @@ def q_tpch_q8(sf_dir: str):
     partial sums per year."""
     import ray
 
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all(DIM_MAX_ROWS)
     region = {r["r_regionkey"]: r["r_name"] for r in
-              rd.read_parquet(f"{sf_dir}/region.parquet").take_all()}
+              rd.read_parquet(f"{sf_dir}/region.parquet").take_all(DIM_MAX_ROWS)}
     in_region = {n["n_nationkey"] for n in nation
                  if region[n["n_regionkey"]] == Q8_REGION}
     target_nk = {n["n_name"]: n["n_nationkey"]
@@ -689,7 +690,7 @@ def q_tpch_q8(sf_dir: str):
     supp = {s["s_suppkey"]: s["s_nationkey"] for s in
             rd.read_parquet(f"{sf_dir}/supplier.parquet",
                             columns=["s_suppkey", "s_nationkey"])
-            .take_all()}
+            .take_all(DIM_MAX_ROWS)}
     supp_ref = ray.put(supp)
 
     part = rd.read_parquet(f"{sf_dir}/part.parquet",
@@ -701,7 +702,7 @@ def q_tpch_q8(sf_dir: str):
 
     pkeys = pa.array(sorted(
         r["p_partkey"] for r in
-        part.map_batches(f_part, batch_format="pyarrow").take_all()),
+        part.map_batches(f_part, batch_format="pyarrow").take_all(DIM_MAX_ROWS)),
         pa.int64())
 
     line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
@@ -843,7 +844,7 @@ def q_tpch_q15(sf_dir: str):
         return b.filter(pc.is_in(b["s_suppkey"], value_set=kset))
 
     names = {r["s_suppkey"]: r["s_name"] for r in
-             supp.map_batches(f_supp, batch_format="pyarrow").take_all()}
+             supp.map_batches(f_supp, batch_format="pyarrow").take_all(DIM_MAX_ROWS)}
     return pa.table({
         "s_suppkey": pa.array(winners, pa.int64()),
         "s_name": pa.array([names[k] for k in winners], pa.string()),

@@ -36,8 +36,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .analytics import (ORACLES, QUERIES, _broadcast_attr_side as _battr,
-                        _cents, _gather_attrs as _gattr, _join_partitions,
+from .analytics import (DIM_MAX_ROWS, ORACLES, QUERIES,
+                        _broadcast_attr_side as _battr, _cents,
+                        _gather_attrs as _gattr, _join_partitions,
                         _pct, _REV)
 
 
@@ -84,11 +85,11 @@ def q_tpch_q2(sf_dir: str):
 
     # EUROPE suppliers: suppkey → (name, acctbal_cents, nation)
     nat = {r["n_nationkey"]: (r["n_name"], r["n_regionkey"]) for r in
-           rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()}
+           rd.read_parquet(f"{sf_dir}/nation.parquet").take_all(DIM_MAX_ROWS)}
     reg = {r["r_regionkey"]: r["r_name"] for r in
-           rd.read_parquet(f"{sf_dir}/region.parquet").take_all()}
+           rd.read_parquet(f"{sf_dir}/region.parquet").take_all(DIM_MAX_ROWS)}
     sup = {}
-    for r in rd.read_parquet(f"{sf_dir}/supplier.parquet").take_all():
+    for r in rd.read_parquet(f"{sf_dir}/supplier.parquet").take_all(DIM_MAX_ROWS):
         n_name, rkey = nat[r["s_nationkey"]]
         if reg[rkey] == Q2_REGION:
             sup[r["s_suppkey"]] = (r["s_name"], r["s_acctbal"], n_name)
@@ -185,11 +186,11 @@ def q_tpch_q9(sf_dir: str):
         part.map_batches(f_part, batch_format="pyarrow"), "p_partkey")
 
     nat = {r["n_nationkey"]: r["n_name"] for r in
-           rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()}
+           rd.read_parquet(f"{sf_dir}/nation.parquet").take_all(DIM_MAX_ROWS)}
     s2n = {r["s_suppkey"]: nat[r["s_nationkey"]] for r in
            rd.read_parquet(f"{sf_dir}/supplier.parquet",
                            columns=["s_suppkey", "s_nationkey"])
-           .take_all()}
+           .take_all(DIM_MAX_ROWS)}
 
     line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                            columns=["l_orderkey", "l_partkey",
@@ -278,13 +279,13 @@ def q_tpch_q11(sf_dir: str):
     fact table. The threshold test is exact integer math
     (value × 1000 > total) — no float division until the output."""
     nat = {r["n_nationkey"]: r["n_regionkey"] for r in
-           rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()}
+           rd.read_parquet(f"{sf_dir}/nation.parquet").take_all(DIM_MAX_ROWS)}
     reg = {r["r_regionkey"]: r["r_name"] for r in
-           rd.read_parquet(f"{sf_dir}/region.parquet").take_all()}
+           rd.read_parquet(f"{sf_dir}/region.parquet").take_all(DIM_MAX_ROWS)}
     sks = sorted(r["s_suppkey"] for r in
                  rd.read_parquet(f"{sf_dir}/supplier.parquet",
                                  columns=["s_suppkey", "s_nationkey"])
-                 .take_all()
+                 .take_all(DIM_MAX_ROWS)
                  if reg[nat[r["s_nationkey"]]] == Q11_REGION)
     sset = pa.array(sks, pa.int64())
 
@@ -355,7 +356,7 @@ def q_tpch_q16(sf_dir: str):
     bad = sorted(r["s_suppkey"] for r in
                  rd.read_parquet(f"{sf_dir}/supplier.parquet",
                                  columns=["s_suppkey", "s_acctbal"])
-                 .take_all() if r["s_acctbal"] < 0)
+                 .take_all(DIM_MAX_ROWS) if r["s_acctbal"] < 0)
     bad_set = pa.array(bad, pa.int64())
 
     part = rd.read_parquet(f"{sf_dir}/part.parquet",
@@ -464,7 +465,7 @@ def q_tpch_q20(sf_dir: str):
 
     sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
                           columns=["s_suppkey", "s_name"])
-    names = sorted(r["s_name"] for r in sup.take_all()
+    names = sorted(r["s_name"] for r in sup.take_all(DIM_MAX_ROWS)
                    if r["s_suppkey"] in winners)
     return pa.table({"s_name": pa.array(names, pa.string())})
 
@@ -576,7 +577,7 @@ def q_tpch_q21(sf_dir: str):
     names = {r["s_suppkey"]: r["s_name"] for r in
              rd.read_parquet(f"{sf_dir}/supplier.parquet",
                              columns=["s_suppkey", "s_name"])
-             .take_all() if r["s_suppkey"] in counts}
+             .take_all(DIM_MAX_ROWS) if r["s_suppkey"] in counts}
     ks = sorted(counts, key=lambda k: (-counts[k], names[k]))[:Q21_TOPK]
     return pa.table({
         "s_name": pa.array([names[k] for k in ks], pa.string()),
