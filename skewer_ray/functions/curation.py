@@ -555,16 +555,17 @@ def curate_docs(docs_ds, p: float = QUALITY_P, scale: int = QUALITY_SCALE,
                    .select(["doc_id", "lang", "text_hash"]),
         batch_format="pyarrow")
 
-    # stage 3: first-per-content-hash among survivors
+    # stage 3: first-per-content-hash among survivors — pure Arrow:
+    # min-doc_id per hash, then a membership filter (doc_id is unique,
+    # so the winner set IS the kept-row set)
     def keep_min(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-        df = batch.to_pandas()
-        if df.empty:
+        if batch.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "lang": pa.array([], pa.string())})
-        rows = df.loc[df.groupby("text_hash", sort=False)["doc_id"].idxmin()]
-        return pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
-                         "lang": pa.array(rows["lang"], pa.string())})
+        g = batch.group_by(["text_hash"]).aggregate([("doc_id", "min")])
+        keep = pc.is_in(batch["doc_id"],
+                        value_set=g["doc_id_min"].combine_chunks())
+        return batch.filter(keep).select(["doc_id", "lang"])
 
     deduped = grouped_by_bucket(gated, keep_min, key="text_hash",
                                 coalesce=False).materialize()

@@ -562,13 +562,11 @@ def q_tool_cooccurrence(sf_dir: str):
     """Market-basket affinity: for every unordered tool pair, the
     number of conversations that used BOTH. ONE conv-keyed bucket
     exchange of the distinct (conv, tool) projection; the in-bucket
-    pair expansion is a vectorized pandas self-merge bounded by
-    outdeg² ≤ 15² per conversation, and partials live on the ≤ C(15,2)
-    pair domain, so the driver merge is tiny at any corpus size."""
-    import pandas as pd
-
+    pair expansion is a segmented numpy sweep (bounded by outdeg ≤ 15
+    per conversation), and partials live on the ≤ C(15,2) pair domain,
+    so the driver merge is tiny at any corpus size."""
     from ..functions.graph import prune_tool_edges
-    from ..stages.buckets import grouped_by_bucket
+    from ..stages.buckets import grouped_by_bucket, run_starts
     ds = read_transcripts(sf_dir)
 
     empty = pa.table({"tool_a": pa.array([], pa.string()),
@@ -576,19 +574,34 @@ def q_tool_cooccurrence(sf_dir: str):
                       "n": pa.array([], pa.int64())})
 
     def per_bucket(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().drop_duplicates(["conv_id", "tool"])
-        if df.empty:
+        # distinct (conv, tool), sorted so convs form runs and tools
+        # are ascending within a run — all Arrow/numpy, no pandas
+        d = batch.group_by(["conv_id", "tool"]).aggregate([])
+        d = d.take(pc.sort_indices(
+            d, sort_keys=[("conv_id", "ascending"), ("tool", "ascending")]))
+        n = d.num_rows
+        if n == 0:
             return empty
-        m = df.merge(df, on="conv_id")
-        m = m[m["tool_x"] < m["tool_y"]]
-        if m.empty:
+        conv = d["conv_id"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(run_starts(conv))
+        cnt = np.diff(np.append(starts, n))
+        # row i pairs with the (cnt-1-local_i) later rows of its run
+        local = np.arange(n) - np.repeat(starts, cnt)
+        partners = np.repeat(cnt, cnt) - 1 - local
+        total = int(partners.sum())
+        if total == 0:
             return empty
-        agg = (m.groupby(["tool_x", "tool_y"], sort=False)
-               .size().reset_index(name="n"))
-        return pa.table({"tool_a": pa.array(agg["tool_x"], pa.string()),
-                         "tool_b": pa.array(agg["tool_y"], pa.string()),
-                         "n": pa.array(agg["n"].astype("int64"),
-                                       pa.int64())})
+        left = np.repeat(np.arange(n), partners)
+        seg0 = np.cumsum(partners) - partners  # pair-seg starts per row
+        right = left + 1 + np.arange(total) - np.repeat(seg0, partners)
+        tools = d["tool"].combine_chunks()
+        pairs = pa.table({"tool_a": tools.take(pa.array(left)),
+                          "tool_b": tools.take(pa.array(right))})
+        agg = pairs.group_by(["tool_a", "tool_b"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"tool_a": agg["tool_a"],
+                         "tool_b": agg["tool_b"],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
 
     acc: dict[tuple, int] = {}
     for b in grouped_by_bucket(
