@@ -44,7 +44,11 @@ def main(argv=None):
                      help="output dir (required unless --test)")
     run.add_argument("--config", default=None,
                      help="skewer-style TOML pipeline config "
-                          "(toml_config.config_from_toml)")
+                          "(toml_config.config_from_toml). TRUSTED "
+                          "INPUT: hook sources in the file execute as "
+                          "Python in-process (restricted builtins, but "
+                          "not a sandbox) — only load operator-owned "
+                          "configs")
     run.add_argument("--resume", action="store_true",
                      help="partitioned run with lineage manifests; "
                           "skips partitions already recorded done")

@@ -260,14 +260,20 @@ def encode_avro_str(rec: dict) -> str | None:
     return None if b is None else b.decode("latin-1")
 
 
-def frame_octet(payload: str) -> str:
+# Encoders whose string output carries raw bytes latin-1-mapped (one
+# codepoint per byte); wire lengths for these count CODEPOINTS, not
+# UTF-8 storage bytes (ADVICE r02 fanout finding).
+BINARY_ENCODERS = frozenset({"protobuf", "avro"})
+
+
+def frame_octet(payload: str, binary: bool = False) -> str:
     """TcpOctetEncode (encoders/encoder.go:139-157): ``<len> <data>``
-    with len = wire BYTE length (utf-8 for text encoders; latin-1-carried
-    binary is 1 byte per char, so ``len(payload.encode("utf-8"))`` is
-    correct only for text — binary payloads use frame_octet_bytes)."""
+    with len = wire BYTE length: utf-8 bytes for text encoders;
+    codepoints (= latin-1-carried raw bytes) when ``binary``."""
     if not payload:
         return ""
-    return f"{len(payload.encode('utf-8'))} {payload}"
+    n = len(payload) if binary else len(payload.encode("utf-8"))
+    return f"{n} {payload}"
 
 
 def frame_octet_bytes(data: bytes) -> bytes:
@@ -276,12 +282,15 @@ def frame_octet_bytes(data: bytes) -> bytes:
     return str(len(data)).encode() + b" " + data
 
 
-def frame_relp(txnr: int, command: str, payload: str) -> str:
+def frame_relp(txnr: int, command: str, payload: str,
+               binary: bool = False) -> str:
     """RELPEncode (encoders/encoder.go:159-178):
-    ``<txnr> <command> <len> <data>\\n``; empty payload → len 0, no data."""
+    ``<txnr> <command> <len> <data>\\n``; empty payload → len 0, no
+    data. ``binary`` as in frame_octet."""
     if not payload:
         return f"{txnr} {command} 0\n"
-    return f"{txnr} {command} {len(payload.encode('utf-8'))} {payload}\n"
+    n = len(payload) if binary else len(payload.encode("utf-8"))
+    return f"{txnr} {command} {n} {payload}\n"
 
 
 ENCODERS = {

@@ -50,20 +50,31 @@ def _render_unique(col, fn) -> pa.Array:
     return pc.take(pa.array(vals, pa.string()), d.indices)
 
 
+def _floor_sec(ns_col):
+    """int64 UnixNano → whole seconds with FLOOR division, matching the
+    per-row encoders' Python ``ns // 1e9`` (ADVICE r02: pc.divide
+    truncates toward zero, so a pre-1970 timestamp — reachable via
+    e.g. 1969-12-31T23:59:59Z input — would render one second late)."""
+    trunc = pc.divide(ns_col, _NS)
+    rem = pc.subtract(ns_col, pc.multiply(trunc, _NS))
+    adj = pc.and_(pc.less(ns_col, 0), pc.not_equal(rem, 0))
+    return pc.subtract(trunc, pc.cast(adj, pa.int64()))
+
+
 def ts_rfc3339(ns_col) -> pa.Array:
     """int64 UnixNano → 'YYYY-MM-DDTHH:MM:SSZ' (whole seconds)."""
-    ts = pc.cast(pc.divide(ns_col, _NS), pa.timestamp("s"))
+    ts = pc.cast(_floor_sec(ns_col), pa.timestamp("s"))
     return pc.strftime(ts, format="%Y-%m-%dT%H:%M:%SZ")
 
 
 def ts_date(ns_col) -> pa.Array:
-    ts = pc.cast(pc.divide(ns_col, _NS), pa.timestamp("s"))
+    ts = pc.cast(_floor_sec(ns_col), pa.timestamp("s"))
     return pc.strftime(ts, format="%Y-%m-%d")
 
 
 def _ts_stamp(ns_col) -> pa.Array:
     """Go time.Stamp 'Jan _2 15:04:05' (space-padded day = %e)."""
-    ts = pc.cast(pc.divide(ns_col, _NS), pa.timestamp("s"))
+    ts = pc.cast(_floor_sec(ns_col), pa.timestamp("s"))
     return pc.strftime(ts, format="%b %e %H:%M:%S")
 
 

@@ -50,8 +50,9 @@ def host_pseudonym(h: str) -> str:
 
 
 def pseudonymize_hosts(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """hostname → 'h-' + md5(hostname)[:8], md5 computed once per
-    distinct value via dictionary encoding."""
+    """hostname → 'h-' + md5(hostname)[:16] (64-bit form, see
+    host_pseudonym), md5 computed once per distinct value via
+    dictionary encoding."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     d = col.dictionary_encode()

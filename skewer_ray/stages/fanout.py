@@ -29,7 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import SinkConfig, render_template
-from ..encoders import get_encoder, rfc3339_from_ns
+from ..encoders import BINARY_ENCODERS, get_encoder, rfc3339_from_ns
 from ..encoders.vectorized import encode_batch, ts_date
 
 _KEEP = ["uid", "conv_id", "turn_idx", "sub_idx", "topic",
@@ -138,13 +138,23 @@ class FanoutEncodeStage:
         return pa.table(cols)
 
     @staticmethod
-    def _frame(framing: str, enc_arr, sub: pa.Table):
+    def _frame(framing: str, enc_arr, sub: pa.Table,
+               encoder: str = "rfc5424"):
         """Vectorized wire framing of the encoded payload (nulls =
         PermError propagate). Octet: '<len> <data>'; RELP:
         '<txnr> syslog <len> <data>\\n' with deterministic
         txnr = turn_idx (the per-connection counter has no meaning in a
-        batch re-run; ordering lineage lives in uid/manifests)."""
-        nbytes = pc.cast(pc.binary_length(enc_arr), pa.string())
+        batch re-run; ordering lineage lives in uid/manifests).
+
+        Wire length: text encoders store real UTF-8, so byte length =
+        binary_length; binary encoders (protobuf/avro) carry raw bytes
+        latin-1-mapped — one CODEPOINT per byte — so their wire length
+        is utf8_length (ADVICE r02: binary_length would double-count
+        chars ≥ 0x80 and emit invalid octet counts)."""
+        if encoder in BINARY_ENCODERS:
+            nbytes = pc.cast(pc.utf8_length(enc_arr), pa.string())
+        else:
+            nbytes = pc.cast(pc.binary_length(enc_arr), pa.string())
         empty = pc.equal(enc_arr, "")
         if framing == "octet":
             # empty payload frames to nothing (encoder.go:148-151)
@@ -202,7 +212,7 @@ class FanoutEncodeStage:
                     enc_arr = pa.array([encode(r) for r in recs],
                                        pa.string())
                 if s.framing:
-                    enc_arr = self._frame(s.framing, enc_arr, sub)
+                    enc_arr = self._frame(s.framing, enc_arr, sub, s.encoder)
                 if s.kind == "kafka":
                     route_vals = topics
                 elif s.kind == "file":

@@ -99,9 +99,28 @@ def compile_hook_source(src: str, fn_name: str):
     """exec user source; return the named function. The namespace
     provides the reference's ambient API (FILTER enum,
     NewEmptySyslogMessage — returning an attribute-style message so the
-    reference's ``m.Appname = ...`` idiom works verbatim)."""
+    reference's ``m.Appname = ...`` idiom works verbatim).
+
+    TRUST BOUNDARY (ADVICE r02): the reference runs hooks inside an
+    embedded JS VM; here they are Python executed in-process, so a
+    config file is CODE and must only come from the operator (the CLI
+    --config docs state this). Builtins are restricted to a small
+    allowlist — enough for field logic, excluding import/open/eval-type
+    escape hatches. This narrows accidents, not a determined attacker:
+    do not load untrusted configs."""
+    import builtins
+    _ALLOWED_BUILTINS = {
+        n: getattr(builtins, n) for n in (
+            "abs", "all", "any", "bool", "dict", "divmod", "enumerate",
+            "filter", "float", "format", "frozenset", "hash", "int",
+            "isinstance", "len", "list", "map", "max", "min", "range",
+            "repr", "reversed", "round", "set", "sorted", "str", "sum",
+            "tuple", "zip", "ValueError", "KeyError", "TypeError",
+            "Exception", "True", "False", "None")
+        if hasattr(builtins, n)}
     env = {"FILTER": _FILTER_ENUM,
-           "NewEmptySyslogMessage": lambda: _Msg(_empty_rec())}
+           "NewEmptySyslogMessage": lambda: _Msg(_empty_rec()),
+           "__builtins__": _ALLOWED_BUILTINS}
     exec(compile(src, f"<{fn_name}>", "exec"), env)
     fn = env.get(fn_name)
     if not callable(fn):

@@ -179,6 +179,11 @@ def test_vectorized_encoders_match_per_row():
         rec(message="unicode é 世界"),
         rec(time_reported=TS + 123_456_789),           # fractional secs
         rec(time_reported=jan2, time_generated=jan2),
+        # pre-1970: floor vs truncate division differ (ADVICE r02) —
+        # 1969-12-31T23:59:59Z minus 0.5s must stay :58, not :59
+        rec(time_reported=-1_500_000_000,
+            time_generated=-1_500_000_000),
+        rec(time_reported=-10**9, time_generated=-10**9),  # exact -1s
         rec(procid="  99  ", hostname="   "),
         rec(priority=191, facility=23, severity=7),
         rec(facility=99, severity=9),                  # out-of-range names
@@ -270,6 +275,23 @@ def test_framing_encoders():
     enc2 = pa.array(["x", None], pa.string())
     assert FanoutEncodeStage._frame("octet", enc2, sub).to_pylist() == \
         ["1 x", None]
+
+    # BINARY encoders carry latin-1 bytes: the octet count is the raw
+    # byte count (codepoints), not the inflated UTF-8 storage length
+    # (ADVICE r02) — round-trip through latin-1 restores a valid frame
+    raw = b"\x08\x96\x01\xff\x80"              # protobuf-ish wire bytes
+    carried = raw.decode("latin-1")
+    sub1 = pa.table({"turn_idx": pa.array([3], pa.int32())})
+    enc3 = pa.array([carried], pa.string())
+    framed = FanoutEncodeStage._frame("octet", enc3, sub1,
+                                      encoder="protobuf").to_pylist()[0]
+    assert framed == f"{len(raw)} {carried}"
+    assert framed.encode("latin-1") == b"5 " + raw
+    assert frame_octet(carried, binary=True) == framed
+    rf = FanoutEncodeStage._frame("relp", enc3, sub1,
+                                  encoder="avro").to_pylist()[0]
+    assert rf == frame_relp(3, "syslog", carried, binary=True)
+    assert rf.encode("latin-1") == b"3 syslog 5 " + raw + b"\n"
 
 
 def test_framed_sink_through_fanout():
