@@ -75,6 +75,14 @@ def main(argv=None):
     comp.add_argument("--out", required=True)
     comp.add_argument("--target-rows", type=int, default=1_000_000)
 
+    prom = sub.add_parser("metrics",
+                          help="render run metrics in Prometheus text "
+                               "format (metrics/metrics.go parity)")
+    prom.add_argument("--out", required=True)
+    prom.add_argument("--write", action="store_true",
+                      help="write metrics/skewer_ray.prom instead of "
+                           "printing")
+
     args = ap.parse_args(argv)
     if args.cmd == "run" and not args.test and not args.out:
         ap.error("run requires --out (unless --test)")
@@ -83,6 +91,14 @@ def main(argv=None):
         path = os.path.join(args.out, "metrics", "sink_counts.json")
         with open(path) as fh:
             print(json.dumps(json.load(fh), indent=1))
+        return 0
+
+    if args.cmd == "metrics":
+        from .metrics_export import render_prometheus, write_prometheus
+        if args.write:
+            print(write_prometheus(args.out))
+        else:
+            print(render_prometheus(args.out), end="")
         return 0
 
     if args.cmd == "compact":

@@ -45,25 +45,21 @@ def _query_matrix(emb_ds, query_ids: list[int], normalize: bool = True):
     return ids, (_norm_rows(mat) if normalize else mat)
 
 
-def _merge_topk(partials_ds, k: int, score_col: str = "cosine",
-                score_type: type = float):
-    """Final top-k merge of the per-block partial candidate rows — THE
-    shared deterministic merge rule ((score DESC, vec_id ASC), ranks
-    1..k) for every top-k operator, float-cosine or integer-score.
+# above this many partial rows the final merge moves off the driver
+# into a query_id-bucketed reduce (tree-reduce tail; VERDICT r02 #5:
+# at ~10⁶ blocks × 100s of queries × k the driver pull is multi-GB)
+MERGE_DRIVER_MAX_ROWS = 1 << 18
 
-    The partial set is BOUNDED by construction (≤ n_blocks × n_queries
-    × k rows — the classic tree-reduce tail), so a driver-side
-    vectorized merge is scale-safe and avoids shuffling a tiny table
-    through a sort (whose empty range partitions pollute logs with
-    schema warnings). Returns a Dataset for a uniform query surface."""
-    import ray.data as rd
 
+def _topk_finalize(tbl: pa.Table, k: int, score_col: str,
+                   score_type: type) -> pa.Table:
+    """THE shared deterministic merge rule ((score DESC, vec_id ASC),
+    ranks 1..k per query), vectorized over any number of queries."""
     np_type = np.float64 if score_type is float else np.int64
     pa_type = pa.float64() if score_type is float else pa.int64()
-    rows = partials_ds.take_all()
-    q = np.array([r["query_id"] for r in rows], dtype=np.int64)
-    v = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    s = np.array([r[score_col] for r in rows], dtype=np_type)
+    q = np.asarray(tbl["query_id"].to_pylist(), dtype=np.int64)
+    v = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    s = np.asarray(tbl[score_col].to_pylist(), dtype=np_type)
     q_out, r_out, v_out, s_out = [], [], [], []
     for qid in np.unique(q):
         m = q == qid
@@ -72,12 +68,48 @@ def _merge_topk(partials_ds, k: int, score_col: str = "cosine",
         r_out.extend(range(1, len(idx) + 1))
         v_out.extend(int(x) for x in v[m][idx])
         s_out.extend(score_type(x) for x in s[m][idx])
-    return rd.from_arrow(pa.table({
+    return pa.table({
         "query_id": pa.array(q_out, pa.int64()),
         "rank": pa.array(r_out, pa.int64()),
         "vec_id": pa.array(v_out, pa.int64()),
         score_col: pa.array(s_out, pa_type),
-    }))
+    })
+
+
+def _merge_topk(partials_ds, k: int, score_col: str = "cosine",
+                score_type: type = float):
+    """Final top-k merge of the per-block partial candidate rows.
+
+    The partial set is the classic tree-reduce tail (≤ n_blocks ×
+    n_queries × k rows). Small tails (≤ MERGE_DRIVER_MAX_ROWS, checked
+    by bounded streaming) merge on the driver — no extra exchange, no
+    empty-range-partition log noise. Bigger tails take the distributed
+    path: hash-bucket by query_id (every candidate of a query lands in
+    ONE bucket) and apply the identical finalize rule per bucket —
+    removing the driver ceiling at any block count. Both paths share
+    ``_topk_finalize``, and parity is pinned in tests/test_corpus.py.
+    Returns a Dataset for a uniform query surface."""
+    import ray.data as rd
+
+    from ..pipelines.analytics import _bounded_batches
+    parts = _bounded_batches(partials_ds, MERGE_DRIVER_MAX_ROWS)
+    if parts is not None:
+        np_type = np.float64 if score_type is float else np.int64
+        if not parts:
+            parts = [pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                score_col: pa.array([], pa.from_numpy_dtype(np_type))})]
+        tbl = pa.concat_tables(parts, promote_options="default")
+        return rd.from_arrow(_topk_finalize(tbl, k, score_col, score_type))
+
+    from ..stages.buckets import grouped_by_bucket
+
+    def bucket_final(batch: pa.Table) -> pa.Table:
+        return _topk_finalize(batch, k, score_col, score_type)
+
+    return grouped_by_bucket(partials_ds, bucket_final, key="query_id",
+                             coalesce=False)
 
 
 def brute_force_topk(emb_ds, query_ids: list[int], k: int = DEFAULT_K):

@@ -25,6 +25,14 @@ Mapping:
 - network/TLS/store tuning keys are accepted and ignored (socket wire
   concerns replaced by Ray Data sources/sinks); they are recorded in
   ``PipelineConfig`` extras for inspection.
+- dynamic reload (SIGHUP / Consul watch, cmd/serve.go:788-827,
+  consul/dynamicconf.go): a batch engine's equivalent is re-planning —
+  configs are parsed per run, every stage derives from the
+  ``PipelineConfig`` value, and nothing caches across runs keyed on
+  anything but the config hash (decoders' parser cache), so "reload" =
+  rerun with the new file; resumable runs (state/manifest) skip
+  partitions already done under the OLD config by design — delete the
+  manifests to force reprocessing under the new one.
 """
 
 from __future__ import annotations

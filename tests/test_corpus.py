@@ -689,3 +689,20 @@ def test_dup_span_fraction_vs_bruteforce(ray_session):
         assert got[d] == (len(sh), n_shared,
                           n_shared * 1_000_000 // len(sh))
     assert any(v[2] > 500_000 for v in got.values())  # planted dups
+
+
+def test_merge_topk_distributed_path_parity(ray_session, monkeypatch):
+    """Forcing the tree-reduce tail over the driver threshold exercises
+    the query_id-bucketed distributed merge; results must be identical
+    to the driver merge (shared _topk_finalize rule)."""
+    import skewer_ray.functions.similarity as sim
+    from skewer_ray.pipelines.corpus import q_ann_topk
+
+    def rows(ds):
+        return sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+                      for r in ds.take_all())
+
+    fast = rows(q_ann_topk(SF))
+    monkeypatch.setattr(sim, "MERGE_DRIVER_MAX_ROWS", 0)
+    slow = rows(q_ann_topk(SF))
+    assert fast == slow and len(fast) > 0

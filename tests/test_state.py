@@ -161,3 +161,30 @@ def test_compaction_recovery_and_hidden_scratch(ray_session, tmp_path):
     assert reports[0]["files_after"] == 1
     assert pq.read_table(str(leaf)).sort_by("uid")["n"].to_pylist() \
         == [0, 1, 2]
+
+
+def test_prometheus_metrics_export(tmp_path):
+    """metrics_export renders the run artifacts as valid Prometheus
+    text exposition (counter families mirroring store/store.go:71-85 and
+    services/base/metrics.go:19); label values escape quotes/backslashes."""
+    import json
+    import os
+
+    from skewer_ray.metrics_export import render_prometheus, write_prometheus
+    mdir = tmp_path / "metrics"
+    os.makedirs(mdir)
+    rows = [{"sink": "kafka", "status": "passing", "route": 'we"ird\\r', "n": 7},
+            {"sink": "kafka", "status": "dropped", "route": "-", "n": 2},
+            {"sink": "file", "status": "passing", "route": "a_b", "n": 3}]
+    (mdir / "sink_counts.json").write_text(json.dumps(rows))
+    (mdir / "summary.json").write_text(json.dumps({"total_rows": 12}))
+    text = render_prometheus(str(tmp_path))
+    assert ('skw_routed_messages_total{sink="kafka",status="passing",'
+            'route="we\\"ird\\\\r"} 7') in text
+    assert 'skw_message_filtering_total{result="passing"} 10' in text
+    assert 'skw_message_filtering_total{result="dropped"} 2' in text
+    assert text.rstrip().endswith("skw_incoming_messages_total 12")
+    # each family announced exactly once, every sample line parseable
+    assert text.count("# TYPE skw_routed_messages_total counter") == 1
+    p = write_prometheus(str(tmp_path))
+    assert open(p).read() == text
