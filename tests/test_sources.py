@@ -150,3 +150,61 @@ def test_gelf_chunk_reassembly(ray_session):
     cfg = DecoderConfig(format="gelf")
     get_decoder(cfg)(sorted(texts), [0], b, cfg)
     assert b.parse_ok == [True] and b.message == ["chunked hello"]
+
+
+def test_tcp_socket_source_framing_parity():
+    """Real TCP connections → per-connection auto-detected framing
+    (tcp.go:273-334): an LF-framed syslog stream and an octet-counted
+    stream produce exactly the frames the batch splitter yields, one
+    conv per connection."""
+    import socket
+
+    from skewer_ray.sources.rawlog import split_frames
+    from skewer_ray.sources.sockets import TcpLineSource, serve_in_thread
+
+    src = TcpLineSource()
+    th, out = serve_in_thread(src.collect, 2)
+
+    lf_stream = b"<13>one\n<14>two\n\n  <15>three\n"
+    c1 = socket.create_connection(src.address)
+    c1.sendall(lf_stream)
+    c1.close()
+    oc_stream = b"7 <13>abc11 <14>de fg h"
+    c2 = socket.create_connection(src.address)
+    c2.sendall(oc_stream)
+    c2.close()
+    th.join(timeout=10)
+    src.close()
+    tbl = out[0]
+
+    by_conv: dict[str, list[str]] = {}
+    for r in tbl.to_pylist():
+        by_conv.setdefault(r["conv_id"], []).append(r["text"])
+    assert by_conv["tcp-0"] == [f.decode() for f in split_frames(lf_stream)]
+    assert by_conv["tcp-0"] == ["<13>one", "<14>two", "  <15>three"]
+    assert by_conv["tcp-1"] == ["<13>abc", "<14>de fg h"]
+    # rows are pipeline-shaped: same schema as read_raw_log_lines
+    assert tbl.column_names == ["conv_id", "turn_idx", "role", "text",
+                                "tool", "ts"]
+
+
+def test_udp_socket_source_datagram_per_message():
+    """One datagram = one message (udp.go); sender address keys the
+    stream."""
+    import socket
+
+    from skewer_ray.sources.sockets import UdpDatagramSource, serve_in_thread
+
+    src = UdpDatagramSource()
+    th, out = serve_in_thread(src.collect, 3)
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    for msg in (b"<13>a\n", b"<14>b", b"<15>c  "):
+        s.sendto(msg, src.address)
+    th.join(timeout=10)
+    src.close()
+    s.close()
+    rows = out[0].to_pylist()
+    assert [r["text"] for r in rows] == ["<13>a", "<14>b", "<15>c"]
+    assert [r["turn_idx"] for r in rows] == [0, 1, 2]
+    assert len({r["conv_id"] for r in rows}) == 1
