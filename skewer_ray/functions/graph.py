@@ -59,22 +59,35 @@ def pagerank_tool_mass(ds):
     from ..stages.buckets import grouped_by_bucket
 
     def per_bucket(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-        df = batch.to_pandas().drop_duplicates(["conv_id", "tool"])
-        deg = df.groupby("conv_id", sort=False)["tool"].transform("size")
-        if len(deg) and int(deg.max()) > MAX_OUTDEG:
+        # pure Arrow/numpy: distinct (conv, tool) edges, per-conv outdeg
+        # via a grouped count joined back positionally (rows sorted by
+        # conv so each conv's edges form one run)
+        d = batch.group_by(["conv_id", "tool"]).aggregate([])
+        d = d.take(pa.compute.sort_indices(
+            d, sort_keys=[("conv_id", "ascending"), ("tool", "ascending")]))
+        n = d.num_rows
+        if n == 0:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "in_mass": pa.array([], pa.int64()),
+                             "n_sources": pa.array([], pa.int64())})
+        from ..stages.buckets import run_starts
+        conv = d["conv_id"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(run_starts(conv))
+        cnt = np.diff(np.append(starts, n))
+        deg = np.repeat(cnt, cnt)
+        if int(deg.max()) > MAX_OUTDEG:
             raise ValueError(
                 f"outdeg {int(deg.max())} > {MAX_OUTDEG}: raise MASS_UNIT "
                 "to the lcm of the new degree bound")
-        share = MASS_UNIT // deg.to_numpy(np.int64) if len(deg) else \
-            np.empty(0, np.int64)
-        out = (pd.DataFrame({"node": df["tool"].to_numpy(),
-                             "in_mass": share,
-                             "n_sources": np.ones(len(df), np.int64)})
-               .groupby("node", sort=False).sum().reset_index())
-        return pa.table({"node": pa.array(out["node"], pa.string()),
-                         "in_mass": pa.array(out["in_mass"], pa.int64()),
-                         "n_sources": pa.array(out["n_sources"], pa.int64())})
+        share = MASS_UNIT // deg
+        t = pa.table({"node": d["tool"],
+                      "in_mass": pa.array(share, pa.int64()),
+                      "n_sources": pa.array(np.ones(n, np.int64))})
+        g = t.group_by(["node"]).aggregate(
+            [("in_mass", "sum"), ("n_sources", "sum")])
+        return pa.table({"node": g["node"],
+                         "in_mass": g["in_mass_sum"],
+                         "n_sources": g["n_sources_sum"]})
 
     partials = grouped_by_bucket(
         ds.map_batches(prune_tool_edges, batch_format="pyarrow"),
