@@ -109,3 +109,37 @@ def test_media_synth_decodes_to_closed_form():
             assert (r["height"], r["width"]) == f0.shape
             assert r["px_sum"] == int(f0.sum())
             assert r["duration_ms"] == video_frame_count(d) * 100
+
+
+def test_png_roundtrip_property():
+    """Property: ANY uint8 image (grey or RGB, 1..40 × 1..40)
+    round-trips bit-exactly through encode/decode across all five
+    filter types."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40),
+           st.sampled_from([1, 3]), st.integers(0, 2**32 - 1))
+    def check(h, w, ch, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, 3)
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        out, end = decode_png(encode_png(px))
+        assert end == len(encode_png(px))
+        assert np.array_equal(out, px)
+
+    check()
+
+
+def test_wav_roundtrip_property():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(0, 5000), st.integers(0, 2**32 - 1))
+    def check(n, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32768, n).astype(np.int16)
+        rate, got = decode_wav(encode_wav(s, 8000))
+        assert rate == 8000 and np.array_equal(got, s)
+
+    check()
