@@ -208,3 +208,85 @@ def test_udp_socket_source_datagram_per_message():
     assert [r["text"] for r in rows] == ["<13>a", "<14>b", "<15>c"]
     assert [r["turn_idx"] for r in rows] == [0, 1, 2]
     assert len({r["conv_id"] for r in rows}) == 1
+
+
+def test_http_source_post_multi_and_single():
+    """Reference HTTP source semantics (httpserver.go:314-410): POST
+    only; multi mode splits on the frame delimiter; single mode takes
+    the trimmed body whole; 201 only after all messages accepted, 400
+    on empty/non-POST."""
+    import urllib.request
+    import urllib.error
+
+    from skewer_ray.sources.httpsource import HttpLogSource
+
+    src = HttpLogSource(frame_delimiter="\n")
+    host, port = src.address
+    url = f"http://{host}:{port}/logs"
+
+    def post(data: bytes):
+        req = urllib.request.Request(url, data=data, method="POST")
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert post(b"<13>one\n<14>two\n\n  <15>three \n") == 201
+    assert post(b"   \n  \n") == 400            # no messages
+    # GET → 400
+    try:
+        with urllib.request.urlopen(url) as resp:
+            got = resp.status
+    except urllib.error.HTTPError as e:
+        got = e.code
+    assert got == 400
+
+    rows = src.rows().to_pylist()
+    src.close()
+    assert [r["text"] for r in rows] == ["<13>one", "<14>two", "<15>three"]
+    assert {r["conv_id"] for r in rows} == {"http-0"}
+
+    single = HttpLogSource(disable_multiple=True)
+    h2, p2 = single.address
+    url2 = f"http://{h2}:{p2}/"
+
+    def post2(data: bytes):
+        req = urllib.request.Request(url2, data=data, method="POST")
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert post2(b"  <13>whole body with \n newline kept-ish  ") == 201
+    assert post2(b"") == 400
+    rows2 = single.rows().to_pylist()
+    single.close()
+    assert len(rows2) == 1   # one message per request in single mode
+    assert rows2[0]["text"] == "<13>whole body with \n newline kept-ish"
+
+
+def test_http_source_custom_delimiter_and_limits():
+    import urllib.request
+    import urllib.error
+
+    from skewer_ray.sources.httpsource import HttpLogSource
+
+    src = HttpLogSource(frame_delimiter="|", max_messages=2)
+    host, port = src.address
+    url = f"http://{host}:{port}/"
+
+    def post(data: bytes):
+        req = urllib.request.Request(url, data=data, method="POST")
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    assert post(b"<13>a| <14>b ") == 201
+    assert post(b"<13>a|<14>b|<15>c") == 400   # too many messages
+    rows = src.rows().to_pylist()
+    src.close()
+    assert [r["text"] for r in rows] == ["<13>a", "<14>b"]
