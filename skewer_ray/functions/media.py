@@ -184,17 +184,20 @@ class FrameSampleStage:
 
 
 def frame_samples(docs_ds, concurrency=2):
-    """documents → synth multimodal table → video-only 1→N frame rows.
+    """documents → video-only synth multimodal table → 1→N frame rows.
 
-    Non-video rows are dropped in a cheap task-pool pre-filter so their
-    payload bytes are never serialized into the actor pool (2/3 of the
-    synthetic corpus — the same pruning rule as windows.py's pre())."""
-    media = docs_ds.map_batches(synth_media_batch, batch_format="pyarrow")
+    Non-video docs are dropped BEFORE the synth stage (doc_id % 3 rule)
+    so their payloads are never even encoded — with real codecs, 2/3 of
+    the corpus's deflate cost would otherwise be pure waste (the same
+    pruning rule as windows.py's pre())."""
+    def only_video_docs(b: pa.Table) -> pa.Table:
+        # doc_id % 3 == 2 → video (MEDIA_TYPES order)
+        ids = pc.cast(b["doc_id"], pa.int64())
+        mod3 = pc.subtract(ids, pc.multiply(pc.divide(ids, 3), 3))
+        return b.filter(pc.equal(mod3, 2))
 
-    def only_video(b: pa.Table) -> pa.Table:
-        return b.filter(pc.equal(b["media_type"], "video"))
-
-    media = media.map_batches(only_video, batch_format="pyarrow")
+    media = docs_ds.map_batches(only_video_docs, batch_format="pyarrow") \
+                   .map_batches(synth_media_batch, batch_format="pyarrow")
     return media.map_batches(FrameSampleStage,
                              concurrency=concurrency,
                              batch_size=MEDIA_BATCH_SIZE,

@@ -156,27 +156,11 @@ def decode_png(data: bytes, offset: int = 0):
     return px, pos
 
 
-def png_stream_count(data: bytes) -> int:
-    """Number of concatenated PNG streams in ``data`` (container probe
-    for the MJPEG-style video payload) — walks chunk lengths, never
-    scans pixel bytes."""
-    n, pos = 0, 0
-    while pos < len(data):
-        if data[pos:pos + 8] != SIGNATURE:
-            raise ValueError("bad frame boundary")
-        pos += 8
-        while True:
-            (length,) = struct.unpack(">I", data[pos:pos + 4])
-            ctype = data[pos + 4:pos + 8]
-            pos += 12 + length
-            if ctype == b"IEND":
-                break
-        n += 1
-    return n
-
-
 def png_frame_offsets(data: bytes) -> list[int]:
-    """Byte offset of each concatenated PNG frame (container index)."""
+    """Byte offset of each concatenated PNG frame (container index for
+    the MJPEG-style video payload) — walks chunk lengths, never scans
+    pixel bytes. Truncated or corrupt containers raise ValueError (the
+    same contract as decode_png)."""
     offs, pos = [], 0
     while pos < len(data):
         if data[pos:pos + 8] != SIGNATURE:
@@ -184,12 +168,21 @@ def png_frame_offsets(data: bytes) -> list[int]:
         offs.append(pos)
         pos += 8
         while True:
+            if pos + 8 > len(data):
+                raise ValueError("truncated PNG container")
             (length,) = struct.unpack(">I", data[pos:pos + 4])
             ctype = data[pos + 4:pos + 8]
             pos += 12 + length
+            if pos > len(data):
+                raise ValueError("truncated PNG container")
             if ctype == b"IEND":
                 break
     return offs
+
+
+def png_stream_count(data: bytes) -> int:
+    """Number of concatenated PNG streams (container probe)."""
+    return len(png_frame_offsets(data))
 
 
 # ---------------------------------------------------------------------------

@@ -37,10 +37,12 @@ def render_prometheus(out_dir: str) -> str:
         "# TYPE skw_routed_messages_total counter",
     ]
     for r in rows:
+        # the resumable-run path (state/manifest.py) writes
+        # (sink, status, n) without a route column — default it
         lines.append(
             'skw_routed_messages_total{sink="%s",status="%s",route="%s"} %d'
-            % (_esc(r["sink"]), _esc(r["status"]), _esc(r["route"]),
-               int(r["n"])))
+            % (_esc(r["sink"]), _esc(r["status"]),
+               _esc(str(r.get("route", "-"))), int(r["n"])))
 
     # per-status rollup mirrors skw_message_filtering_total's result label
     by_status: dict[str, int] = {}

@@ -55,8 +55,10 @@ class HttpLogSource:
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                 except ValueError:
-                    length = 0
-                if length > max_body:
+                    length = -1
+                # negative Content-Length would make read(-1) block
+                # until client EOF with no size bound — reject it too
+                if not 0 <= length <= max_body:
                     self.send_response(400)
                     self.end_headers()
                     return

@@ -67,10 +67,15 @@ class RelpStreamParser:
         dl_end = 0
         while dl_end < len(rest) and rest[dl_end:dl_end + 1].isdigit():
             dl_end += 1
-        if dl_end == 0 or dl_end == len(rest):
+        if dl_end == 0:
+            if rest:  # first byte present and not a digit → malformed,
+                # raise instead of waiting forever for "more" bytes
+                raise RelpParseError(f"bad datalen start {rest[:1]!r}")
+            return None
+        if dl_end == len(rest):
             if dl_end > 10:
                 raise RelpParseError("bad datalen")
-            return None
+            return None  # digits may continue in the next chunk
         datalen = int(rest[:dl_end])
         if datalen > self.max_data:
             raise RelpParseError(f"frame too large: {datalen}")

@@ -144,3 +144,16 @@ def test_relp_end_to_end_socket_ordered_acks(seed):
     for txnr, status in sys_acks:
         assert status == (500 if txnr in bad else 200), txnr
     assert resp.endswith(b"0 serverclose 0\n")
+
+
+def test_stream_parser_bad_datalen_raises_not_stalls():
+    """A non-digit DATALEN must raise immediately — the old behavior
+    returned None ('need more bytes') and permanently stalled the
+    connection with an unbounded buffer (code-review r03 finding)."""
+    p = RelpStreamParser()
+    with pytest.raises(RelpParseError):
+        p.feed(b"1 syslog x hello\n2 syslog 3 abc\n")
+    # a fresh parser still handles the valid follow-on frame fine
+    p2 = RelpStreamParser()
+    frames = p2.feed(b"2 syslog 3 abc\n")
+    assert [(f.txnr, f.data) for f in frames] == [(2, b"abc")]

@@ -290,3 +290,22 @@ def test_http_source_custom_delimiter_and_limits():
     rows = src.rows().to_pylist()
     src.close()
     assert [r["text"] for r in rows] == ["<13>a", "<14>b"]
+
+
+def test_http_source_rejects_negative_content_length():
+    """Content-Length: -1 must 400 instead of blocking on read(-1)
+    until client EOF (code-review r03 finding)."""
+    import http.client
+
+    from skewer_ray.sources.httpsource import HttpLogSource
+
+    src = HttpLogSource()
+    host, port = src.address
+    conn = http.client.HTTPConnection(host, port, timeout=5)
+    conn.putrequest("POST", "/", skip_accept_encoding=True)
+    conn.putheader("Content-Length", "-1")
+    conn.endheaders()
+    resp = conn.getresponse()
+    assert resp.status == 400
+    conn.close()
+    src.close()

@@ -32,9 +32,13 @@ import importlib
 entry = importlib.import_module("__ray_entry__")
 qs = entry.queries()
 out = {}
+def consume(res):
+    if hasattr(res, "iter_batches"):  # Datasets are lazy — must drain
+        for b in res.iter_batches(batch_format="pyarrow", batch_size=32768):
+            pass
 for name in names:
     fn = qs[name]
-    fn(sf_dir)  # warm pass (spawn workers, touch inputs)
+    consume(fn(sf_dir))  # warm pass (spawn workers, touch inputs)
     t0 = time.perf_counter()
     res = fn(sf_dir)
     if hasattr(res, "iter_batches"):
