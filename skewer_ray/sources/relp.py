@@ -183,7 +183,10 @@ def serve_relp_connection(conn: socket.socket, process,
                 batch.append(fr)
             elif fr.command == "close":
                 flush_batch()
-                conn.sendall(RSP_SERVERCLOSE % fr.txnr)
+                try:
+                    conn.sendall(RSP_SERVERCLOSE % fr.txnr)
+                except OSError:
+                    pass  # client already gone = EOF (relp.go HasFileClosed)
                 return accepted
             else:
                 raise RelpParseError(f"unknown command {fr.command}")
