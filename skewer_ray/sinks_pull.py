@@ -144,3 +144,68 @@ def pull_pages(out_dir: str, sink: str = "store", accept: str = "",
         if encoded:
             yield ctype, _frame(encoded, eff_line, delimiter,
                                 fmt in _BINARY_FMTS)
+
+
+class HttpPullServer:
+    """Real-socket HTTP surface over ``pull_pages`` — the listener the
+    reference's HTTP pull sink runs (store/dests/httpserver.go:36-140):
+    a GET returns the NEXT page of stored messages in the
+    Accept-negotiated (or fixed) format with the reference's
+    content-type rules; an exhausted stream answers 204 No Content.
+    One paging cursor per distinct Accept value (the reference keys its
+    stream on the client connection).
+
+    Tap/test scale — bulk consumers read the parquet store directly.
+    """
+
+    def __init__(self, out_dir: str, sink: str = "store",
+                 n_messages: int = 8192, host: str = "127.0.0.1",
+                 port: int = 0, fmt: str = "", line_framing: bool = True,
+                 delimiter: str = "\n"):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self._iters: dict = {}
+        lock = threading.Lock()
+        srv_self = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                accept = self.headers.get("Accept", "")
+                with lock:
+                    it = srv_self._iters.get(accept)
+                    if it is None:
+                        it = pull_pages(out_dir, sink=sink, accept=accept,
+                                        fmt=fmt, n_messages=n_messages,
+                                        line_framing=line_framing,
+                                        delimiter=delimiter)
+                        srv_self._iters[accept] = it
+                    try:
+                        ctype, body = next(it)
+                    except StopIteration:
+                        self.send_response(204)
+                        self.end_headers()
+                        return
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):  # pull sink is read-only
+                self.send_response(405)
+                self.end_headers()
+
+        self._srv = ThreadingHTTPServer((host, port), Handler)
+        self.address = self._srv.server_address
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+        self._thread.join(timeout=5)

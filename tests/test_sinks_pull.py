@@ -92,3 +92,32 @@ def test_pull_protobuf_octet_frames(written_out):
         pos = sp + 1 + ln
         n += 1
     assert n == 20
+
+
+def test_http_pull_server_live(written_out):
+    """Real GETs against the pull server: Accept-negotiated NDJSON
+    pages until 204; content equals the direct pull_pages output."""
+    import urllib.request
+
+    from skewer_ray.sinks_pull import HttpPullServer
+
+    direct = list(pull_pages(written_out, sink="store",
+                             accept="application/x-ndjson",
+                             n_messages=2000))
+    srv = HttpPullServer(written_out, sink="store", n_messages=2000)
+    host, port = srv.address
+    url = f"http://{host}:{port}/pull"
+    got = []
+    while True:
+        req = urllib.request.Request(
+            url, headers={"Accept": "application/x-ndjson"})
+        with urllib.request.urlopen(req) as resp:
+            if resp.status == 204:
+                break
+            got.append((resp.headers["Content-Type"], resp.read()))
+    srv.close()
+    assert got == direct and len(got) >= 2
+    # every body line is valid JSON (NDJSON contract)
+    for _ct, body in got:
+        for line in body.decode().splitlines():
+            json.loads(line)
