@@ -17,16 +17,31 @@ from typing import Any
 ORACLE_SF = "sf0.01"  # the driver's correctness scale
 
 # The driver samples the FIRST N queries() entries (dict order) for its
-# correctness artifact. These 50 already have green rows in
-# CORRECTNESS_r01/r02.json; rotate them to the BACK so round 3 witnesses
-# the 80 entries the driver has never checked (VERDICT.md "Next round" #1).
-_DRIVER_CHECKED_R02 = (
-    "parse_rfc5424", "parse_rfc3164", "parse_degenerate", "parse_json",
-    "parse_rsyslogjson", "parse_gelf", "parse_influx", "parse_w3c",
-    "parse_ltsv", "parse_custom", "route_topics", "route_partition_keys",
-    "filter_results", "sink_counts", "file_sink_routes", "routed_rows_kafka",
-    "encode_rfc5424", "encode_rfc3164", "enrich_groups", "metrics_incoming",
-    "conv_stats", "incremental_conv_stats", "conv_text", "log_templates",
+# correctness artifact. These 100 already have green rows in
+# CORRECTNESS_r01/r02/r03.json (cumulative union); rotate them to the BACK
+# so round 4 witnesses the 30 entries the driver has never checked
+# (VERDICT.md r03 "Next round" #1) — completing 130/130 driver coverage.
+_DRIVER_CHECKED_R03 = (
+    "dedup_embedding_lsh", "sample_docs", "cap_per_source", "chunk_docs",
+    "pack_sequences", "quality_filter", "rank_docs", "rebalance_mix",
+    "lang_centroid_dist", "inverted_index", "weighted_sample", "bigram_lm",
+    "bloom_decontam", "dup_span_fraction", "distinct_terms_lang",
+    "shard_docs", "ann_range", "knn_classify", "retention_cohorts",
+    "decontaminate", "tfidf_terms", "text_repetition", "distinct_kmv",
+    "ann_topk", "ann_lsh", "ann_ivf", "media_features", "media_frames",
+    "dedup_filtered_docs", "dedup_clusters", "events_tumbling",
+    "events_sessions", "events_asof", "events_range_counts",
+    "events_running", "events_topn", "events_pivot",
+    "users_no_big_purchase", "events_bursts", "events_funnel",
+    "lang_embedding_stats", "source_accounting", "source_journald",
+    "cms_terms", "stratified_sample", "bpe_merges", "embedding_quantize",
+    "snapshot_diff", "pagerank_tools", "sampled_quantiles", "parse_rfc5424",
+    "parse_rfc3164", "parse_degenerate", "parse_json", "parse_rsyslogjson",
+    "parse_gelf", "parse_influx", "parse_w3c", "parse_ltsv", "parse_custom",
+    "route_topics", "route_partition_keys", "filter_results", "sink_counts",
+    "file_sink_routes", "routed_rows_kafka", "encode_rfc5424",
+    "encode_rfc3164", "enrich_groups", "metrics_incoming", "conv_stats",
+    "incremental_conv_stats", "conv_text", "log_templates",
     "merge_multiline", "role_transitions", "trim_context", "turn_latency",
     "gap_hist", "tool_cooccurrence", "conv_skew", "holdout_split",
     "conv_windows", "conv_pattern_dedup", "grok_transcripts",
@@ -38,10 +53,10 @@ _DRIVER_CHECKED_R02 = (
 
 
 def _rotate_unwitnessed_first(full: dict) -> dict:
-    """Unchecked entries first (original relative order), checked 50 last."""
-    checked = set(_DRIVER_CHECKED_R02)
+    """Unchecked entries first (original relative order), checked 100 last."""
+    checked = set(_DRIVER_CHECKED_R03)
     ordered = {k: v for k, v in full.items() if k not in checked}
-    ordered.update({k: full[k] for k in _DRIVER_CHECKED_R02 if k in full})
+    ordered.update({k: full[k] for k in _DRIVER_CHECKED_R03 if k in full})
     return ordered
 
 
