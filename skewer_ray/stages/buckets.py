@@ -29,22 +29,55 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 N_BUCKETS = 512
 
 
+def _str_per_distinct(col) -> pa.Array:
+    """Python ``str()`` of every value, computed once per DISTINCT value
+    (dictionary-encode + take). Nulls render as "None" to match
+    ``str(None)``; the null-bearing path falls back to a plain loop."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        return pa.array([str(v) for v in col.to_pylist()], pa.string())
+    d = pc.dictionary_encode(col)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    mapped = pa.array([str(v) for v in d.dictionary.to_pylist()], pa.string())
+    return mapped.take(d.indices)
+
+
+def _bucket_of(joined: pa.Array, n_buckets: int) -> pa.Array:
+    """crc32 % n_buckets per DISTINCT joined key, broadcast by take."""
+    d = pc.dictionary_encode(joined)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    uniq = np.array(
+        [zlib.crc32(s.encode()) % n_buckets for s in d.dictionary.to_pylist()],
+        dtype=np.int32)
+    idx = d.indices.to_numpy(zero_copy_only=False)
+    return pa.array(uniq[idx], pa.int32())
+
+
 def with_bucket(ds, key="conv_id", n_buckets: int = N_BUCKETS):
     """Append an internal crc32-mod bucket column for ``key`` (one
-    column name or a list — composite keys hash their joined repr)."""
+    column name or a list — composite keys hash their joined repr).
+
+    Vectorized: crc32 runs once per distinct key (dictionary-encode +
+    take — the functions/anonymize.py pattern), not once per row; the
+    bucket values are bit-identical to the historical per-row form
+    ``crc32("\\x1f".join(map(str, key_tuple)))``."""
     keys = [key] if isinstance(key, str) else list(key)
 
     def f(b: pa.Table) -> pa.Table:
-        cols = [b[k].to_pylist() for k in keys]
-        arr = pa.array(
-            [zlib.crc32("\x1f".join(map(str, t)).encode()) % n_buckets
-             for t in zip(*cols)],
-            pa.int32())
-        return b.append_column("bucket", arr)
+        strs = [_str_per_distinct(b[k]) for k in keys]
+        joined = strs[0] if len(strs) == 1 else \
+            pc.binary_join_element_wise(*strs, "\x1f")
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        return b.append_column("bucket", _bucket_of(joined, n_buckets))
 
     return ds.map_batches(f, batch_format="pyarrow")
 

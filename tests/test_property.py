@@ -273,6 +273,39 @@ def test_scrub_and_mask_are_idempotent(s):
     assert mask_templates(pa.array([m1])).to_pylist()[0] == m1
 
 
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.tuples(st.text(max_size=6), st.integers(-5, 5)),
+                min_size=1, max_size=80),
+       st.booleans())
+def test_vectorized_bucket_matches_per_row_crc32(pairs, composite):
+    """The dictionary-encoded bucket kernel is bit-identical to the
+    historical per-row crc32("\\x1f".join(map(str, key_tuple))) form,
+    including composite keys and nulls (str(None) == "None")."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from skewer_ray.stages.buckets import _bucket_of, _str_per_distinct
+
+    tbl = pa.table({
+        "a": pa.array([None if t[0] == "~" else t[0] for t in pairs],
+                      pa.string()),
+        "b": pa.array([t[1] for t in pairs], pa.int64()),
+    })
+    keys = ["a", "b"] if composite else ["a"]
+    strs = [_str_per_distinct(tbl[k]) for k in keys]
+    joined = strs[0] if len(strs) == 1 else \
+        pc.binary_join_element_wise(*strs, "\x1f")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    got = _bucket_of(joined, 512).to_pylist()
+    cols = [tbl[k].to_pylist() for k in keys]
+    want = [zlib.crc32("\x1f".join(map(str, t)).encode()) % 512
+            for t in zip(*cols)]
+    assert got == want
+
+
 @given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
                 min_size=0, max_size=200))
 def test_segmented_cumsum_matches_per_group(pairs):
