@@ -27,10 +27,10 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
 
 
 def _query_matrix(emb_ds, query_ids: list[int], normalize: bool = True):
-    qset = set(int(q) for q in query_ids)
+    qarr = pa.array(sorted(int(q) for q in set(query_ids)), pa.int64())
 
     def pick(batch: pa.Table) -> pa.Table:
-        mask = pa.array([int(v) in qset for v in batch["vec_id"].to_pylist()])
+        mask = pc.is_in(pc.cast(batch["vec_id"], pa.int64()), value_set=qarr)
         return batch.filter(mask)
 
     # project BEFORE the filter so every block (incl. empty ones) carries

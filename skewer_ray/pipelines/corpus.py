@@ -664,12 +664,20 @@ def q_dup_span_fraction(sf_dir: str):
     bucket — no per-span Python calls); one doc-keyed bucket combine
     merges partials with the per-doc totals. A viral span shared by
     every doc costs one row per (span, doc) pair — bounded by the
-    explode size, never quadratic."""
-    from ..stages.buckets import grouped_by_bucket
+    explode size, never quadratic.
+
+    The exchange carries an INT64 hash of each span, not the span
+    string (the same md5[:16] identity hash the MinHash verifier ships,
+    ``dedup._shingle_hash64``): "two docs share a span" over hashes
+    equals the string form barring a ~2⁻⁶⁴ collision, and the
+    span-keyed shuffle shrinks ~5× (K=5 words ≈ 40 B vs 8 B/row)."""
+    from ..functions.dedup import _shingle_hash64
     from ..functions.textstats import norm_words
+    from ..stages.buckets import grouped_by_bucket
 
     def explode(batch: pa.Table) -> pa.Table:
         docs, grams = [], []
+        hcache: dict[str, int] = {}
         for d, t in zip(batch["doc_id"].to_pylist(),
                         batch["text"].to_pylist()):
             ws = norm_words(t)
@@ -678,9 +686,13 @@ def q_dup_span_fraction(sf_dir: str):
             spans = {" ".join(ws[i:i + SPAN_K])
                      for i in range(len(ws) - SPAN_K + 1)}
             docs.extend([d] * len(spans))
-            grams.extend(sorted(spans))
+            for s in spans:
+                h = hcache.get(s)
+                if h is None:
+                    h = hcache[s] = _shingle_hash64(s)
+                grams.append(h)
         return pa.table({"doc_id": pa.array(docs, pa.int64()),
-                         "g": pa.array(grams, pa.string())})
+                         "g": pa.array(grams, pa.int64())})
 
     rows = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
 
@@ -692,7 +704,7 @@ def q_dup_span_fraction(sf_dir: str):
         import pandas as pd
         df = pd.DataFrame({"doc_id": b["doc_id"].to_numpy(
                                zero_copy_only=False),
-                           "g": b["g"].to_pylist()})
+                           "g": b["g"].to_numpy(zero_copy_only=False)})
         nd = df.groupby("g")["doc_id"].nunique()
         shared = df[df["g"].map(nd) >= 2]
         cnt = shared.groupby("doc_id").size()
