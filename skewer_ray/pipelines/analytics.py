@@ -189,6 +189,107 @@ def _gather_attrs(side_ref, batch_keys: np.ndarray):
     return keep, pos_c, tbl
 
 
+def _dim_rows(ds):
+    """Probe-bounded dimension pull (VERDICT r03 #4): stream a dim side
+    to the driver only while it fits the broadcast budget
+    (``BROADCAST_MAX_KEYS``, read at call time so tests can force the
+    fallback path); returns the row dicts, or None once over budget —
+    the caller must then take its hash-exchange fallback instead of
+    failing loudly."""
+    parts = _bounded_batches(ds, BROADCAST_MAX_KEYS)
+    if parts is None:
+        return None
+    return [r for b in parts for r in b.to_pylist()]
+
+
+def _dim_join(fact_ds, dim_ds, fact_key: str, dim_key: str,
+              cols: list[str]):
+    """Repartition (bucket co-group) inner join of a fact side against
+    a UNIQUE-KEYED dim side, attaching ``cols`` (empty → pure
+    semi-join). Both sides cross ONE key-bucket exchange and each
+    bucket joins locally with a vectorized searchsorted gather.
+
+    This replaces ``Dataset.join`` for the over-budget dim fallback
+    because ray.data 2.49's hash join crashes when a hash partition of
+    a small side receives no schema-carrying block (its
+    ArrowBlockBuilder().build() yields a 0-column table and acero then
+    fails FieldRef resolution) — a real hazard for filtered dim sides."""
+    from ..stages.buckets import grouped_by_bucket
+
+    f_sch = fact_ds.schema()
+    f_names, f_types = list(f_sch.names), list(f_sch.types)
+    d_sch = dim_ds.schema()
+    d_types = {n: t for n, t in zip(d_sch.names, d_sch.types)}
+    key_t = f_types[f_names.index(fact_key)]
+
+    def widen_fact(b: pa.Table) -> pa.Table:
+        arrs = [b[n] for n in f_names]
+        arrs += [pa.nulls(b.num_rows, d_types[c]) for c in cols]
+        arrs.append(pa.nulls(b.num_rows, pa.int8()).fill_null(0))
+        return pa.table(arrs, names=f_names + cols + ["__side"])
+
+    def widen_dim(b: pa.Table) -> pa.Table:
+        arrs = []
+        for n, t in zip(f_names, f_types):
+            arrs.append(pc.cast(b[dim_key], key_t) if n == fact_key
+                        else pa.nulls(b.num_rows, t))
+        arrs += [b[c] for c in cols]
+        arrs.append(pa.nulls(b.num_rows, pa.int8()).fill_null(1))
+        return pa.table(arrs, names=f_names + cols + ["__side"])
+
+    u = fact_ds.map_batches(widen_fact, batch_format="pyarrow").union(
+        dim_ds.map_batches(widen_dim, batch_format="pyarrow"))
+
+    def join_group(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        t = t.drop_columns(["__side"])
+        d = t.filter(pa.array(side == 1))
+        f = t.filter(pa.array(side == 0))
+        dkeys = d[fact_key].to_numpy(zero_copy_only=False)
+        order = np.argsort(dkeys, kind="stable")
+        dkeys = dkeys[order]
+        fkeys = f[fact_key].to_numpy(zero_copy_only=False)
+        if len(dkeys) == 0:
+            keep = np.zeros(len(fkeys), dtype=bool)
+            pos_c = keep.astype(np.int64)
+        else:
+            pos = np.searchsorted(dkeys, fkeys)
+            pos_c = np.minimum(pos, len(dkeys) - 1)
+            keep = dkeys[pos_c] == fkeys
+        f = f.filter(pa.array(keep))
+        out = {n: f[n] for n in f_names}
+        sel = pa.array(order[pos_c[keep]] if len(dkeys) else
+                       np.empty(0, np.int64))
+        for c in cols:
+            out[c] = d[c].take(sel)
+        return pa.table(out)
+
+    return grouped_by_bucket(u, join_group, key=fact_key)
+
+
+def _attach_dim(fact_ds, dim_ds, fact_key: str, dim_key: str,
+                cols: list[str]):
+    """Attach dimension attribute columns to a fact Dataset with
+    inner-join semantics (fact rows without a dim match are dropped —
+    so a FILTERED dim side doubles as a semi-join): a broadcast
+    searchsorted gather when the dim fits the budget (no exchange),
+    else a repartition-join exchange (VERDICT r03 #4 — fallback
+    instead of a loud-fail driver pull). ``dim_key`` must be unique in
+    ``dim_ds`` (primary-keyed supplier/part sides)."""
+    side = _broadcast_attr_side(dim_ds, dim_key)
+    if side is not None:
+        def attach(b: pa.Table) -> pa.Table:
+            keep, pos, tbl = _gather_attrs(
+                side, b[fact_key].to_numpy(zero_copy_only=False))
+            b = b.filter(pa.array(keep))
+            sel = pa.array(pos[keep])
+            for c in cols:
+                b = b.append_column(c, tbl[c].take(sel))
+            return b
+        return fact_ds.map_batches(attach, batch_format="pyarrow")
+    return _dim_join(fact_ds, dim_ds, fact_key, dim_key, cols)
+
+
 def q_tpch_q3(sf_dir: str):
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])
@@ -296,20 +397,15 @@ def q_tpch_q3(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_tpch_q5(sf_dir: str):
-    import ray
-
     nation = rd.read_parquet(f"{sf_dir}/nation.parquet").take_all(DIM_MAX_ROWS)
     region = {r["r_regionkey"]: r["r_name"] for r in
               rd.read_parquet(f"{sf_dir}/region.parquet").take_all(DIM_MAX_ROWS)}
     euro = {n["n_nationkey"]: n["n_name"] for n in nation
             if region[n["n_regionkey"]] == Q5_REGION}
-    # supplier→nation: dim broadcast; assumes |supplier| ≪ facts (true
-    # for TPC-H's 1:60 supplier:customer ratio — revisit if not)
-    supp = {s["s_suppkey"]: s["s_nationkey"] for s in
-            rd.read_parquet(f"{sf_dir}/supplier.parquet",
-                            columns=["s_suppkey", "s_nationkey"])
-            .take_all(DIM_MAX_ROWS)}
-    supp_ref = ray.put(supp)
+    # supplier→nation: broadcast gather when supplier fits the budget,
+    # hash-exchange join fallback when it doesn't (VERDICT r03 #4)
+    supp_ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"])
     euro_keys = set(euro)
 
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
@@ -347,13 +443,11 @@ def q_tpch_q5(sf_dir: str):
                      on=("o_custkey",), right_on=("c_custkey",))
     j2 = line.join(j1, "inner", _join_partitions(),
                    on=("l_orderkey",), right_on=("o_orderkey",))
+    j2 = _attach_dim(j2, supp_ds, "l_suppkey", "s_suppkey",
+                     ["s_nationkey"])
 
     def local_only(b: pa.Table) -> pa.Table:
-        from ..functions.decontam import _cached_get
-        sd = _cached_get(supp_ref)  # deserialized once per worker
-        s_nat = np.array([sd.get(k, -1)
-                          for k in b["l_suppkey"].to_pylist()],
-                         dtype=np.int64)
+        s_nat = b["s_nationkey"].to_numpy(zero_copy_only=False)
         c_nat = np.asarray(b["c_nationkey"].to_pylist(), dtype=np.int64)
         b = b.filter(pa.array(s_nat == c_nat))
         return pa.table({"c_nationkey": b["c_nationkey"],

@@ -36,10 +36,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from .analytics import (DIM_MAX_ROWS, ORACLES, QUERIES,
-                        _broadcast_attr_side as _battr, _cents,
-                        _gather_attrs as _gattr, _join_partitions,
-                        _pct, _REV)
+from . import analytics as _an
+from .analytics import (DIM_MAX_ROWS, ORACLES, QUERIES, _attach_dim,
+                        _broadcast_attr_side as _battr,
+                        _broadcast_semi_keys, _cents, _dim_join,
+                        _dim_rows, _gather_attrs as _gattr,
+                        _join_partitions, _pct, _REV)
 
 
 def _broadcast_keys(ds, col: str) -> pa.Array:
@@ -70,8 +72,6 @@ def q_tpch_q2(sf_dir: str):
     aggregate, and a tie-keeping equality filter; supplier/nation
     attributes broadcast (dimension-sized), part attributes fetched by
     is_in for survivors only."""
-    import ray  # noqa: F401
-
     part = rd.read_parquet(f"{sf_dir}/part.parquet",
                            columns=["p_partkey", "p_type", "p_size"])
 
@@ -83,25 +83,46 @@ def q_tpch_q2(sf_dir: str):
     pset = _broadcast_keys(
         part.map_batches(f_part, batch_format="pyarrow"), "p_partkey")
 
-    # EUROPE suppliers: suppkey → (name, acctbal_cents, nation)
+    # EUROPE suppliers with their nation name attached (the 25-row
+    # nation/region dicts render inside the map). The side is used as
+    # a driver dict while it fits the broadcast budget; past it, the
+    # semi-join + attribute fetch both run as a hash-exchange join on
+    # the pair aggregate (VERDICT r03 #4 — fallback, not loud-fail).
     nat = {r["n_nationkey"]: (r["n_name"], r["n_regionkey"]) for r in
            rd.read_parquet(f"{sf_dir}/nation.parquet").take_all(DIM_MAX_ROWS)}
     reg = {r["r_regionkey"]: r["r_name"] for r in
            rd.read_parquet(f"{sf_dir}/region.parquet").take_all(DIM_MAX_ROWS)}
-    sup = {}
-    for r in rd.read_parquet(f"{sf_dir}/supplier.parquet").take_all(DIM_MAX_ROWS):
-        n_name, rkey = nat[r["s_nationkey"]]
-        if reg[rkey] == Q2_REGION:
-            sup[r["s_suppkey"]] = (r["s_name"], r["s_acctbal"], n_name)
-    sset = pa.array(sorted(sup), pa.int64())
+    euro_nk = pa.array(sorted(k for k, (_, rk) in nat.items()
+                              if reg[rk] == Q2_REGION), pa.int64())
+
+    def f_supp(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b["s_nationkey"], value_set=euro_nk))
+        nk = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "sk2": b["s_suppkey"], "s_name": b["s_name"],
+            "s_acctbal": b["s_acctbal"],
+            "n_name": pa.array([nat[k][0] for k in nk], pa.string())})
+
+    sup_ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_name",
+                                      "s_acctbal", "s_nationkey"]) \
+               .map_batches(f_supp, batch_format="pyarrow")
+    sup_rows = _dim_rows(sup_ds)
+    sup = None
+    sset = None
+    if sup_rows is not None:
+        sup = {r["sk2"]: (r["s_name"], r["s_acctbal"], r["n_name"])
+               for r in sup_rows}
+        sset = pa.array(sorted(sup), pa.int64())
 
     line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                            columns=["l_partkey", "l_suppkey",
                                     "l_extendedprice"])
 
     def pair_min(b: pa.Table) -> pa.Table:
-        m = pc.and_(pc.is_in(b["l_partkey"], value_set=pset),
-                    pc.is_in(b["l_suppkey"], value_set=sset))
+        m = pc.is_in(b["l_partkey"], value_set=pset)
+        if sset is not None:
+            m = pc.and_(m, pc.is_in(b["l_suppkey"], value_set=sset))
         b = b.filter(m)
         t = pa.table({"pk": b["l_partkey"], "sk": b["l_suppkey"],
                       "cost_c": _cents(b["l_extendedprice"])})
@@ -109,6 +130,10 @@ def q_tpch_q2(sf_dir: str):
 
     pairs = line.map_batches(pair_min, batch_format="pyarrow") \
                 .groupby(["pk", "sk"]).min("cost_c_min")
+    if sup is None:
+        # repartition join: semi-join to EUROPE + attribute attach in one
+        pairs = _dim_join(pairs, sup_ds, "sk", "sk2",
+                          ["s_name", "s_acctbal", "n_name"])
 
     # survivors: pair cost == per-part min. Both sides of the equality
     # live in the pair aggregate (|filtered part| × |EUROPE supplier|
@@ -118,20 +143,22 @@ def q_tpch_q2(sf_dir: str):
     for b in pairs.iter_batches(batch_format="pyarrow"):
         for r in b.to_pylist():
             c = r["min(cost_c_min)"]
-            rows.append((r["pk"], r["sk"], c))
+            attrs = sup[r["sk"]] if sup is not None else \
+                (r["s_name"], r["s_acctbal"], r["n_name"])
+            rows.append((r["pk"], r["sk"], c, attrs))
             if r["pk"] not in best or c < best[r["pk"]]:
                 best[r["pk"]] = c
-    out = [(pk, sk, c) for pk, sk, c in rows if c == best[pk]]
-    out.sort(key=lambda t: (-round(sup[t[1]][1] * 100), sup[t[1]][2],
-                            sup[t[1]][0], t[0]))
+    out = [(pk, sk, c, a) for pk, sk, c, a in rows if c == best[pk]]
+    out.sort(key=lambda t: (-round(t[3][1] * 100), t[3][2], t[3][0],
+                            t[0]))
     out = out[:100]
     return pa.table({
-        "s_acctbal": pa.array([sup[sk][1] for _, sk, _ in out],
+        "s_acctbal": pa.array([a[1] for _, _, _, a in out],
                               pa.float64()),
-        "s_name": pa.array([sup[sk][0] for _, sk, _ in out], pa.string()),
-        "n_name": pa.array([sup[sk][2] for _, sk, _ in out], pa.string()),
-        "p_partkey": pa.array([pk for pk, _, _ in out], pa.int64()),
-        "min_cost": pa.array([round(c / 100.0, 6) for _, _, c in out],
+        "s_name": pa.array([a[0] for _, _, _, a in out], pa.string()),
+        "n_name": pa.array([a[2] for _, _, _, a in out], pa.string()),
+        "p_partkey": pa.array([pk for pk, _, _, _ in out], pa.int64()),
+        "min_cost": pa.array([round(c / 100.0, 6) for _, _, c, _ in out],
                              pa.float64()),
     })
 
@@ -187,10 +214,19 @@ def q_tpch_q9(sf_dir: str):
 
     nat = {r["n_nationkey"]: r["n_name"] for r in
            rd.read_parquet(f"{sf_dir}/nation.parquet").take_all(DIM_MAX_ROWS)}
-    s2n = {r["s_suppkey"]: nat[r["s_nationkey"]] for r in
-           rd.read_parquet(f"{sf_dir}/supplier.parquet",
-                           columns=["s_suppkey", "s_nationkey"])
-           .take_all(DIM_MAX_ROWS)}
+
+    # supplier side carries n_name (rendered from the 25-row nation
+    # dict inside the map); it attaches to the fact side broadcast or
+    # via a hash-exchange join when too big (VERDICT r03 #4)
+    def f_supp(b: pa.Table) -> pa.Table:
+        nk = b["s_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "s_suppkey": b["s_suppkey"],
+            "n_name": pa.array([nat[k] for k in nk], pa.string())})
+
+    supp_ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"]) \
+                .map_batches(f_supp, batch_format="pyarrow")
 
     line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                            columns=["l_orderkey", "l_partkey",
@@ -221,15 +257,13 @@ def q_tpch_q9(sf_dir: str):
     else:
         j = line.join(orders, "inner", _join_partitions(),
                       on=("l_orderkey",), right_on=("o_orderkey",))
+    j = _attach_dim(j, supp_ds, "l_suppkey", "s_suppkey", ["n_name"])
 
     def partial(b: pa.Table) -> pa.Table:
-        sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
         yr = pc.year(b["o_orderdate"]).to_numpy(zero_copy_only=False)
-        rev = b["rev_u"].to_numpy(zero_copy_only=False)
-        nations = np.array([s2n[k] for k in sk], dtype=object)
-        t = pa.table({"n_name": pa.array(nations, pa.string()),
+        t = pa.table({"n_name": b["n_name"],
                       "o_year": pa.array(yr.astype(np.int64)),
-                      "rev_u": pa.array(rev)})
+                      "rev_u": b["rev_u"]})
         return t.group_by(["n_name", "o_year"]).aggregate(
             [("rev_u", "sum")])
 
@@ -282,19 +316,29 @@ def q_tpch_q11(sf_dir: str):
            rd.read_parquet(f"{sf_dir}/nation.parquet").take_all(DIM_MAX_ROWS)}
     reg = {r["r_regionkey"]: r["r_name"] for r in
            rd.read_parquet(f"{sf_dir}/region.parquet").take_all(DIM_MAX_ROWS)}
-    sks = sorted(r["s_suppkey"] for r in
-                 rd.read_parquet(f"{sf_dir}/supplier.parquet",
-                                 columns=["s_suppkey", "s_nationkey"])
-                 .take_all(DIM_MAX_ROWS)
-                 if reg[nat[r["s_nationkey"]]] == Q11_REGION)
-    sset = pa.array(sks, pa.int64())
+    asia_nk = pa.array(sorted(k for k, rk in nat.items()
+                              if reg[rk] == Q11_REGION), pa.int64())
+
+    def f_supp(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["s_nationkey"], value_set=asia_nk)) \
+                .select(["s_suppkey"])
+
+    supp_ds = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                              columns=["s_suppkey", "s_nationkey"]) \
+                .map_batches(f_supp, batch_format="pyarrow")
+    # ASIA-supplier semi-join: broadcast is_in when the key side fits,
+    # hash-exchange join fallback when it doesn't (VERDICT r03 #4)
+    sset = _broadcast_semi_keys(supp_ds, "s_suppkey")
 
     line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                            columns=["l_partkey", "l_suppkey",
                                     "l_extendedprice", "l_discount"])
+    if sset is None:
+        line = _dim_join(line, supp_ds, "l_suppkey", "s_suppkey", [])
 
     def partial(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_in(b["l_suppkey"], value_set=sset))
+        if sset is not None:
+            b = b.filter(pc.is_in(b["l_suppkey"], value_set=sset))
         rev = pc.multiply(_cents(b["l_extendedprice"]),
                           pc.subtract(100, _pct(b["l_discount"])))
         t = pa.table({"l_partkey": b["l_partkey"], "value_u": rev})
@@ -351,13 +395,26 @@ def q_tpch_q16(sf_dir: str):
     groupby (map-side combinable); the anti-set is a broadcast of the
     (tiny) excluded-supplier keys; the final (brand × size) rollup has
     fixed small cardinality, so it merges on the driver."""
-    import ray  # noqa: F401
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_acctbal"])
 
-    bad = sorted(r["s_suppkey"] for r in
-                 rd.read_parquet(f"{sf_dir}/supplier.parquet",
-                                 columns=["s_suppkey", "s_acctbal"])
-                 .take_all(DIM_MAX_ROWS) if r["s_acctbal"] < 0)
-    bad_set = pa.array(bad, pa.int64())
+    def f_bad(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b["s_acctbal"], 0)) \
+                .select(["s_suppkey"])
+
+    # NOT IN (bad) is a broadcast anti-set while it fits the budget;
+    # past it, flip to IN (good) and semi-join via the hash exchange —
+    # equivalent because l_suppkey is a FK into supplier, so every
+    # lineitem supplier is in exactly one of the two sets
+    # (VERDICT r03 #4).
+    bad_set = _broadcast_semi_keys(
+        supp.map_batches(f_bad, batch_format="pyarrow"), "s_suppkey")
+    good_ds = None
+    if bad_set is None:
+        def f_good(b: pa.Table) -> pa.Table:
+            return b.filter(pc.greater_equal(b["s_acctbal"], 0)) \
+                    .select(["s_suppkey"])
+        good_ds = supp.map_batches(f_good, batch_format="pyarrow")
 
     part = rd.read_parquet(f"{sf_dir}/part.parquet",
                            columns=["p_partkey", "p_brand", "p_type",
@@ -373,11 +430,14 @@ def q_tpch_q16(sf_dir: str):
 
     line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                            columns=["l_partkey", "l_suppkey"])
+    if good_ds is not None:
+        line = _dim_join(line, good_ds, "l_suppkey", "s_suppkey", [])
 
     def pair_dedup(b: pa.Table) -> pa.Table:
-        m = pc.and_(pc.is_in(b["l_partkey"], value_set=pset),
-                    pc.invert(pc.is_in(b["l_suppkey"],
-                                       value_set=bad_set)))
+        m = pc.is_in(b["l_partkey"], value_set=pset)
+        if bad_set is not None:
+            m = pc.and_(m, pc.invert(pc.is_in(b["l_suppkey"],
+                                              value_set=bad_set)))
         b = b.filter(m)
         from ..functions.decontam import _cached_get
         amap = _cached_get(attrs_ref)
@@ -463,10 +523,26 @@ def q_tpch_q20(sf_dir: str):
         t = b.filter(pc.greater(b["sum(q100_sum)"], Q20_MIN_Q100))
         winners.update(t["sk"].to_pylist())
 
+    # name join-back: the pull is bounded by |winners| (the output
+    # size), not |supplier| — is_in pushed into the scan while the
+    # winner set fits the broadcast budget, hash-exchange join past it
+    # (VERDICT r03 #4)
     sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
                           columns=["s_suppkey", "s_name"])
-    names = sorted(r["s_name"] for r in sup.take_all(DIM_MAX_ROWS)
-                   if r["s_suppkey"] in winners)
+    if len(winners) <= _an.BROADCAST_MAX_KEYS:
+        wset = pa.array(sorted(winners), pa.int64())
+
+        def f_sup(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["s_suppkey"], value_set=wset))
+
+        picked = sup.map_batches(f_sup, batch_format="pyarrow")
+    else:
+        win_ds = rd.from_arrow(pa.table(
+            {"wk": pa.array(sorted(winners), pa.int64())}))
+        picked = _dim_join(sup, win_ds, "s_suppkey", "wk", [])
+    names = sorted(r["s_name"] for b in
+                   picked.iter_batches(batch_format="pyarrow")
+                   for r in b.to_pylist())
     return pa.table({"s_name": pa.array(names, pa.string())})
 
 
@@ -574,10 +650,26 @@ def q_tpch_q21(sf_dir: str):
             sk = e - 1
             counts[sk] = counts.get(sk, 0) + 1
 
-    names = {r["s_suppkey"]: r["s_name"] for r in
-             rd.read_parquet(f"{sf_dir}/supplier.parquet",
-                             columns=["s_suppkey", "s_name"])
-             .take_all(DIM_MAX_ROWS) if r["s_suppkey"] in counts}
+    # name join-back bounded by |culprit suppliers| (already held on
+    # the driver in ``counts``), never the full supplier table: is_in
+    # pushed into the scan while the key set fits the broadcast budget,
+    # hash-exchange join past it (VERDICT r03 #4)
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    if len(counts) <= _an.BROADCAST_MAX_KEYS:
+        ckeys = pa.array(sorted(counts), pa.int64())
+
+        def f_sup(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["s_suppkey"], value_set=ckeys))
+
+        picked = sup.map_batches(f_sup, batch_format="pyarrow")
+    else:
+        key_ds = rd.from_arrow(pa.table(
+            {"ck": pa.array(sorted(counts), pa.int64())}))
+        picked = _dim_join(sup, key_ds, "s_suppkey", "ck", [])
+    names = {r["s_suppkey"]: r["s_name"] for b in
+             picked.iter_batches(batch_format="pyarrow")
+             for r in b.to_pylist()}
     ks = sorted(counts, key=lambda k: (-counts[k], names[k]))[:Q21_TOPK]
     return pa.table({
         "s_name": pa.array([names[k] for k in ks], pa.string()),

@@ -161,12 +161,15 @@ def test_q22_survivors_have_no_recent_orders(ray_session):
     assert got == expect.to_dict()
 
 
-@pytest.mark.parametrize("name", ["tpch_q3", "tpch_q9", "tpch_q10",
-                                  "tpch_q14", "tpch_q21"])
+@pytest.mark.parametrize("name", ["tpch_q2", "tpch_q3", "tpch_q5",
+                                  "tpch_q7", "tpch_q8", "tpch_q9",
+                                  "tpch_q10", "tpch_q11", "tpch_q14",
+                                  "tpch_q16", "tpch_q20", "tpch_q21"])
 def test_hash_join_fallback_matches_broadcast(name, ray_session,
                                               monkeypatch):
     """Forcing the key side over the broadcast threshold exercises the
-    real hash-exchange path; results must be identical."""
+    real hash-exchange path (incl. every supplier dim pull — VERDICT
+    r03 #4); results must be identical."""
     import skewer_ray.pipelines.analytics as an
     fast = QUERIES[name](SF).to_pylist()
     monkeypatch.setattr(an, "BROADCAST_MAX_KEYS", 0)
