@@ -116,6 +116,10 @@ def decode_png(data: bytes, offset: int = 0):
             idat.extend(body)
         elif ctype == b"IEND":
             break
+    if width is None or color_type is None:
+        # a stream without (or with only a post-IEND) IHDR must fail
+        # the documented ValueError contract, not TypeError below
+        raise ValueError("missing IHDR")
     channels = 1 if color_type == 0 else 3
     bpp = channels
     stride = width * channels

@@ -6,8 +6,9 @@ so the reference ACKs message N-1 only when the write of message N
 succeeds (the ``previousUid`` ratchet); an encoding failure is a
 PermError for that uid, a write failure NACKs BOTH the current and the
 pending previous uid (either may sit in a lost kernel buffer). The
-last message stays PENDING until another send or a successful
-``flush()`` — at-least-once, never at-most-once.
+last message stays PENDING even across a clean ``flush()`` close (a
+half-close doesn't prove receipt) — at-least-once, never
+at-most-once; ``ack_on_close=True`` opts in to the looser rule.
 
 RELP (store/dests/relpdest.go): windowed sends tagged with txnr; the
 server's ``rsp`` answers ack (200→ACK) or reject (500→NACK) each txnr
@@ -28,14 +29,22 @@ ACK, NACK, PERMERROR, PENDING = "ack", "nack", "permerror", "pending"
 
 
 class TcpClientSink:
-    """Connect-once TCP client with the reference's lazy-ack ratchet."""
+    """Connect-once TCP client with the reference's lazy-ack ratchet.
+
+    ``ack_on_close=True`` opts in to converting the last pending uid to
+    ACK on a clean shutdown — OFF by default because a successful
+    half-close does not prove the peer received the bytes (the message
+    can sit in a lost kernel buffer); the reference leaves it PENDING
+    for redelivery (store/dests/tcpdest.go:83-107)."""
 
     def __init__(self, address, encoder: str = "rfc5424",
-                 line_framing: bool = True, delimiter: str = "\n"):
+                 line_framing: bool = True, delimiter: str = "\n",
+                 ack_on_close: bool = False):
         self._encode = get_encoder(encoder)
         self._binary = encoder in BINARY_ENCODERS
         self._line = line_framing
         self._delim = delimiter
+        self._ack_on_close = ack_on_close
         self._sock = socket.create_connection(address)
         self._pending_uid = None
 
@@ -69,14 +78,16 @@ class TcpClientSink:
         return status
 
     def flush(self) -> dict:
-        """Graceful close; a clean shutdown acks the ratchet's pending
-        uid (the reference leaves it pending for redelivery — callers
-        wanting strict at-least-once should ignore this ack)."""
+        """Graceful close. The ratchet's last uid stays PENDING (the
+        reference's leave-pending-for-redelivery rule: a clean
+        half-close does not prove delivery), unless the sink was built
+        with ``ack_on_close=True``; a failed shutdown NACKs it."""
         out = {}
         try:
             self._sock.shutdown(socket.SHUT_WR)
             if self._pending_uid is not None:
-                out[self._pending_uid] = ACK
+                out[self._pending_uid] = ACK if self._ack_on_close \
+                    else PENDING
                 self._pending_uid = None
         except OSError:
             if self._pending_uid is not None:
@@ -89,13 +100,21 @@ class TcpClientSink:
 
 class RelpClientSink:
     """RELP client: open handshake, windowed syslog frames, per-txnr
-    acks read back from the server (200→ACK, 500→NACK)."""
+    acks read back from the server (200→ACK, 500→NACK).
 
-    def __init__(self, sock: socket.socket, encoder: str = "rfc5424"):
+    ``window`` bounds the frames in flight: after ``window`` unacked
+    sends the client drains one rsp before sending more. Without the
+    bound, a large batch deadlocks — the server blocks writing acks the
+    client isn't reading while the client blocks in sendall (both
+    socket buffers full)."""
+
+    def __init__(self, sock: socket.socket, encoder: str = "rfc5424",
+                 window: int = 128):
         from .sources.relp import RelpStreamParser
         self._encode = get_encoder(encoder)
         self._binary = encoder in BINARY_ENCODERS
         self._sock = sock
+        self._window = max(1, window)
         self._txnr = 1
         self._sock.sendall(
             frame_relp(self._txnr, "open",
@@ -121,20 +140,28 @@ class RelpClientSink:
     def send_rows(self, rows: list[dict]) -> dict:
         status: dict = {}
         txnr_to_uid: dict[int, str] = {}
+        outstanding = 0
         for rec in rows:
             uid = rec["uid"]
             payload = self._encode(rec)
             if payload is None:
                 status[uid] = PERMERROR
                 continue
+            # real send window: drain one rsp per send past the bound
+            # so neither side's socket buffer can fill up
+            if outstanding >= self._window:
+                txnr, code = self._read_rsp()
+                status[txnr_to_uid[txnr]] = ACK if code == 200 else NACK
+                outstanding -= 1
             self._txnr += 1
             txnr_to_uid[self._txnr] = uid
             self._sock.sendall(
                 frame_relp(self._txnr, "syslog", payload,
                            binary=self._binary)
                 .encode("latin-1" if self._binary else "utf-8"))
-        # drain the window: one rsp per sent frame, any order
-        for _ in range(len(txnr_to_uid)):
+            outstanding += 1
+        # drain the tail: one rsp per in-flight frame, any order
+        for _ in range(outstanding):
             txnr, code = self._read_rsp()
             status[txnr_to_uid[txnr]] = ACK if code == 200 else NACK
         return status

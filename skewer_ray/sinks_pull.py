@@ -152,8 +152,14 @@ class HttpPullServer:
     a GET returns the NEXT page of stored messages in the
     Accept-negotiated (or fixed) format with the reference's
     content-type rules; an exhausted stream answers 204 No Content.
-    One paging cursor per distinct Accept value (the reference keys its
-    stream on the client connection).
+
+    Cursor identity (the reference keys its stream per client
+    connection): a client-supplied ``X-Stream-Id`` header names the
+    cursor explicitly (concurrent consumers MUST send distinct ids);
+    without it the cursor keys on (client ip, Accept), so two hosts
+    never share a stream and a keep-alive-less pager still resumes its
+    own. Two id-less consumers on one ip with the same Accept share a
+    cursor — send ``X-Stream-Id`` to isolate.
 
     Tap/test scale — bulk consumers read the parquet store directly.
     """
@@ -175,14 +181,17 @@ class HttpPullServer:
 
             def do_GET(self):
                 accept = self.headers.get("Accept", "")
+                stream_id = self.headers.get("X-Stream-Id")
+                key = stream_id if stream_id is not None \
+                    else (self.client_address[0], accept)
                 with lock:
-                    it = srv_self._iters.get(accept)
+                    it = srv_self._iters.get(key)
                     if it is None:
                         it = pull_pages(out_dir, sink=sink, accept=accept,
                                         fmt=fmt, n_messages=n_messages,
                                         line_framing=line_framing,
                                         delimiter=delimiter)
-                        srv_self._iters[accept] = it
+                        srv_self._iters[key] = it
                     try:
                         ctype, body = next(it)
                     except StopIteration:

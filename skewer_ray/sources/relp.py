@@ -52,17 +52,28 @@ class RelpStreamParser:
                 return frames
             frames.append(fr)
 
+    # a complete header is TXNR(≤10 digits) SP COMMAND(≤32) SP
+    # DATALEN(≤10 digits) — anything longer without its two spaces is
+    # garbage, bounded so a malformed stream can't buffer unboundedly
+    MAX_HEADER = 64
+
     def _try_parse_one(self) -> RelpFrame | None:
         buf = self._buf
         # header: TXNR SP COMMAND SP DATALEN
         parts = buf.split(b" ", 2)
         if len(parts) < 3:
-            if len(buf) > 64 and b" " not in buf:
+            if len(buf) > self.MAX_HEADER:
                 raise RelpParseError("unframed garbage")
             return None
         txnr_b, command_b, rest = parts
         if not txnr_b.isdigit():
             raise RelpParseError(f"bad txnr {txnr_b!r}")
+        if not command_b or len(command_b) > 32 or \
+                not all(0x61 <= c <= 0x7a for c in command_b):
+            # commands are lowercase ASCII words (open/syslog/close/
+            # rsp/serverclose/abort); anything else must surface as a
+            # protocol error, never a UnicodeDecodeError
+            raise RelpParseError(f"bad command {command_b[:32]!r}")
         # DATALEN terminates at SP (data follows) or LF (datalen 0)
         dl_end = 0
         while dl_end < len(rest) and rest[dl_end:dl_end + 1].isdigit():

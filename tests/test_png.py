@@ -143,3 +143,22 @@ def test_wav_roundtrip_property():
         assert rate == 8000 and np.array_equal(got, s)
 
     check()
+
+
+def test_decode_png_missing_ihdr_is_value_error():
+    """A signature+IEND stream with no IHDR raises the documented
+    ValueError, not a TypeError from width arithmetic (ADVICE r03)."""
+    import struct
+    import zlib as _z
+
+    import pytest
+
+    from skewer_ray.functions.png import SIGNATURE, decode_png
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", _z.crc32(ctype + body)))
+
+    stream = SIGNATURE + chunk(b"IDAT", b"") + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="missing IHDR"):
+        decode_png(stream)

@@ -157,3 +157,21 @@ def test_stream_parser_bad_datalen_raises_not_stalls():
     p2 = RelpStreamParser()
     frames = p2.feed(b"2 syslog 3 abc\n")
     assert [(f.txnr, f.data) for f in frames] == [(2, b"abc")]
+
+
+def test_stream_parser_bad_command_is_parse_error():
+    """Non-ASCII / non-lowercase command bytes must surface as
+    RelpParseError, never UnicodeDecodeError (ADVICE r03), and a
+    malformed header with one space buffers boundedly instead of
+    forever."""
+    with pytest.raises(RelpParseError):
+        RelpStreamParser().feed(b"1 \xffsyslog 3 abc\n")
+    with pytest.raises(RelpParseError):
+        RelpStreamParser().feed(b"1 SYSLOG 3 abc\n")   # uppercase
+    with pytest.raises(RelpParseError):
+        RelpStreamParser().feed(b"1 " + b"z" * 100)    # one-space garbage
+    # an incomplete but WELL-FORMED header keeps buffering quietly
+    p = RelpStreamParser()
+    assert p.feed(b"12 syslog") == []
+    assert [(f.txnr, f.command, f.data) for f in p.feed(b" 3 abc\n")] \
+        == [(12, "syslog", b"abc")]

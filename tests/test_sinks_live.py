@@ -34,7 +34,8 @@ def test_tcp_client_sink_loopback_and_lazy_ack():
 
     rows = [rec("u1"), rec("u2"), rec("u3", hostname="bad\nhost"),
             rec("u4")]
-    sink = TcpClientSink(listener.address, encoder="rfc5424")
+    sink = TcpClientSink(listener.address, encoder="rfc5424",
+                         ack_on_close=True)
     status = sink.send_rows(rows)
     status.update(sink.flush())
     th.join(timeout=10)
@@ -42,7 +43,7 @@ def test_tcp_client_sink_loopback_and_lazy_ack():
 
     # lazy ratchet: u1/u2 acked by the NEXT successful write; u3 is a
     # PermError (invalid hostname) and never hits the wire; u4 acked at
-    # graceful flush
+    # graceful flush only because ack_on_close was opted into
     assert status == {"u1": ACK, "u2": ACK, "u3": PERMERROR, "u4": ACK}
 
     got = [r["text"] for r in out[0].to_pylist()]
@@ -59,9 +60,41 @@ def test_tcp_client_sink_pending_until_next_write():
     assert s1 == {"a": PENDING}          # no app-level ack from TCP yet
     s2 = sink.send_rows([rec("b")])
     assert s2 == {"a": ACK, "b": PENDING}
-    sink.flush()
+    # default flush leaves the ratchet PENDING: a clean half-close is
+    # not proof of delivery (reference leave-pending semantics)
+    assert sink.flush() == {"b": PENDING}
     th.join(timeout=10)
     listener.close()
+
+
+def test_relp_client_window_bounds_inflight_frames():
+    """A batch far larger than both socket buffers completes because
+    the client drains one rsp per send past the window — without the
+    bound this deadlocks (server blocked writing acks, client blocked
+    in sendall)."""
+    import threading
+
+    from skewer_ray.sources.relp import serve_relp_connection
+
+    srv_sock, clt_sock = socket.socketpair()
+    accepted = []
+
+    def run_server():
+        accepted.extend(serve_relp_connection(srv_sock, lambda fr: True))
+        srv_sock.close()
+
+    th = threading.Thread(target=run_server)
+    th.start()
+
+    sink = RelpClientSink(clt_sock, window=8)
+    n = 4000
+    rows = [rec(f"w{i}", message="x" * 512) for i in range(n)]
+    status = sink.send_rows(rows)
+    sink.close()
+    th.join(timeout=30)
+
+    assert len(accepted) == n
+    assert all(status[f"w{i}"] == ACK for i in range(n))
 
 
 def test_relp_client_against_own_server():

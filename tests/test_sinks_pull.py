@@ -121,3 +121,40 @@ def test_http_pull_server_live(written_out):
     for _ct, body in got:
         for line in body.decode().splitlines():
             json.loads(line)
+
+
+def test_http_pull_server_per_stream_cursors(written_out):
+    """Two consumers with distinct X-Stream-Id headers (same Accept)
+    each receive the FULL page sequence — cursors are per stream, not
+    per Accept value (ADVICE r03: concurrent clients previously shared
+    one iterator and saw interleaved subsets)."""
+    import urllib.request
+
+    from skewer_ray.sinks_pull import HttpPullServer
+
+    direct = list(pull_pages(written_out, sink="store",
+                             accept="application/x-ndjson",
+                             n_messages=2000))
+    srv = HttpPullServer(written_out, sink="store", n_messages=2000)
+    host, port = srv.address
+    url = f"http://{host}:{port}/pull"
+
+    # interleave the two consumers page by page
+    got = {"a": [], "b": []}
+    done = {"a": False, "b": False}
+    while not all(done.values()):
+        for stream_id in ("a", "b"):
+            if done[stream_id]:
+                continue
+            req = urllib.request.Request(
+                url, headers={"Accept": "application/x-ndjson",
+                              "X-Stream-Id": stream_id})
+            with urllib.request.urlopen(req) as resp:
+                if resp.status == 204:
+                    done[stream_id] = True
+                else:
+                    got[stream_id].append((resp.headers["Content-Type"],
+                                           resp.read()))
+    srv.close()
+    assert got["a"] == direct
+    assert got["b"] == direct
