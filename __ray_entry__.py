@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_partition_keys": q.q_route_partition_keys,
         "filter_results": q.q_filter_results,
         "sink_counts": q.q_sink_counts,
+        "es_bulk_acks": q.q_es_bulk_acks,
         "file_sink_routes": q.q_file_sink_routes,
         "routed_rows_kafka": q.q_routed_rows_kafka,
         # encoders (§2.4) — byte-equality surfaces

@@ -244,6 +244,26 @@ UNION ALL
 SELECT '_parse' AS sink, 'error' AS status, COUNT(*) AS n
 FROM routed WHERE parse_error"""
 
+    # the engine renders 'logs-{msgid}-{hostname}' AFTER the filter's
+    # msgid-uppercase writeback; an item acks iff the name passes ES
+    # index-name validation (stages/esbulk.valid_index_name mirrored
+    # here predicate for predicate)
+    q["es_bulk_acks"] = C + """
+SELECT status, COUNT(*) AS n FROM (
+  SELECT CASE
+    WHEN filter_status IN ('dropped','rejected') THEN filter_status
+    WHEN idx = lower(idx)
+         AND NOT regexp_matches(idx, '[\\\\/*?"<>| ,#:]')
+         AND NOT regexp_matches(idx, '^[-_+]')
+         AND idx NOT IN ('.', '..')
+         AND strlen(idx) <= 255
+      THEN 'passing'
+    ELSE 'nack' END AS status
+  FROM (SELECT filter_status,
+               'logs-' || upper(msgid) || '-' || hostname AS idx
+        FROM routed WHERE NOT parse_error))
+GROUP BY status"""
+
     q["file_sink_routes"] = C + """
 SELECT appname || '_' || strftime(time_reported, '%Y-%m-%d') AS route,
        COUNT(*) AS n

@@ -170,6 +170,30 @@ def q_sink_counts(sf_dir: str):
     return grouped_count(ds, ["sink", "status"])
 
 
+def q_es_bulk_acks(sf_dir: str):
+    """Elasticsearch destination per-item bulk-ack outcomes
+    (store/dests/elasticsearch.go:169-268): every message renders its
+    index name from the sink template, ships as one bulk item keyed by
+    uid, and the bulk response acks/nacks each item individually — here
+    the simulated response fails exactly the items whose index name
+    violates ES naming rules (stages/esbulk.py). The template
+    deliberately includes the filter-uppercased msgid so families that
+    carry a msgid produce invalid (uppercase) names → per-item NACK,
+    while msgid-less families produce valid ones → ACK."""
+    import dataclasses
+
+    from ..config import SinkConfig, default_config
+    cfg = dataclasses.replace(default_config(), sinks=(
+        SinkConfig(name="es", kind="es", encoder="json",
+                   filename_tmpl="logs-{msgid}-{hostname}"),))
+    ds = build_fanout(read_transcripts(sf_dir), config=cfg)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["sink"], "es")) \
+                    .select(["status"])
+    return grouped_count(ds, ["status"], pre=proj)
+
+
 def q_file_sink_routes(sf_dir: str):
     """File-dest filename-template partitions (filedest.go:218-235) → counts."""
     ds = build_fanout(read_transcripts(sf_dir))

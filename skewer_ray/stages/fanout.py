@@ -72,19 +72,24 @@ def _tmpl_pieces(tmpl: str):
     return pieces
 
 
+_TMPL_KINDS = ("file", "es")   # kinds whose route renders a template
+
+
 class FanoutEncodeStage:
     def __init__(self, sinks: tuple[SinkConfig, ...] | list[SinkConfig]):
         self.sinks = [(s, get_encoder(s.encoder),
-                       _tmpl_fields(s.filename_tmpl) if s.kind == "file"
-                       else (),
-                       _tmpl_pieces(s.filename_tmpl) if s.kind == "file"
-                       else None) for s in sinks]
+                       _tmpl_fields(s.filename_tmpl)
+                       if s.kind in _TMPL_KINDS else (),
+                       _tmpl_pieces(s.filename_tmpl)
+                       if s.kind in _TMPL_KINDS else None) for s in sinks]
 
     @staticmethod
-    def _routes_vec(pieces, sub: pa.Table):
-        """Vectorized filename-template render + sanitize: Arrow string
-        join over literal scalars and field columns; the Python
-        sanitize runs once per DISTINCT rendered route."""
+    def _routes_vec(pieces, sub: pa.Table, sanitize: bool = True):
+        """Vectorized template render: Arrow string join over literal
+        scalars and field columns; with ``sanitize`` the filename
+        sanitizer runs once per DISTINCT rendered route; without it the
+        raw render is returned (the es index name must be validated
+        unsanitized)."""
         from ..encoders.vectorized import _render_unique
         parts = []
         has_array = False
@@ -104,12 +109,15 @@ class FanoutEncodeStage:
                 has_array = True
             # missing fields render empty (config._SafeView semantics)
         if not has_array:
-            return _sanitize_route("".join(p for p in parts))
+            joined = "".join(p for p in parts)
+            return _sanitize_route(joined) if sanitize else joined
         if len(parts) == 1:
             out = parts[0]
         else:
             out = pc.binary_join_element_wise(*parts, "")
-        return _render_unique(out, _sanitize_route)
+        if isinstance(out, pa.ChunkedArray):
+            out = out.combine_chunks()
+        return _render_unique(out, _sanitize_route) if sanitize else out
 
     @staticmethod
     def _with_consts(sub: pa.Table, sink, status, route, encoded) -> pa.Table:
@@ -213,6 +221,54 @@ class FanoutEncodeStage:
                                        pa.string())
                 if s.framing:
                     enc_arr = self._frame(s.framing, enc_arr, sub, s.encoder)
+                if s.kind == "es":
+                    # per-item bulk ack model (stages/esbulk.py): the
+                    # simulated bulk response fails exactly the items
+                    # whose rendered index name is invalid; validity is
+                    # evaluated once per DISTINCT name — identical to
+                    # folding bulk_responses()+after() row by row
+                    # (pinned by tests/test_esbulk.py)
+                    from .esbulk import valid_index_name
+                    if pieces is not None:
+                        names = self._routes_vec(pieces, sub,
+                                                 sanitize=False)
+                    else:
+                        if recs is None:
+                            from .route import Row
+                            colmap = {c: sub[c].to_pylist()
+                                      for c in _REC_COLS + ["uid", "conv_id",
+                                                            "turn_idx",
+                                                            "role"]}
+                            recs = [Row(colmap, i) for i in range(n)]
+                        names = pa.array(
+                            [render_template(s.filename_tmpl, r)
+                             for r in recs], pa.string())
+                    ok = pc.is_valid(enc_arr)
+                    if isinstance(names, str):
+                        acked = pa.nulls(n, pa.bool_()).fill_null(
+                            valid_index_name(names))
+                        names = pa.array([names] * n, pa.string())
+                    else:
+                        d = pc.dictionary_encode(names)
+                        if isinstance(d, pa.ChunkedArray):
+                            d = d.combine_chunks()
+                        vmap = pa.array(
+                            [valid_index_name(v)
+                             for v in d.dictionary.to_pylist()],
+                            pa.bool_())
+                        acked = vmap.take(d.indices)
+                    m_ack = pc.and_(ok, acked)
+                    m_nack = pc.and_(ok, pc.invert(acked))
+                    parts.append(self._with_consts(
+                        sub.filter(m_ack), s.name, "passing",
+                        names.filter(m_ack), enc_arr.filter(m_ack)))
+                    parts.append(self._with_consts(
+                        sub.filter(m_nack), s.name, "nack", "-", None))
+                    if not pc.all(ok).as_py():
+                        parts.append(self._with_consts(
+                            sub.filter(pc.invert(ok)), s.name,
+                            "permerror", "-", None))
+                    continue
                 if s.kind == "kafka":
                     route_vals = topics
                 elif s.kind == "file":
