@@ -96,20 +96,12 @@ def _frame(encoded: list[str], line_framing: bool, delimiter: str,
     return b"".join(frame_octet_bytes(to_bytes(e)) for e in encoded)
 
 
-def pull_pages(out_dir: str, sink: str = "store", accept: str = "",
-               fmt: str = "", n_messages: int = 8192,
-               line_framing: bool = True,
-               delimiter: str = "\n") -> Iterator[tuple[str, bytes]]:
-    """Yield (content_type, body) response pages of up to ``n_messages``
-    stored passing rows of one sink partition, re-encoded on demand in
-    the fixed ``fmt`` or the Accept-negotiated format.
-
-    Like the reference, the served partition holds the STORE encoding —
-    a sink configured with ``encoder="protobuf"`` whose ``encoded``
-    column carries SyslogMessage wire bytes (the reference's badger
-    store holds exactly that; store/store.go:141-192) — and each page
-    decodes + re-encodes at request time (httpserver.go getContentType
-    → RMimeTypes encoder)."""
+def _encoded_stream(out_dir: str, sink: str, fmt: str,
+                    n_messages: int) -> Iterator[list[str]]:
+    """Scan one sink partition's stored passing rows and yield lists of
+    up to ``n_messages`` records re-encoded in ``fmt`` (the store holds
+    the protobuf wire encoding; each page decodes + re-encodes at
+    request time, like httpserver.go getContentType → RMimeTypes)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.dataset as pds
@@ -118,10 +110,6 @@ def pull_pages(out_dir: str, sink: str = "store", accept: str = "",
     from .encoders.vectorized import encode_batch
     from .protowire import decode_syslog_message
 
-    if not fmt:
-        fmt = R_MIMETYPES[negotiate(accept)]
-    ctype, eff_line = page_content_type(fmt, n_messages, line_framing,
-                                        delimiter)
     data = pds.dataset(os.path.join(out_dir, "data"), partitioning="hive")
     scanner = data.scanner(
         columns=["encoded"],
@@ -142,8 +130,97 @@ def pull_pages(out_dir: str, sink: str = "store", accept: str = "",
             encoded = [e for e in (per_row(r) for r in recs)
                        if e is not None]
         if encoded:
-            yield ctype, _frame(encoded, eff_line, delimiter,
-                                fmt in _BINARY_FMTS)
+            yield encoded
+
+
+def pull_pages(out_dir: str, sink: str = "store", accept: str = "",
+               fmt: str = "", n_messages: int = 8192,
+               line_framing: bool = True,
+               delimiter: str = "\n") -> Iterator[tuple[str, bytes]]:
+    """Yield (content_type, body) response pages of up to ``n_messages``
+    stored passing rows of one sink partition, re-encoded on demand in
+    the fixed ``fmt`` or the Accept-negotiated format.
+
+    Like the reference, the served partition holds the STORE encoding —
+    a sink configured with ``encoder="protobuf"`` whose ``encoded``
+    column carries SyslogMessage wire bytes (the reference's badger
+    store holds exactly that; store/store.go:141-192) — and each page
+    decodes + re-encodes at request time (httpserver.go getContentType
+    → RMimeTypes encoder)."""
+    if not fmt:
+        fmt = R_MIMETYPES[negotiate(accept)]
+    ctype, eff_line = page_content_type(fmt, n_messages, line_framing,
+                                        delimiter)
+    for encoded in _encoded_stream(out_dir, sink, fmt, n_messages):
+        yield ctype, _frame(encoded, eff_line, delimiter,
+                            fmt in _BINARY_FMTS)
+
+
+def pull_messages(out_dir: str, sink: str = "store", accept: str = "",
+                  fmt: str = "", n_messages: int = 8192) \
+        -> Iterator[tuple[bool, bytes]]:
+    """Per-MESSAGE stream for the websocket pull sink
+    (store/dests/websocketserver.go:130-213 — one ws message per stored
+    record): yields (is_binary, payload) pairs; is_binary selects the
+    ws BinaryMessage opcode exactly when the format is protobuf/avro
+    (websocketserver.go:54-59)."""
+    if not fmt:
+        fmt = R_MIMETYPES[negotiate(accept)]
+    binary = fmt in _BINARY_FMTS
+    for encoded in _encoded_stream(out_dir, sink, fmt, n_messages):
+        for e in encoded:
+            yield binary, e.encode("latin-1" if binary else "utf-8")
+
+
+# ---------------------------------------------------------------------------
+# RFC 6455 (websocket) server-side minimals — dependency-free, enough
+# for the reference's streaming pull dest (websocketserver.go)
+# ---------------------------------------------------------------------------
+
+WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+WS_TEXT, WS_BINARY, WS_CLOSE, WS_PING, WS_PONG = 0x1, 0x2, 0x8, 0x9, 0xA
+
+
+def ws_accept_key(client_key: str) -> str:
+    import base64
+    import hashlib
+    return base64.b64encode(hashlib.sha1(
+        (client_key + WS_GUID).encode()).digest()).decode()
+
+
+def ws_frame(payload: bytes, opcode: int) -> bytes:
+    """One FIN server→client frame (servers never mask)."""
+    hdr = bytearray([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        hdr.append(n)
+    elif n < (1 << 16):
+        hdr.append(126)
+        hdr += n.to_bytes(2, "big")
+    else:
+        hdr.append(127)
+        hdr += n.to_bytes(8, "big")
+    return bytes(hdr) + payload
+
+
+def ws_read_frame(rfile) -> tuple[int, bytes]:
+    """Read one (client→server, masked) frame; returns (opcode,
+    unmasked payload). Raises ConnectionError on EOF."""
+    hdr = rfile.read(2)
+    if len(hdr) < 2:
+        raise ConnectionError("websocket peer closed")
+    opcode = hdr[0] & 0x0F
+    masked = hdr[1] & 0x80
+    n = hdr[1] & 0x7F
+    if n == 126:
+        n = int.from_bytes(rfile.read(2), "big")
+    elif n == 127:
+        n = int.from_bytes(rfile.read(8), "big")
+    mask = rfile.read(4) if masked else b""
+    payload = rfile.read(n)
+    if masked:
+        payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    return opcode, payload
 
 
 class HttpPullServer:
@@ -180,6 +257,9 @@ class HttpPullServer:
                 pass
 
             def do_GET(self):
+                if self.headers.get("Upgrade", "").lower() == "websocket":
+                    self._serve_websocket()
+                    return
                 accept = self.headers.get("Accept", "")
                 stream_id = self.headers.get("X-Stream-Id")
                 key = stream_id if stream_id is not None \
@@ -203,6 +283,46 @@ class HttpPullServer:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _serve_websocket(self):
+                """The websocket pull variant
+                (store/dests/websocketserver.go): RFC6455 upgrade, then
+                ONE ws message per stored record (TextMessage, or
+                BinaryMessage for protobuf/avro —
+                websocketserver.go:54-59), a normal-closure close frame
+                with "bye!" when drained (writeLogs deferred close),
+                and a bounded wait for the client's close echo."""
+                key = self.headers.get("Sec-WebSocket-Key", "")
+                if not key:
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                self.wfile.write(
+                    b"HTTP/1.1 101 Switching Protocols\r\n"
+                    b"Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                    b"Sec-WebSocket-Accept: "
+                    + ws_accept_key(key).encode() + b"\r\n\r\n")
+                accept = self.headers.get("Accept", "")
+                for binary, payload in pull_messages(
+                        out_dir, sink=sink, accept=accept, fmt=fmt,
+                        n_messages=n_messages):
+                    self.wfile.write(ws_frame(
+                        payload, WS_BINARY if binary else WS_TEXT))
+                # normal closure, status 1000 (websocketserver.go:135)
+                self.wfile.write(ws_frame(
+                    (1000).to_bytes(2, "big") + b"bye!", WS_CLOSE))
+                self.wfile.flush()
+                try:
+                    self.connection.settimeout(2)
+                    while True:
+                        opcode, body = ws_read_frame(self.rfile)
+                        if opcode == WS_CLOSE:
+                            break
+                        if opcode == WS_PING:
+                            self.wfile.write(ws_frame(body, WS_PONG))
+                except (OSError, ConnectionError):
+                    pass
+                self.close_connection = True
 
             def do_POST(self):  # pull sink is read-only
                 self.send_response(405)

@@ -158,3 +158,69 @@ def test_http_pull_server_per_stream_cursors(written_out):
     srv.close()
     assert got["a"] == direct
     assert got["b"] == direct
+
+
+def test_websocket_pull_live(written_out):
+    """Websocket pull variant (store/dests/websocketserver.go): RFC6455
+    upgrade on the same listener, one ws TEXT message per stored record,
+    then a normal-closure close frame with 'bye!'."""
+    import base64
+    import hashlib
+    import os
+    import socket
+
+    from skewer_ray.sinks_pull import (WS_CLOSE, WS_GUID, WS_TEXT,
+                                       HttpPullServer, pull_messages)
+
+    direct = [p for _bin, p in pull_messages(
+        written_out, sink="store", accept="application/x-ndjson")]
+    assert len(direct) > 100
+
+    srv = HttpPullServer(written_out, sink="store")
+    host, port = srv.address
+    key = base64.b64encode(os.urandom(16)).decode()
+    sock = socket.create_connection((host, port))
+    sock.sendall((
+        f"GET /logs HTTP/1.1\r\nHost: {host}:{port}\r\n"
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+        f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n"
+        "Accept: application/x-ndjson\r\n\r\n").encode())
+    rfile = sock.makefile("rb")
+    status = rfile.readline()
+    assert b"101" in status
+    headers = {}
+    while True:
+        line = rfile.readline().strip()
+        if not line:
+            break
+        k, _, v = line.partition(b": ")
+        headers[k.decode().lower()] = v.decode()
+    want_accept = base64.b64encode(hashlib.sha1(
+        (key + WS_GUID).encode()).digest()).decode()
+    assert headers["sec-websocket-accept"] == want_accept
+
+    def read_frame():
+        hdr = rfile.read(2)
+        opcode = hdr[0] & 0x0F
+        n = hdr[1] & 0x7F
+        if n == 126:
+            n = int.from_bytes(rfile.read(2), "big")
+        elif n == 127:
+            n = int.from_bytes(rfile.read(8), "big")
+        return opcode, rfile.read(n)
+
+    got = []
+    while True:
+        opcode, payload = read_frame()
+        if opcode == WS_CLOSE:
+            assert payload[:2] == (1000).to_bytes(2, "big")
+            assert payload[2:] == b"bye!"
+            break
+        assert opcode == WS_TEXT
+        got.append(payload)
+    # close echo (client frames are masked; empty payload needs no mask
+    # bytes applied but the mask bit must be set)
+    sock.sendall(bytes([0x88, 0x80]) + os.urandom(4))
+    sock.close()
+    srv.close()
+    assert got == direct
