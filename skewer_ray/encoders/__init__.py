@@ -260,10 +260,29 @@ def encode_avro_str(rec: dict) -> str | None:
     return None if b is None else b.decode("latin-1")
 
 
+def encode_fullavro_str(rec: dict) -> str | None:
+    """FullMessage binary Avro (encoders/json.go:96-107), latin-1-carried."""
+    from .avro import encode_fullavro
+    b = encode_fullavro(rec)
+    return None if b is None else b.decode("latin-1")
+
+
+def encode_jsonavro(rec: dict) -> str | None:
+    """Avro JSON text of the SyslogMessage record (encoders/json.go:58-79)."""
+    from .avro import encode_jsonavro as f
+    return f(rec)
+
+
+def encode_fulljsonavro(rec: dict) -> str | None:
+    """Avro JSON text of the FullMessage envelope (encoders/json.go:109-132)."""
+    from .avro import encode_fulljsonavro as f
+    return f(rec)
+
+
 # Encoders whose string output carries raw bytes latin-1-mapped (one
 # codepoint per byte); wire lengths for these count CODEPOINTS, not
 # UTF-8 storage bytes (ADVICE r02 fanout finding).
-BINARY_ENCODERS = frozenset({"protobuf", "avro"})
+BINARY_ENCODERS = frozenset({"protobuf", "avro", "fullavro"})
 
 
 def frame_octet(payload: str, binary: bool = False) -> str:
@@ -300,6 +319,9 @@ ENCODERS = {
     "fulljson": encode_fulljson,
     "protobuf": encode_protobuf,
     "avro": encode_avro_str,
+    "fullavro": encode_fullavro_str,
+    "jsonavro": encode_jsonavro,
+    "fulljsonavro": encode_fulljsonavro,
     "file": encode_file,
     "gelf": encode_gelf,
 }

@@ -81,6 +81,31 @@ def encode_avro(rec: dict) -> bytes | None:
     return bytes(out)
 
 
+def encode_fullavro(rec: dict) -> bytes | None:
+    """FullMessage binary Avro (avro/fullmessage.avsc field order:
+    ClientAddr, SourceType, SourcePath, SourcePort:int, Uid, Fields).
+    Batch model: no client socket → ClientAddr/SourcePath empty,
+    SourcePort 0; SourceType carries the transcript role and Uid the
+    deterministic row uid (model/types.go:351-375 conversion)."""
+    inner = encode_avro(rec)
+    if inner is None:
+        return None
+    return (_string("") + _string(rec.get("role") or "") + _string("")
+            + _varint(0) + _string(rec.get("uid") or "") + inner)
+
+
+def decode_fullavro(buf: bytes) -> dict:
+    rec = {}
+    pos = 0
+    rec["ClientAddr"], pos = _read_string(buf, pos)
+    rec["SourceType"], pos = _read_string(buf, pos)
+    rec["SourcePath"], pos = _read_string(buf, pos)
+    rec["SourcePort"], pos = _read_varint(buf, pos)
+    rec["Uid"], pos = _read_string(buf, pos)
+    rec["Fields"] = decode_avro(buf[pos:])
+    return rec
+
+
 # --- matching reader (tests / avro-less consumers) -------------------------
 
 
@@ -126,3 +151,53 @@ def decode_avro(buf: bytes) -> dict:
     rec["Properties"], pos = _read_map(buf, pos, inner)
     assert pos == len(buf), "trailing bytes"
     return rec
+
+
+# --- textual (Avro JSON) variants — encoders/json.go:58-79,109-132 ---------
+#
+# The reference's ``jsonavro``/``fulljsonavro`` encoders run goavro's
+# TextualFromNative over NativeAvro() (model/types.go:280-301,365-375)
+# against avro/syslogmessage.avsc / avro/fullmessage.avsc. For this
+# all-string schema the Avro JSON encoding is a plain JSON object with
+# the record's fields; goavro iterates Go maps (random order), so like
+# every other map surface here the canonical choice is schema order for
+# record fields and sorted order for map keys — decode parity with the
+# binary form is what the tests pin.
+
+import json as _json
+
+
+def native_avro(rec: dict) -> dict:
+    """NativeAvro() (model/types.go:280-301): avro_fields + Properties,
+    in schema field order, maps sorted."""
+    out = dict(avro_fields(rec))
+    out["Properties"] = {k: dict(sorted(v.items())) for k, v in
+                         sorted(props_loads(rec["properties"]).items())}
+    return out
+
+
+def encode_jsonavro(rec: dict) -> str | None:
+    """Avro JSON text of the SyslogMessage record (syslogmessage.avsc)."""
+    return _json.dumps(native_avro(rec), separators=(",", ":"),
+                       ensure_ascii=False)
+
+
+def encode_fulljsonavro(rec: dict) -> str | None:
+    """Avro JSON text of the FullMessage envelope (fullmessage.avsc:
+    ClientAddr/SourceType/SourcePath/SourcePort/Uid/Fields). The batch
+    model has no client socket, so ClientAddr/SourcePath render empty
+    and SourcePort 0; SourceType carries the transcript role (the same
+    convention as encode_fulljson) and Uid the deterministic row uid."""
+    return _json.dumps({
+        "ClientAddr": "",
+        "SourceType": rec.get("role") or "",
+        "SourcePath": "",
+        "SourcePort": 0,
+        "Uid": rec.get("uid") or "",
+        "Fields": native_avro(rec),
+    }, separators=(",", ":"), ensure_ascii=False)
+
+
+def decode_jsonavro(text: str) -> dict:
+    """Matching textual reader (tests / avro-less consumers)."""
+    return _json.loads(text)

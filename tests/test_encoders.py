@@ -320,3 +320,43 @@ def test_framed_sink_through_fanout():
         assert rest.startswith("syslog ") and e.endswith("\n")
         n, payload = rest[7:].split(" ", 1)
         assert int(n) == len(payload[:-1].encode("utf-8"))
+
+
+def test_avro_textual_variants_roundtrip():
+    """jsonavro/fulljsonavro (encoders/json.go:58-79,109-132): Avro JSON
+    text whose parsed content equals the binary form's decode — the
+    4-entry avro family is complete and internally consistent."""
+    import json as _j
+
+    from skewer_ray.encoders import get_encoder
+    from skewer_ray.encoders.avro import (decode_avro, decode_fullavro,
+                                          encode_avro, encode_fullavro)
+
+    rec = {"facility": 4, "severity": 2,
+           "time_reported": 1700000000123456789, "time_generated": 0,
+           "hostname": "host01", "appname": "app", "procid": "12",
+           "msgid": "ID47", "message": "hello é 世界",
+           "properties": '{"d1":{"k":"v"},"d2":{"a":"b"}}',
+           "uid": "conv-1:7", "role": "tool"}
+
+    txt = get_encoder("jsonavro")(rec)
+    native = _j.loads(txt)
+    assert native == decode_avro(encode_avro(rec))
+
+    full_txt = get_encoder("fulljsonavro")(rec)
+    full = _j.loads(full_txt)
+    # fullmessage.avsc field set (model/types.go:365-375)
+    assert set(full) == {"ClientAddr", "SourceType", "SourcePath",
+                         "SourcePort", "Uid", "Fields"}
+    assert full["Uid"] == "conv-1:7" and full["SourceType"] == "tool"
+    assert full["Fields"] == native
+
+    # binary fullavro round-trips through its own reader and agrees
+    wire = encode_fullavro(rec)
+    back = decode_fullavro(wire)
+    assert back["Uid"] == "conv-1:7" and back["SourcePort"] == 0
+    assert back["Fields"] == native
+
+    # the registry serves the latin-1-carried binary form
+    s = get_encoder("fullavro")(rec)
+    assert s.encode("latin-1") == wire
