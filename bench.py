@@ -161,6 +161,15 @@ def run_once(sf_dir: str, num_cpus: int, flagship_only: bool,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / flag_sec, 1),
     }
+    if not flagship_only:
+        # the throughput-rises-with-scale signature in the artifact
+        # itself (VERDICT r03 #10): one warm + one timed flagship pass
+        # at sf1 (6M turns; excluded from the sf-dir total above)
+        sf1_sec, sf1_turns = bench_flagship("/root/testdata/sf1",
+                                            num_cpus, passes=1)
+        result["flagship_sf1_sec"] = round(sf1_sec, 3)
+        result["n_turns_sf1"] = sf1_turns
+        result["turns_per_sec_sf1"] = round(sf1_turns / sf1_sec, 1)
     import ray
     ray.shutdown()
     return result

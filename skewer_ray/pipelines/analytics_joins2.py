@@ -416,36 +416,33 @@ def q_tpch_q16(sf_dir: str):
                     .select(["s_suppkey"])
         good_ds = supp.map_batches(f_good, batch_format="pyarrow")
 
-    part = rd.read_parquet(f"{sf_dir}/part.parquet",
-                           columns=["p_partkey", "p_brand", "p_type",
-                                    "p_size"])
-    attrs: dict[int, tuple] = {}
-    for b in part.iter_batches(batch_format="pyarrow"):
-        t = b.filter(pc.not_equal(b["p_type"], Q16_EXCL_TYPE))
-        for r in t.to_pylist():
-            attrs[r["p_partkey"]] = (r["p_brand"], r["p_size"])
-    pset = pa.array(sorted(attrs), pa.int64())
-    import ray
-    attrs_ref = ray.put(attrs)
+    # part attributes ride a vectorized searchsorted gather against the
+    # broadcast filtered part side (no per-row dict lookups, no
+    # unbounded driver dict), with the _dim_join hash exchange as the
+    # over-budget fallback — the same probe rule as the supplier pulls
+    def f_part(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b["p_type"], Q16_EXCL_TYPE)) \
+                .select(["p_partkey", "p_brand", "p_size"])
+
+    part_ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                              columns=["p_partkey", "p_brand", "p_type",
+                                       "p_size"]) \
+                .map_batches(f_part, batch_format="pyarrow")
 
     line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                            columns=["l_partkey", "l_suppkey"])
     if good_ds is not None:
         line = _dim_join(line, good_ds, "l_suppkey", "s_suppkey", [])
+    line = _attach_dim(line, part_ds, "l_partkey", "p_partkey",
+                       ["p_brand", "p_size"])
 
     def pair_dedup(b: pa.Table) -> pa.Table:
-        m = pc.is_in(b["l_partkey"], value_set=pset)
         if bad_set is not None:
-            m = pc.and_(m, pc.invert(pc.is_in(b["l_suppkey"],
-                                              value_set=bad_set)))
-        b = b.filter(m)
-        from ..functions.decontam import _cached_get
-        amap = _cached_get(attrs_ref)
-        pk = b["l_partkey"].to_pylist()
-        t = pa.table({
-            "p_brand": pa.array([amap[k][0] for k in pk], pa.string()),
-            "p_size": pa.array([amap[k][1] for k in pk], pa.int64()),
-            "sk": b["l_suppkey"]})
+            b = b.filter(pc.invert(pc.is_in(b["l_suppkey"],
+                                            value_set=bad_set)))
+        t = pa.table({"p_brand": b["p_brand"],
+                      "p_size": pc.cast(b["p_size"], pa.int64()),
+                      "sk": b["l_suppkey"]})
         return t.group_by(["p_brand", "p_size", "sk"]).aggregate([])
 
     pairs = line.map_batches(pair_dedup, batch_format="pyarrow") \
