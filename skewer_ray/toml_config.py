@@ -257,6 +257,15 @@ def config_from_toml(text_or_path: str) -> PipelineConfig:
             encoder=fd.get("format", "file"),
             filename_tmpl=go_template_to_py(
                 fd.get("filename", "{appname}_{date}"))))
+    ed = data.get("elasticsearch_destination")
+    if ed:
+        # index_name_template default "skewer" (conf/defaults.go:63);
+        # per-item bulk acks via stages/esbulk.py
+        sinks.append(SinkConfig(
+            name="es", kind="es",
+            encoder=ed.get("format", "json"),
+            filename_tmpl=go_template_to_py(
+                ed.get("index_name_template", "skewer"))))
     if data.get("stderr_destination", {}).get("enabled"):
         sinks.append(SinkConfig(name="stderr", kind="stderr",
                                 encoder="json"))

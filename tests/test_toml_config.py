@@ -54,6 +54,10 @@ def Zed(raw):
 [file_destination]
   filename = "{{.Appname}}-{{.Hostname}}"
   format = "file"
+
+[elasticsearch_destination]
+  index_name_template = "logs-{{.Msgid}}"
+  format = "json"
 '''
 
 
@@ -70,8 +74,10 @@ def test_config_from_toml_structure():
     assert cfg.decoder_for_family[0].format == "rfc5424"
     assert cfg.decoder_for_family[1].format == "custom"
     assert cfg.decoder_for_family[1].custom_parser == "Zed"
-    assert [s.name for s in cfg.sinks] == ["kafka", "file"]
+    assert [s.name for s in cfg.sinks] == ["kafka", "file", "es"]
     assert cfg.sinks[1].filename_tmpl == "{appname}-{hostname}"
+    assert cfg.sinks[2].kind == "es"
+    assert cfg.sinks[2].filename_tmpl == "logs-{msgid}"
     # two sections → per-ConfId hook dict
     assert isinstance(cfg.hooks, dict) and 0 in cfg.hooks and 1 in cfg.hooks
 
