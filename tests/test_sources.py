@@ -309,3 +309,59 @@ def test_http_source_rejects_negative_content_length():
     assert resp.status == 400
     conn.close()
     src.close()
+
+
+def test_macos_log_stream_exec_source():
+    """Real process spawn + incremental JSON-array parse
+    (macoslogs.go:79-137): a stand-in 'log' emits the array framing in
+    dribbled chunks plus stderr noise; events come out as NDJSON lines
+    the macos decoder maps field-for-field."""
+    import json
+    import os
+    import stat
+    import sys
+    import tempfile
+
+    from skewer_ray.decoders import DecoderConfig, RecordBuilder, get_decoder
+    from skewer_ray.sources.macoslog import MacLogStreamSource
+
+    fake = os.path.join(tempfile.mkdtemp(), "fake_log")
+    with open(fake, "w") as fh:
+        fh.write(f"""#!{sys.executable}
+import sys, time
+assert sys.argv[1] == "stream" and "--style=json" in sys.argv
+assert "--level=info" in sys.argv and "--predicate=p1" in sys.argv
+print("noise on stderr", file=sys.stderr)
+sys.stdout.write("[")
+sys.stdout.flush()
+ev1 = ('{{"eventMessage":"hello","processImagePath":"/bin/app",'
+       '"processID":42,"timestamp":"2026-01-15 00:00:00.000000+0000",'
+       '"subsystem":"com.x","processUniqueID":7,"threadID":8,'
+       '"traceID":9,"activityID":10,"machTimestamp":11,'
+       '"senderProgramCounter":12}}')
+sys.stdout.write(ev1[:40])
+sys.stdout.flush()
+time.sleep(0.05)
+sys.stdout.write(ev1[40:] + ",")
+sys.stdout.flush()
+sys.stdout.write(ev1.replace("hello", "world") + "]")
+""")
+    os.chmod(fake, os.stat(fake).st_mode | stat.S_IEXEC)
+
+    errs = []
+    src = MacLogStreamSource(command=fake, level="info", predicate="p1",
+                             stderr_log=errs.append)
+    lines = list(src.stream_lines())
+    assert len(lines) == 2
+    assert errs == ["noise on stderr"]
+    msgs = [json.loads(x)["eventMessage"] for x in lines]
+    assert msgs == ["hello", "world"]
+
+    # the emitted NDJSON feeds the macos decoder (field-map parity)
+    b = RecordBuilder()
+    get_decoder(DecoderConfig(format="macos"))(
+        lines, [0] * len(lines), b, DecoderConfig(format="macos"))
+    assert b.message == ["hello", "world"]
+    assert b.appname == ["/bin/app", "/bin/app"]
+    assert b.procid == ["42", "42"]
+    assert b.parse_ok == [True, True]
