@@ -161,17 +161,27 @@ def run_once(sf_dir: str, num_cpus: int, flagship_only: bool,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / flag_sec, 1),
     }
-    if not flagship_only:
-        # the throughput-rises-with-scale signature in the artifact
-        # itself (VERDICT r03 #10): one warm + one timed flagship pass
-        # at sf1 (6M turns; excluded from the sf-dir total above)
-        sf1_sec, sf1_turns = bench_flagship("/root/testdata/sf1",
-                                            num_cpus, passes=1)
-        result["flagship_sf1_sec"] = round(sf1_sec, 3)
-        result["n_turns_sf1"] = sf1_turns
-        result["turns_per_sec_sf1"] = round(sf1_turns / sf1_sec, 1)
     import ray
     ray.shutdown()
+    if not flagship_only:
+        # the throughput-rises-with-scale signature in the artifact
+        # itself (VERDICT r03 #10): flagship at sf1 (6M turns) in a
+        # FRESH subprocess session — measured in-session after the
+        # 23-query suite the number degrades ~2× from accumulated
+        # object-store state, which would misreport the steady-state
+        # scaling signature (excluded from the sf-dir total above)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-run",
+             "--cpus", str(num_cpus), "--sf-dir", "/root/testdata/sf1",
+             "--passes", "2"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            sf1 = json.loads(lines[-1])
+            result["flagship_sf1_sec"] = sf1["queries"]["flagship"]
+            result["n_turns_sf1"] = sf1["n_turns"]
+            result["turns_per_sec_sf1"] = sf1["turns_per_sec"]
     return result
 
 
