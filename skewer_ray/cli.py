@@ -32,6 +32,53 @@ def _ensure_ray(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _config_fingerprint(path: str) -> str:
+    import hashlib
+    with open(path, "rb") as fh:
+        return hashlib.md5(fh.read()).hexdigest()
+
+
+def watch_run(input_dir: str, out_dir: str, config_path: str,
+              use_actors: bool = False, interval: float = 5.0,
+              max_passes: int = 0):
+    """Hot config reload, batch form (cmd/serve.go:700-733,788-827 +
+    consul/dynamicconf.go): loop resumable partitioned passes over the
+    input; between passes re-hash the TOML — a change rebuilds the
+    ENTIRE pipeline plan (hooks, decoders, sinks; the reference's
+    Reload() stops and restarts every controller), while the lineage
+    manifests carry completed partitions across plans (the role the
+    badger store plays across restarts). Returns the final per-
+    (sink,status) counts. Stops on SIGINT or after ``max_passes``."""
+    import time
+
+    from .state import run_partitioned
+    from .toml_config import config_from_toml
+
+    fp = None
+    config = None
+    n_pass = 0
+    metrics = None
+    while True:
+        new_fp = _config_fingerprint(config_path)
+        if new_fp != fp:
+            if fp is not None:
+                print(f"config changed ({fp[:8]} -> {new_fp[:8]}): "
+                      "rebuilding pipeline plan")
+            fp = new_fp
+            config = config_from_toml(config_path)
+        metrics = run_partitioned(input_dir, out_dir, config=config,
+                                  use_actors=use_actors)
+        n_pass += 1
+        if max_passes and n_pass >= max_passes:
+            break
+        try:
+            time.sleep(interval)
+        except KeyboardInterrupt:
+            break
+    return (metrics.groupby(["sink", "status"])["n"].sum()
+            .reset_index())
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="skewer_ray")
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -62,6 +109,19 @@ def main(argv=None):
                           "of delivering (skewer serve --test, "
                           "README.md:143-145)")
     run.add_argument("--test-rows", type=int, default=10)
+    run.add_argument("--watch", action="store_true",
+                     help="hot config reload, batch form (SIGHUP/Consul "
+                          "watch, cmd/serve.go:788-827): loop resumable "
+                          "passes, re-reading --config between passes; a "
+                          "changed config hash rebuilds the whole plan "
+                          "(the reference restarts every controller). "
+                          "Requires --config; implies --resume so "
+                          "partitions finished under the old plan are "
+                          "not redone")
+    run.add_argument("--watch-interval", type=float, default=5.0,
+                     help="seconds between watch passes")
+    run.add_argument("--watch-passes", type=int, default=0,
+                     help="stop after N passes (0 = until SIGINT)")
 
     retry = sub.add_parser("retry", help="re-dispatch rejected rows")
     retry.add_argument("--out", required=True)
@@ -126,6 +186,15 @@ def main(argv=None):
                         "appname", "topic", "filter_status", "message"]
                 print(rows[[c for c in cols if c in rows.columns]]
                       .to_string(index=False))
+                return 0
+            if args.watch:
+                if not args.config:
+                    ap.error("--watch requires --config")
+                agg = watch_run(args.input, args.out, args.config,
+                                use_actors=args.use_actors,
+                                interval=args.watch_interval,
+                                max_passes=args.watch_passes)
+                print(agg.to_string(index=False))
                 return 0
             if args.resume:
                 from .state import run_partitioned

@@ -188,3 +188,40 @@ def test_prometheus_metrics_export(tmp_path):
     assert text.count("# TYPE skw_routed_messages_total counter") == 1
     p = write_prometheus(str(tmp_path))
     assert open(p).read() == text
+
+
+def test_watch_run_hot_config_reload(tmp_path, monkeypatch, capsys):
+    """Batch SIGHUP (cmd/serve.go:788-827): watch_run re-hashes the TOML
+    between passes and rebuilds the pipeline plan exactly when the
+    config bytes change; unchanged passes reuse the loaded plan."""
+    import pandas as pd
+
+    import skewer_ray.cli as cli
+
+    cfg_path = tmp_path / "pipeline.toml"
+    cfg_path.write_text('[[syslog]]\n  port = 1514\n  format = "rfc5424"\n')
+
+    loads, runs = [], []
+    monkeypatch.setattr(
+        "skewer_ray.toml_config.config_from_toml",
+        lambda p: loads.append(p) or {"marker": len(loads)})
+
+    def fake_run(input_dir, out_dir, config=None, use_actors=False):
+        runs.append(config["marker"])
+        # rewrite the config after the FIRST pass → the third pass (the
+        # second re-hash) must rebuild
+        if len(runs) == 1:
+            cfg_path.write_text(
+                '[[syslog]]\n  port = 9999\n  format = "rfc3164"\n')
+        return pd.DataFrame({"sink": ["kafka"], "status": ["passing"],
+                             "n": [1]})
+
+    monkeypatch.setattr("skewer_ray.state.run_partitioned", fake_run)
+    agg = cli.watch_run("in", "out", str(cfg_path), interval=0.01,
+                        max_passes=3)
+    # pass 1 loads plan 1; pass 2 sees the changed hash → plan 2;
+    # pass 3 hash unchanged → plan 2 reused (no third load)
+    assert runs == [1, 2, 2]
+    assert len(loads) == 2
+    assert "rebuilding pipeline plan" in capsys.readouterr().out
+    assert list(agg.columns) == ["sink", "status", "n"]
