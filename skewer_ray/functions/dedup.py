@@ -133,6 +133,12 @@ def _doc_shingle_rows(batch: pa.Table) -> pa.Table:
     the full 3-word string (VERDICT r02 #3: the string form shipped
     ~4× the corpus text volume over the exchange).
 
+    Each row also carries ``keys``: ALL N_BANDS band-key digests as one
+    fixed 16·N_BANDS-byte binary (64 B). That lets the bucket worker
+    emit a pair only from its FIRST colliding band — every qualifying
+    pair is produced exactly once globally, so the old
+    groupby(doc_a, doc_b) dedup barrier disappears.
+
     The md5(f"{i}:{shingle}") component hashes are computed once per
     DISTINCT shingle in the batch (near-dup docs share almost all their
     shingles, so this cuts the dominant hashing cost proportionally to
@@ -149,24 +155,27 @@ def _doc_shingle_rows(batch: pa.Table) -> pa.Table:
                 hcache[s] = [hashlib.md5(f"{i}:".encode() + b).hexdigest()
                              for i in range(N_HASHES)]
                 idcache[s] = _shingle_hash64(s)
-    o_band, o_key, o_id, o_sh = [], [], [], []
+    o_band, o_key, o_id, o_sh, o_keys = [], [], [], [], []
     for d, sh in zip(ids, doc_sh):
         if not sh:
             continue
         rows = [hcache[s] for s in sh]
         sigs = [min(r[i] for r in rows) for i in range(N_HASHES)]
         keys = band_keys(sigs)
+        keys_bin = b"".join(bytes.fromhex(k) for k in keys)
         sh_arr = np.sort(np.array([idcache[s] for s in sh], np.int64))
         for b, k in enumerate(keys):
             o_band.append(b)
             o_key.append(k)
             o_id.append(d)
             o_sh.append(sh_arr)
+            o_keys.append(keys_bin)
     return pa.table({
         "band": pa.array(o_band, pa.int32()),
         "band_key": pa.array(o_key, pa.string()),
         "doc_id": pa.array(o_id, pa.int64()),
         "shingles": pa.array(o_sh, pa.large_list(pa.int64())),
+        "keys": pa.array(o_keys, pa.binary(16 * N_BANDS)),
     })
 
 
@@ -175,47 +184,83 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
     verification: (doc_a, doc_b, jaccard) for candidates sharing any
     band whose true shingle Jaccard ≥ threshold.
 
-    Shuffle key = (band, band_key): buckets are small by construction
-    (collisions ≈ near-dup clusters), so per-bucket pairing is cheap and
-    the final pair-dedup groupby only sees candidate pairs."""
+    ONE exchange end to end: rows keyed by (band, band_key) go through
+    ``grouped_by_bucket`` (crc32-bucketed co-grouping — one UDF call
+    per ~512th of the keyspace instead of one per LSH bucket, and no
+    per-group Python dispatch). Inside a bucket, runs of equal
+    (band, band_key) are found vectorized; ~all runs are singletons and
+    are skipped without materializing their shingle payloads. A pair is
+    emitted only from its FIRST colliding band (each row carries all
+    band digests), so no downstream pair-dedup groupby is needed —
+    r03's version spent a second sort barrier on that."""
+    from ..stages.buckets import grouped_by_bucket, run_starts
 
     rows = docs_ds.map_batches(_doc_shingle_rows, batch_format="pyarrow")
 
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+
     def bucket_pairs(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        # sorted int64 hash arrays; np.intersect1d merge instead of
-        # Python string-set ops
-        shs = [np.asarray(a, np.int64)
-               for a in batch["shingles"].to_pylist()]
+        n = len(batch)
+        if n == 0:
+            return empty
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("band", "ascending"), ("band_key", "ascending"),
+            ("doc_id", "ascending")])
+        t = batch.take(idx)
+        bands = t["band"].to_numpy(zero_copy_only=False)
+        kd = pc.dictionary_encode(t["band_key"].combine_chunks())
+        if isinstance(kd, pa.ChunkedArray):
+            kd = kd.combine_chunks()
+        kcodes = kd.indices.to_numpy(zero_copy_only=False)
+        starts = np.ones(n, dtype=bool)
+        starts[1:] = (bands[1:] != bands[:-1]) | (kcodes[1:] != kcodes[:-1])
+        run_id = np.cumsum(starts) - 1
+        counts = np.bincount(run_id)
+        multi = counts[run_id] >= 2
+        if not multi.any():
+            return empty
+        # materialize payloads ONLY for rows in multi-member runs
+        rows_idx = np.nonzero(multi)[0]
+        sub = t.take(pa.array(rows_idx, pa.int64()))
+        m = len(sub)
+        sub_bands = bands[rows_idx]
+        sub_runs = run_id[rows_idx]
+        ids = sub["doc_id"].to_numpy(zero_copy_only=False)
+        sh_col = sub["shingles"].combine_chunks()
+        offs = sh_col.offsets.to_numpy(zero_copy_only=False)
+        vals = sh_col.values.to_numpy(zero_copy_only=False)
+        keys_bin = sub["keys"].to_pylist()
         a_out, b_out, j_out = [], [], []
-        order = sorted(range(len(ids)), key=lambda i: ids[i])
-        for x in range(len(order)):
-            i = order[x]
-            si = shs[i]
-            for y in range(x + 1, len(order)):
-                jj = order[y]
-                sj = shs[jj]
-                inter = len(np.intersect1d(si, sj, assume_unique=True))
-                if not inter:
-                    continue
-                jac = inter / (len(si) + len(sj) - inter)
-                if jac >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[jj])
-                    j_out.append(round(jac, 6))
+        r_starts = np.nonzero(run_starts(sub_runs))[0]
+        r_ends = np.append(r_starts[1:], m)
+        for lo, hi in zip(r_starts, r_ends):
+            b = int(sub_bands[lo])
+            for x in range(lo, hi):
+                si = vals[offs[x]:offs[x + 1]]
+                kx = keys_bin[x]
+                for y in range(x + 1, hi):
+                    ky = keys_bin[y]
+                    # first-band ownership: skip if an earlier band
+                    # already collided for this pair
+                    if any(kx[16 * bb:16 * bb + 16] == ky[16 * bb:16 * bb + 16]
+                           for bb in range(b)):
+                        continue
+                    sj = vals[offs[y]:offs[y + 1]]
+                    inter = len(np.intersect1d(si, sj, assume_unique=True))
+                    if not inter:
+                        continue
+                    jac = inter / (len(si) + len(sj) - inter)
+                    if jac >= threshold:
+                        a_out.append(int(ids[x]))
+                        b_out.append(int(ids[y]))
+                        j_out.append(round(jac, 6))
         return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                          "doc_b": pa.array(b_out, pa.int64()),
                          "jaccard": pa.array(j_out, pa.float64())})
 
-    pairs = rows.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
-
-    # a pair can match in up to N_BANDS bands — keep one
-    def first(batch: pa.Table) -> pa.Table:
-        return batch.slice(0, 1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        first, batch_format="pyarrow")
+    return grouped_by_bucket(rows, bucket_pairs, key=["band", "band_key"])
 
 
 N_TRI_CHUNKS = 8
