@@ -50,9 +50,14 @@ def test_tokenizer_and_words():
 # ---------------------------------------------------------------------------
 
 def test_minhash_matches_bruteforce_at_high_jaccard(ray_session):
-    """LSH with 4 bands of 4 at J≈0.99 must find every brute-force pair."""
+    """LSH with 4 bands of 4 at J≈0.99 must find every brute-force pair,
+    and first-band ownership must emit each pair EXACTLY once (a pair
+    colliding in several bands is claimed only by its earliest band)."""
     from skewer_ray.pipelines.corpus import q_dedup_minhash, q_dedup_ngram
-    lsh = {(r["doc_a"], r["doc_b"]) for r in q_dedup_minhash(SF).take_all()}
+    lsh_rows = [(r["doc_a"], r["doc_b"])
+                for r in q_dedup_minhash(SF).take_all()]
+    lsh = set(lsh_rows)
+    assert len(lsh_rows) == len(lsh)  # no duplicate emissions
     bf = {(r["doc_a"], r["doc_b"]) for r in q_dedup_ngram(SF).take_all()}
     assert lsh == bf
     assert len(bf) > 0  # the corpus plants near-dup pairs
