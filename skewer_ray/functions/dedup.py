@@ -4,11 +4,16 @@ tables: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
 Scale shapes (what survives 100 TB):
 - exact / simhash / fingerprints: pure per-batch map + ONE small-key
   groupby (hash-partitioned; key cardinality ≈ distinct contents).
-- MinHash+LSH: per-batch signature map → shuffle keyed by (band,
-  band_key) — each bucket is tiny, pairs are emitted per bucket, and a
-  final pair-key groupby dedups across bands. No all-pairs anywhere.
+- MinHash+LSH: per-batch signature map → ONE crc32-bucketed exchange
+  keyed by (band, band_key); pairs are emitted inside buckets with
+  FIRST-colliding-band ownership (each row carries the digests of its
+  earlier bands), so no cross-band pair-dedup barrier exists. Per-task
+  memory is O(rows / n_buckets) — size ``n_buckets`` with the corpus
+  (see minhash_lsh_pairs). No all-pairs anywhere.
 - SimHash pairs: EXACT banded shuffle — pigeonhole over max_hamming+1
-  signature bit-bands (same shape as the MinHash band path).
+  signature bit-bands, same single-exchange first-band-ownership shape
+  (the full signature each row already ships decides ownership, so the
+  band path adds zero payload).
 - n-gram Jaccard and embedding-cosine pairs: EXACT all-pairs via
   triangle (block-nested) partitioning — every unordered pair meets in
   exactly one of B(B+1)/2 buckets; O(N·B) shuffle, no broadcast, no
@@ -133,10 +138,12 @@ def _doc_shingle_rows(batch: pa.Table) -> pa.Table:
     the full 3-word string (VERDICT r02 #3: the string form shipped
     ~4× the corpus text volume over the exchange).
 
-    Each row also carries ``keys``: ALL N_BANDS band-key digests as one
-    fixed 16·N_BANDS-byte binary (64 B). That lets the bucket worker
+    Each band-b row also carries ``keys``: the digests of its EARLIER
+    bands only (b·16 bytes, avg 24 B/row — band 0 ships none). Both
+    members of a colliding run share the same band, so the bucket
+    worker can check whether any earlier band already collided and
     emit a pair only from its FIRST colliding band — every qualifying
-    pair is produced exactly once globally, so the old
+    pair is produced exactly once globally, and the old
     groupby(doc_a, doc_b) dedup barrier disappears.
 
     The md5(f"{i}:{shingle}") component hashes are computed once per
@@ -162,38 +169,45 @@ def _doc_shingle_rows(batch: pa.Table) -> pa.Table:
         rows = [hcache[s] for s in sh]
         sigs = [min(r[i] for r in rows) for i in range(N_HASHES)]
         keys = band_keys(sigs)
-        keys_bin = b"".join(bytes.fromhex(k) for k in keys)
+        keys_raw = [bytes.fromhex(k) for k in keys]
         sh_arr = np.sort(np.array([idcache[s] for s in sh], np.int64))
         for b, k in enumerate(keys):
             o_band.append(b)
             o_key.append(k)
             o_id.append(d)
             o_sh.append(sh_arr)
-            o_keys.append(keys_bin)
+            o_keys.append(b"".join(keys_raw[:b]))
     return pa.table({
         "band": pa.array(o_band, pa.int32()),
         "band_key": pa.array(o_key, pa.string()),
         "doc_id": pa.array(o_id, pa.int64()),
         "shingles": pa.array(o_sh, pa.large_list(pa.int64())),
-        "keys": pa.array(o_keys, pa.binary(16 * N_BANDS)),
+        "keys": pa.array(o_keys, pa.binary()),
     })
 
 
-def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
+def minhash_lsh_pairs(docs_ds, threshold: float = 0.5,
+                      n_buckets: int | None = None):
     """MinHash+LSH near-duplicate pairs with in-bucket Jaccard
     verification: (doc_a, doc_b, jaccard) for candidates sharing any
     band whose true shingle Jaccard ≥ threshold.
 
     ONE exchange end to end: rows keyed by (band, band_key) go through
     ``grouped_by_bucket`` (crc32-bucketed co-grouping — one UDF call
-    per ~512th of the keyspace instead of one per LSH bucket, and no
-    per-group Python dispatch). Inside a bucket, runs of equal
+    per 1/n_buckets of the keyspace instead of one per LSH bucket, and
+    no per-group Python dispatch). Inside a bucket, runs of equal
     (band, band_key) are found vectorized; ~all runs are singletons and
     are skipped without materializing their shingle payloads. A pair is
-    emitted only from its FIRST colliding band (each row carries all
-    band digests), so no downstream pair-dedup groupby is needed —
-    r03's version spent a second sort barrier on that."""
-    from ..stages.buckets import grouped_by_bucket, run_starts
+    emitted only from its FIRST colliding band (each band-b row carries
+    its earlier bands' digests), so no downstream pair-dedup groupby is
+    needed — r03's version spent a second sort barrier on that.
+
+    Per-UDF-call memory is O(N_BANDS·N_docs·row_bytes / n_buckets), so
+    at large corpus size pass ``n_buckets`` ≈ N_BANDS·N_docs·row_bytes
+    / target_partition_bytes (row_bytes is dominated by the 8-byte
+    shingle hashes, ~8·shingles_per_doc); the default suits corpora up
+    to ~10⁷ docs at the 512-bucket default of grouped_by_bucket."""
+    from ..stages.buckets import N_BUCKETS, grouped_by_bucket, run_starts
 
     rows = docs_ds.map_batches(_doc_shingle_rows, batch_format="pyarrow")
 
@@ -214,8 +228,7 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
         if isinstance(kd, pa.ChunkedArray):
             kd = kd.combine_chunks()
         kcodes = kd.indices.to_numpy(zero_copy_only=False)
-        starts = np.ones(n, dtype=bool)
-        starts[1:] = (bands[1:] != bands[:-1]) | (kcodes[1:] != kcodes[:-1])
+        starts = run_starts(bands) | run_starts(kcodes)
         run_id = np.cumsum(starts) - 1
         counts = np.bincount(run_id)
         multi = counts[run_id] >= 2
@@ -237,15 +250,17 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
         r_ends = np.append(r_starts[1:], m)
         for lo, hi in zip(r_starts, r_ends):
             b = int(sub_bands[lo])
+            # split each row's earlier-band digests once per row, not
+            # once per pair inside the O(k²) loop
+            digs = [tuple(keys_bin[i][16 * bb:16 * bb + 16]
+                          for bb in range(b)) for i in range(lo, hi)]
             for x in range(lo, hi):
                 si = vals[offs[x]:offs[x + 1]]
-                kx = keys_bin[x]
+                dx = digs[x - lo]
                 for y in range(x + 1, hi):
-                    ky = keys_bin[y]
                     # first-band ownership: skip if an earlier band
                     # already collided for this pair
-                    if any(kx[16 * bb:16 * bb + 16] == ky[16 * bb:16 * bb + 16]
-                           for bb in range(b)):
+                    if any(a == c for a, c in zip(dx, digs[y - lo])):
                         continue
                     sj = vals[offs[y]:offs[y + 1]]
                     inter = len(np.intersect1d(si, sj, assume_unique=True))
@@ -260,7 +275,8 @@ def minhash_lsh_pairs(docs_ds, threshold: float = 0.5):
                          "doc_b": pa.array(b_out, pa.int64()),
                          "jaccard": pa.array(j_out, pa.float64())})
 
-    return grouped_by_bucket(rows, bucket_pairs, key=["band", "band_key"])
+    return grouped_by_bucket(rows, bucket_pairs, key=["band", "band_key"],
+                             n_buckets=n_buckets or N_BUCKETS)
 
 
 N_TRI_CHUNKS = 8
@@ -389,10 +405,16 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
     EXACT banded shuffle (the SimHash analogue of the MinHash band
     path): the 60-bit signature is split into ``max_hamming + 1``
     bit-bands; by pigeonhole any pair within max_hamming flips agrees
-    on at least one whole band, so shuffling by (band, band_value) and
-    pairing inside buckets finds every qualifying pair. A pair can
-    collide in several bands → final (doc_a, doc_b) groupby keeps one.
+    on at least one whole band. ONE crc32-bucketed exchange keyed by
+    (band, band_val): inside a bucket, runs of equal (band, band_val)
+    are segmented vectorized, and a pair is emitted only from its
+    FIRST agreeing band — ownership is decided from the full signatures
+    the rows already carry (``(xor >> offset) & mask == 0`` per earlier
+    band, ≤ max_hamming vector ops), so removing the old
+    (doc_a, doc_b) dedup groupby costs zero extra exchange bytes.
     Nothing broadcasts or materializes the signature table."""
+    from ..stages.buckets import grouped_by_bucket, run_starts
+
     n_bands = max_hamming + 1
     width = 60 // n_bands
     widths = [width + (1 if b < 60 % n_bands else 0) for b in range(n_bands)]
@@ -403,44 +425,65 @@ def simhash_pairs(docs_ds, max_hamming: int = 3):
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
         sigs = np.asarray(batch["simhash"].to_pylist(), dtype=np.int64)
-        o_band, o_val, o_id, o_sig = [], [], [], []
-        for b in range(n_bands):
-            vals = (sigs >> offsets[b]) & ((1 << widths[b]) - 1)
-            o_band.extend([b] * len(ids))
-            o_val.extend(int(v) for v in vals)
-            o_id.extend(int(i) for i in ids)
-            o_sig.extend(int(s) for s in sigs)
-        return pa.table({"band": pa.array(o_band, pa.int32()),
+        n = len(ids)
+        o_band = np.repeat(np.arange(n_bands, dtype=np.int32), n)
+        o_val = np.concatenate(
+            [(sigs >> offsets[b]) & ((1 << widths[b]) - 1)
+             for b in range(n_bands)]) if n else np.empty(0, np.int64)
+        return pa.table({"band": pa.array(o_band),
                          "band_val": pa.array(o_val, pa.int64()),
-                         "doc_id": pa.array(o_id, pa.int64()),
-                         "simhash": pa.array(o_sig, pa.int64())})
+                         "doc_id": pa.array(np.tile(ids, n_bands)),
+                         "simhash": pa.array(np.tile(sigs, n_bands))})
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
 
     def bucket_pairs(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
-        sigs = np.asarray(batch["simhash"].to_pylist(), dtype=np.int64)
-        order = np.argsort(ids)
-        ids, sigs = ids[order], sigs[order]
+        n = len(batch)
+        if n == 0:
+            return empty
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("band", "ascending"), ("band_val", "ascending"),
+            ("doc_id", "ascending")])
+        t = batch.take(idx)
+        bands = t["band"].to_numpy(zero_copy_only=False)
+        bvals = t["band_val"].to_numpy(zero_copy_only=False)
+        starts = run_starts(bands) | run_starts(bvals)
+        run_id = np.cumsum(starts) - 1
+        counts = np.bincount(run_id)
+        multi = counts[run_id] >= 2
+        if not multi.any():
+            return empty
+        rows_idx = np.nonzero(multi)[0]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[rows_idx]
+        sigs = t["simhash"].to_numpy(zero_copy_only=False)[rows_idx]
+        sub_bands = bands[rows_idx]
+        sub_runs = run_id[rows_idx]
         a_out, b_out, h_out = [], [], []
-        for x in range(len(ids)):
-            ham = _popcount64(np.bitwise_xor(sigs[x + 1:], sigs[x]))
-            ok = np.nonzero(ham <= max_hamming)[0]
-            for d in ok:
-                a_out.append(int(ids[x]))
-                b_out.append(int(ids[x + 1 + d]))
-                h_out.append(int(ham[d]))
+        r_starts = np.nonzero(run_starts(sub_runs))[0]
+        r_ends = np.append(r_starts[1:], len(rows_idx))
+        for lo, hi in zip(r_starts, r_ends):
+            b = int(sub_bands[lo])
+            for x in range(lo, hi):
+                xors = np.bitwise_xor(sigs[x + 1:hi], sigs[x])
+                # first-band ownership: drop pairs that already agreed
+                # on an earlier band
+                own = np.ones(len(xors), dtype=bool)
+                for bb in range(b):
+                    own &= ((xors >> offsets[bb])
+                            & ((1 << widths[bb]) - 1)) != 0
+                ham = _popcount64(xors)
+                for d in np.nonzero(own & (ham <= max_hamming))[0]:
+                    a_out.append(int(ids[x]))
+                    b_out.append(int(ids[x + 1 + d]))
+                    h_out.append(int(ham[d]))
         return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                          "doc_b": pa.array(b_out, pa.int64()),
                          "hamming": pa.array(h_out, pa.int64())})
 
-    pairs = (sigs_ds.map_batches(band_rows, batch_format="pyarrow")
-             .groupby(["band", "band_val"])
-             .map_groups(bucket_pairs, batch_format="pyarrow"))
-
-    def first(batch: pa.Table) -> pa.Table:
-        return batch.slice(0, 1)
-
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        first, batch_format="pyarrow")
+    rows = sigs_ds.map_batches(band_rows, batch_format="pyarrow")
+    return grouped_by_bucket(rows, bucket_pairs, key=["band", "band_val"])
 
 
 def embedding_dup_pairs(emb_ds, threshold: float = 0.45,
