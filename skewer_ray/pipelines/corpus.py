@@ -733,6 +733,123 @@ def q_dup_span_fraction(sf_dir: str):
                              coalesce=False)
 
 
+def q_dedup_spans_removed(sf_dir: str):
+    """Exact substring deduplication (the removal pass of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    word-granular): every word covered by a ``SPAN_K``-word span that
+    occurs ≥2 times GLOBALLY (within- or cross-document, every
+    occurrence counted) is removed, and the cleaned text is rebuilt
+    from the surviving words. Complements ``dup_span_fraction`` (which
+    only measures the signal). Output per doc with ≥1 word:
+    (doc_id, n_words, n_removed, clean_text) — clean_text is
+    whitespace-normalized lowercase, the same word model the span
+    detection runs on.
+
+    Shape: map-only explode to (doc_id, start_pos, g) rows — one row
+    per span OCCURRENCE (not distinct-per-doc: within-doc repeats are
+    duplicates too), g = the int64 identity hash of the span string
+    (``dedup._shingle_hash64``; ~2⁻⁶⁴ false-dup caveat as in
+    dup_span_fraction, 8 B/row through the exchange). ONE g-keyed
+    bucket groupby finds runs with ≥2 occurrences and emits only the
+    (doc_id, start_pos) of duplicated occurrences; those partials are
+    UNIONed with the docs table and co-grouped by doc_id (the
+    repartition-join pattern), where a vectorized difference-array
+    scan (+1 at start, -1 at start+K, cumsum > 0) marks covered word
+    positions and the join rebuilds the text. No all-pairs, no
+    broadcast, no driver materialization; a viral span costs one row
+    per occurrence, never quadratic."""
+    from ..functions.dedup import _shingle_hash64
+    from ..functions.textstats import norm_words
+    from ..stages.buckets import grouped_by_bucket, run_starts
+
+    def explode(batch: pa.Table) -> pa.Table:
+        docs, poss, grams = [], [], []
+        hcache: dict[str, int] = {}
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            ws = norm_words(t)
+            for i in range(len(ws) - SPAN_K + 1):
+                s = " ".join(ws[i:i + SPAN_K])
+                h = hcache.get(s)
+                if h is None:
+                    h = hcache[s] = _shingle_hash64(s)
+                docs.append(d)
+                poss.append(i)
+                grams.append(h)
+        return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                         "pos": pa.array(poss, pa.int64()),
+                         "g": pa.array(grams, pa.int64())})
+
+    spans = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+    dup_empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+
+    def dup_occurrences(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return dup_empty
+        idx = pc.sort_indices(b, sort_keys=[("g", "ascending")])
+        t = b.take(idx)
+        g = t["g"].to_numpy(zero_copy_only=False)
+        starts = run_starts(g)
+        run_id = np.cumsum(starts) - 1
+        dup = np.bincount(run_id)[run_id] >= 2
+        sub = t.take(pa.array(np.nonzero(dup)[0], pa.int64()))
+        return sub.select(["doc_id", "pos"])
+
+    covered = grouped_by_bucket(spans, dup_occurrences, key="g")
+
+    # repartition join: tag both sides, union, co-group by doc_id
+    def tag_cov(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "pos": b["pos"],
+                         "text": pa.nulls(len(b), pa.string())})
+
+    def tag_docs(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "pos": pa.nulls(len(b), pa.int64()),
+                         "text": b["text"]})
+
+    unioned = covered.map_batches(tag_cov, batch_format="pyarrow").union(
+        _docs(sf_dir).map_batches(tag_docs, batch_format="pyarrow"))
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = b["pos"].to_numpy(zero_copy_only=False)
+        is_doc = np.array([t is not None for t in texts], dtype=bool)
+        starts_by_doc: dict[int, list[int]] = {}
+        for d, p in zip(ids[~is_doc], pos[~is_doc]):
+            starts_by_doc.setdefault(int(d), []).append(int(p))
+        o_id, o_n, o_rm, o_txt = [], [], [], []
+        for d, t in zip(ids[is_doc], [t for t in texts if t is not None]):
+            ws = norm_words(t)
+            n = len(ws)
+            if n == 0:
+                continue
+            st = starts_by_doc.get(int(d))
+            if st:
+                diff = np.zeros(n + 1, np.int64)
+                sa = np.asarray(st, np.int64)
+                np.add.at(diff, sa, 1)
+                np.add.at(diff, sa + SPAN_K, -1)
+                keep = np.cumsum(diff[:n]) == 0
+                n_rm = int(n - keep.sum())
+                clean = " ".join(w for w, k in zip(ws, keep) if k)
+            else:
+                n_rm = 0
+                clean = " ".join(ws)
+            o_id.append(int(d))
+            o_n.append(n)
+            o_rm.append(n_rm)
+            o_txt.append(clean)
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "n_words": pa.array(o_n, pa.int64()),
+                         "n_removed": pa.array(o_rm, pa.int64()),
+                         "clean_text": pa.array(o_txt, pa.string())})
+
+    return grouped_by_bucket(unioned, rebuild, key="doc_id")
+
+
 LM_MIN_COUNT = 20   # emit bigrams seen at least this often
 
 
@@ -1289,6 +1406,7 @@ QUERIES = {
     "bigram_lm": q_bigram_lm,
     "bloom_decontam": q_bloom_decontam,
     "dup_span_fraction": q_dup_span_fraction,
+    "dedup_spans_removed": q_dedup_spans_removed,
     "distinct_terms_lang": q_distinct_terms_lang,
     "shard_docs": q_shard_docs,
     "ann_range": q_ann_range,

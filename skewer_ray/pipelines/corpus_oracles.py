@@ -790,6 +790,37 @@ SELECT t.doc_id, t.n_grams, coalesce(c.n_shared, 0) AS n_shared,
        coalesce(c.n_shared, 0) * 1000000 // t.n_grams AS shared_ppm
 FROM tot t LEFT JOIN cnt c ON t.doc_id = c.doc_id"""
 
+    # exact substring dedup removal (Lee et al. 2022, word-granular):
+    # drop words covered by any 5-word span occurring >= 2 times
+    # globally (every occurrence, within- or cross-doc); rebuild the
+    # normalized text from survivors. Docs with >= 1 word only.
+    q["dedup_spans_removed"] = _W + """,
+p AS (
+  SELECT doc_id, words, unnest(range(0, len(words) - 4)) AS i
+  FROM w WHERE len(words) >= 5),
+s AS (
+  SELECT doc_id, i,
+         words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] || ' '
+         || words[i+4] || ' ' || words[i+5] AS g
+  FROM p),
+dup AS (SELECT g FROM s GROUP BY g HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.i + off.o AS pos
+  FROM s JOIN dup USING (g),
+       (SELECT unnest(range(0, 5)) AS o) off),
+wp AS (
+  SELECT doc_id, unnest(words) AS wd,
+         unnest(range(0, len(words))) AS pos
+  FROM w WHERE len(words) >= 1)
+SELECT wp.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(count(*) FILTER (WHERE cov.pos IS NOT NULL) AS BIGINT)
+         AS n_removed,
+       coalesce(string_agg(wp.wd, ' ' ORDER BY wp.pos)
+                  FILTER (WHERE cov.pos IS NULL), '') AS clean_text
+FROM wp LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.pos = cov.pos
+GROUP BY wp.doc_id"""
+
     # bigram LM counts: P(w2|w1) as integer ppm (floor), denominators
     # over ALL bigrams of w1, emitted rows filtered to n >= 20
     q["bigram_lm"] = _W + """,

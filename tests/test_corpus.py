@@ -697,6 +697,36 @@ def test_dup_span_fraction_vs_bruteforce(ray_session):
     assert any(v[2] > 500_000 for v in got.values())  # planted dups
 
 
+def test_dedup_spans_removed_vs_bruteforce(ray_session):
+    """Cleaned texts match a direct global-occurrence-count removal,
+    and the planted near-dup docs actually lose words."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+    from skewer_ray.pipelines.corpus import SPAN_K, q_dedup_spans_removed
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    words = {d: norm_words(txt) for d, txt in
+             zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    occ = Counter(" ".join(ws[i:i + SPAN_K])
+                  for ws in words.values()
+                  for i in range(len(ws) - SPAN_K + 1))
+    got = {r["doc_id"]: r for r in q_dedup_spans_removed(SF).take_all()}
+    assert set(got) == {d for d, ws in words.items() if ws}
+    for d, ws in words.items():
+        if not ws:
+            continue
+        keep = [True] * len(ws)
+        for i in range(len(ws) - SPAN_K + 1):
+            if occ[" ".join(ws[i:i + SPAN_K])] >= 2:
+                keep[i:i + SPAN_K] = [False] * SPAN_K
+        exp_clean = " ".join(w for w, k in zip(ws, keep) if k)
+        r = got[d]
+        assert (r["n_words"], r["n_removed"], r["clean_text"]) == \
+            (len(ws), len(ws) - sum(keep), exp_clean)
+    assert any(r["n_removed"] > 0 for r in got.values())  # planted dups
+
+
 def test_merge_topk_distributed_path_parity(ray_session, monkeypatch):
     """Forcing the tree-reduce tail over the driver threshold exercises
     the query_id-bucketed distributed merge; results must be identical
