@@ -592,6 +592,59 @@ def embedding_lsh_pairs(emb_ds, threshold: float = 0.45,
                                              batch_format="pyarrow")
 
 
+def semdedup(emb_ds, threshold: float = 0.45):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): semantic dedup of an
+    embedding table by in-CLUSTER cosine similarity. The ``label``
+    column is the cluster assignment (here the table's label; at scale
+    a trained k-means cell, exactly the coarse quantizer ivf_topk
+    uses) — the clustering is what makes the op subquadratic: pairwise
+    similarity is only ever computed within a cluster, so the work is
+    Σ|cluster|² and nothing all-pairs touches the full table.
+
+    Keep rule (deterministic; the paper keeps one exemplar per
+    semantic-duplicate set): a vector is REMOVED iff some vector with a
+    SMALLER vec_id in the same cluster has round(cosine, 6) ≥
+    threshold. Output one row per vector: (vec_id, label, kept 0/1).
+
+    Shape: ONE label-keyed crc32-bucketed exchange; inside a bucket,
+    label runs are segmented vectorized and each run does one float64
+    matmul (O(|cluster|²) — size clusters via the k of the upstream
+    k-means, |cluster| ≈ N/k). No broadcast, no driver
+    materialization."""
+    from ..stages.buckets import grouped_by_bucket, run_starts
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64()),
+                      "kept": pa.array([], pa.int64())})
+
+    def cluster_keep(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return empty
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("label", "ascending"), ("vec_id", "ascending")])
+        t = batch.take(idx)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        kept = np.ones(len(ids), dtype=np.int64)
+        r_starts = np.nonzero(run_starts(labels))[0]
+        r_ends = np.append(r_starts[1:], len(ids))
+        for lo, hi in zip(r_starts, r_ends):
+            if hi - lo < 2:
+                continue
+            sims = np.round(mat[lo:hi] @ mat[lo:hi].T, 6)
+            dup = (np.triu(sims >= threshold, k=1)).any(axis=0)
+            kept[lo:hi][dup] = 0
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "label": pa.array(labels, pa.int64()),
+                         "kept": pa.array(kept, pa.int64())})
+
+    rows = emb_ds.select_columns(["vec_id", "label", "embedding"])
+    return grouped_by_bucket(rows, cluster_keep, key="label")
+
+
 CC_SMALL_GRAPH_MAX = 100_000  # edges; below → driver union-find
 
 

@@ -234,6 +234,18 @@ def q_dedup_embedding_lsh(sf_dir: str):
     return embedding_lsh_pairs(_emb(sf_dir), threshold=COSINE_THRESHOLD)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup: within-cluster (label) cosine ≥
+    threshold removes every vector with an earlier (smaller-vec_id)
+    similar neighbor; one label-keyed bucketed exchange, per-cluster
+    matmul (Σ|cluster|² work — the clustering is the subquadratic
+    lever). Exact SQL mirror in corpus_oracles.py "semdedup"."""
+    from ..functions.dedup import semdedup
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+    return semdedup(ds, threshold=COSINE_THRESHOLD)
+
+
 def q_ann_topk(sf_dir: str):
     return brute_force_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
 
@@ -1393,6 +1405,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "semdedup": q_semdedup,
     "sample_docs": q_sample_docs,
     "cap_per_source": q_cap_per_source,
     "chunk_docs": q_chunk_docs,

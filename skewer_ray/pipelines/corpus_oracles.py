@@ -227,6 +227,20 @@ JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 6) >= 0.45"""
 
+    # SemDeDup: within-cluster (label) semantic dedup — a vector is
+    # removed iff an earlier (smaller vec_id) vector in its cluster has
+    # round(cosine, 6) >= 0.45
+    q["semdedup"] = """
+SELECT v.vec_id, v.label,
+       CAST(CASE WHEN EXISTS (
+         SELECT 1 FROM embeddings u
+         WHERE u.label = v.label AND u.vec_id < v.vec_id
+           AND round(list_cosine_similarity(u.embedding::DOUBLE[],
+                                            v.embedding::DOUBLE[]), 6)
+               >= 0.45)
+       THEN 0 ELSE 1 END AS BIGINT) AS kept
+FROM embeddings v"""
+
     q["ann_topk"] = """
 WITH qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
             FROM embeddings WHERE vec_id < 10),

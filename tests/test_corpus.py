@@ -697,6 +697,38 @@ def test_dup_span_fraction_vs_bruteforce(ray_session):
     assert any(v[2] > 500_000 for v in got.values())  # planted dups
 
 
+def test_semdedup_vs_bruteforce(ray_session):
+    """Within-cluster keep flags match a direct all-pairs check.
+
+    Runs at sf0.01: the sf0.001 slice's planted near-dup pairs all
+    straddle labels, so only sf0.01 exercises the removal path (2
+    within-label pairs)."""
+    import pyarrow.parquet as pq
+    from skewer_ray.pipelines.corpus import COSINE_THRESHOLD, q_semdedup
+
+    sf = "/root/testdata/sf0.01"
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "label", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    labels = np.asarray(t["label"].to_pylist(), np.int64)
+    mat = np.array(t["embedding"].to_pylist(), np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, labels, mat = ids[order], labels[order], mat[order]
+    exp = {}
+    for lb in np.unique(labels):
+        m = labels == lb
+        li, lm = ids[m], mat[m]
+        sims = np.round(lm @ lm.T, 6)
+        dup = np.triu(sims >= COSINE_THRESHOLD, k=1).any(axis=0)
+        for v, d in zip(li, dup):
+            exp[int(v)] = (int(lb), 0 if d else 1)
+    got = {r["vec_id"]: (r["label"], r["kept"])
+           for r in q_semdedup(sf).take_all()}
+    assert got == exp
+    assert sum(1 for _, k in got.values() if k == 0) > 0  # planted dups
+
+
 def test_dedup_spans_removed_vs_bruteforce(ray_session):
     """Cleaned texts match a direct global-occurrence-count removal,
     and the planted near-dup docs actually lose words."""
