@@ -412,6 +412,96 @@ def _hist_quantile(acc: dict[int, int], p: float) -> int:
     return 0
 
 
+DSIR_N_FEAT = 1024       # hashed-unigram feature buckets
+DSIR_TARGET_LANG = "en"  # target domain = the corpus' English slice
+
+
+def _dsir_bucket(w: str, n_feat: int = DSIR_N_FEAT) -> int:
+    """Hashed-ngram feature index: md5(word)[:8 hex] mod n_feat —
+    md5 so the DuckDB oracle replicates the bucketing bit-for-bit."""
+    return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % n_feat
+
+
+def dsir_scores(docs_ds, target_lang: str = DSIR_TARGET_LANG,
+                n_feat: int = DSIR_N_FEAT):
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"), exact-integer variant:
+    score every document by how much more likely its hashed-unigram
+    bag is under the TARGET domain's unigram model (here: the corpus'
+    ``target_lang`` slice) than under the SOURCE model (the whole
+    corpus). Output one row per doc with ≥1 word:
+    (doc_id, dsir_score, kept = score > 0).
+
+    Instead of the paper's float log-likelihood ratio, both models are
+    Laplace-smoothed integer parts-per-million —
+    ``ppm(f) = (count_f + 1)·10⁶ // (total + n_feat)`` — and the score
+    is Σ over word occurrences of (ppm_target − ppm_source): exact
+    int64 arithmetic, so the DuckDB oracle matches bit-for-bit (never
+    compare floating log-sums across engines).
+
+    Shape (the decontam.py broadcast pattern): pass 1 folds per-batch
+    bucket-count partials into two n_feat-long vectors (the exchange is
+    ≤ n_feat rows per batch — bounded by the feature space, never the
+    corpus); the ppm-difference vector is ``ray.put`` ONCE and scoring
+    is a pure map over the docs — no shuffle touches the text. Two
+    corpus scans total (model fit, then scoring), inherent to DSIR."""
+    import ray
+
+    from .textstats import norm_words
+
+    def partial(b: pa.Table) -> pa.Table:
+        tgt = np.zeros(n_feat, np.int64)
+        src = np.zeros(n_feat, np.int64)
+        cache: dict[str, int] = {}
+        for lg, t in zip(b["lang"].to_pylist(), b["text"].to_pylist()):
+            ws = norm_words(t)
+            if not ws:
+                continue
+            bk = np.array([cache.setdefault(w, _dsir_bucket(w, n_feat))
+                           for w in ws], np.int64)
+            cnt = np.bincount(bk, minlength=n_feat)
+            src += cnt
+            if lg == target_lang:
+                tgt += cnt
+        nz = np.nonzero(src)[0]
+        return pa.table({"b": pa.array(nz, pa.int64()),
+                         "tgt": pa.array(tgt[nz], pa.int64()),
+                         "src": pa.array(src[nz], pa.int64())})
+
+    tgt = np.zeros(n_feat, np.int64)
+    src = np.zeros(n_feat, np.int64)
+    parts = docs_ds.select_columns(["lang", "text"]) \
+        .map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        idx = b["b"].to_numpy(zero_copy_only=False)
+        np.add.at(tgt, idx, b["tgt"].to_numpy(zero_copy_only=False))
+        np.add.at(src, idx, b["src"].to_numpy(zero_copy_only=False))
+    ppm_t = (tgt + 1) * 1_000_000 // (int(tgt.sum()) + n_feat)
+    ppm_s = (src + 1) * 1_000_000 // (int(src.sum()) + n_feat)
+    diff_ref = ray.put(ppm_t - ppm_s)
+
+    def score(b: pa.Table) -> pa.Table:
+        diff = ray.get(diff_ref)
+        cache: dict[str, int] = {}
+        o_id, o_sc = [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            ws = norm_words(t)
+            if not ws:
+                continue
+            bk = np.array([cache.setdefault(w, _dsir_bucket(w, n_feat))
+                           for w in ws], np.int64)
+            o_id.append(d)
+            o_sc.append(int(diff[bk].sum()))
+        sc = np.array(o_sc, np.int64)
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "dsir_score": pa.array(sc, pa.int64()),
+                         "kept": pa.array((sc > 0).astype(np.int64),
+                                          pa.int64())})
+
+    return docs_ds.select_columns(["doc_id", "text"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
 def quality_filter_docs(docs_ds, p: float = QUALITY_P,
                         scale: int = QUALITY_SCALE):
     """Keep documents at or above the global p-th quantile of the

@@ -234,6 +234,17 @@ def q_dedup_embedding_lsh(sf_dir: str):
     return embedding_lsh_pairs(_emb(sf_dir), threshold=COSINE_THRESHOLD)
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR importance-resampling selection (integer-ppm variant):
+    hashed-unigram models of the lang='en' target slice vs the whole
+    corpus, per-doc Σ(ppm_t − ppm_s) score, kept = score > 0. Exact SQL
+    mirror in corpus_oracles.py "dsir_select"."""
+    from ..functions.curation import dsir_scores
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    return dsir_scores(ds)
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup semantic dedup: within-cluster (label) cosine ≥
     threshold removes every vector with an earlier (smaller-vec_id)
@@ -1406,6 +1417,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "semdedup": q_semdedup,
+    "dsir_select": q_dsir_select,
     "sample_docs": q_sample_docs,
     "cap_per_source": q_cap_per_source,
     "chunk_docs": q_chunk_docs,
@@ -1473,6 +1485,8 @@ def bench_subset():
         ("ann_topk", q_ann_topk),
         ("dedup_clusters", q_dedup_clusters),
         ("rank_docs", q_rank_docs),
+        ("dedup_spans_removed", q_dedup_spans_removed),
+        ("semdedup", q_semdedup),
         ("inverted_index", q_inverted_index),
         ("curated_docs", q_curated_docs),
         ("pagerank_tools", q_pagerank_tools),

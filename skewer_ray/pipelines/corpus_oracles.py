@@ -227,6 +227,32 @@ JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                    b.embedding::DOUBLE[]), 6) >= 0.45"""
 
+    # DSIR selection (integer-ppm importance weights): hashed-unigram
+    # (md5[:8] mod 1024) Laplace-ppm models of the lang='en' target
+    # slice vs the whole corpus; per-doc sum of (ppm_t - ppm_s) over
+    # all word occurrences, kept = score > 0. Docs with >= 1 word.
+    q["dsir_select"] = _W + """,
+tok AS (SELECT doc_id, unnest(words) AS t FROM w),
+f AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024 AS b
+      FROM tok),
+tgt AS (SELECT f.b, CAST(count(*) AS BIGINT) AS c
+        FROM f JOIN documents d ON f.doc_id = d.doc_id
+        WHERE d.lang = 'en' GROUP BY f.b),
+src AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY b),
+tt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS t FROM tgt),
+ss AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS s FROM src),
+ppm AS (SELECT s.b,
+               (coalesce(t.c, 0) + 1) * 1000000 // (tt.t + 1024) AS pt,
+               (s.c + 1) * 1000000 // (ss.s + 1024) AS ps
+        FROM src s LEFT JOIN tgt t ON s.b = t.b, tt, ss)
+SELECT f.doc_id,
+       CAST(sum(ppm.pt - ppm.ps) AS BIGINT) AS dsir_score,
+       CAST(CASE WHEN sum(ppm.pt - ppm.ps) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS kept
+FROM f JOIN ppm ON f.b = ppm.b
+GROUP BY f.doc_id"""
+
     # SemDeDup: within-cluster (label) semantic dedup — a vector is
     # removed iff an earlier (smaller vec_id) vector in its cluster has
     # round(cosine, 6) >= 0.45

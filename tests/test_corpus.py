@@ -697,6 +697,45 @@ def test_dup_span_fraction_vs_bruteforce(ray_session):
     assert any(v[2] > 500_000 for v in got.values())  # planted dups
 
 
+def test_dsir_select_vs_bruteforce(ray_session):
+    """Integer-ppm DSIR scores match a direct computation, and the
+    target-domain (en) docs score higher on average than the rest."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+    from skewer_ray.functions.curation import DSIR_N_FEAT, _dsir_bucket
+    from skewer_ray.pipelines.corpus import q_dsir_select
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "lang", "text"])
+    rows = list(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist(),
+                    t["text"].to_pylist()))
+    tgt, src = Counter(), Counter()
+    buckets = {}
+    for d, lg, txt in rows:
+        bs = [_dsir_bucket(w) for w in norm_words(txt)]
+        buckets[d] = bs
+        src.update(bs)
+        if lg == "en":
+            tgt.update(bs)
+    T, S = sum(tgt.values()), sum(src.values())
+    ppm = {b: (tgt.get(b, 0) + 1) * 1_000_000 // (T + DSIR_N_FEAT)
+              - (src[b] + 1) * 1_000_000 // (S + DSIR_N_FEAT)
+           for b in src}
+    got = {r["doc_id"]: (r["dsir_score"], r["kept"])
+           for r in q_dsir_select(SF).take_all()}
+    assert set(got) == {d for d, bs in buckets.items() if bs}
+    en_scores, other_scores = [], []
+    for d, lg, _ in rows:
+        bs = buckets[d]
+        if not bs:
+            continue
+        sc = sum(ppm[b] for b in bs)
+        assert got[d] == (sc, 1 if sc > 0 else 0)
+        (en_scores if lg == "en" else other_scores).append(sc / len(bs))
+    assert (sum(en_scores) / len(en_scores)
+            > sum(other_scores) / len(other_scores))
+
+
 def test_semdedup_vs_bruteforce(ray_session):
     """Within-cluster keep flags match a direct all-pairs check.
 
