@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trim_context": q.q_trim_context,
         # per-role-transition response-time stats (LAG(ts) OVER shape)
         "turn_latency": q.q_turn_latency,
+        # weighted sampling over a join without materializing the join
+        "weighted_join_sample": q.q_weighted_join_sample,
         # HDR-style log2-bucketed gap histogram (unbounded-domain path)
         "gap_hist": q.q_gap_hist,
         # market-basket tool-pair co-occurrence (bounded pair domain)

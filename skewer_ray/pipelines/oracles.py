@@ -366,6 +366,20 @@ FROM s GROUP BY split ORDER BY split"""
 
     # per-role-transition latency stats: exact integer µs end-to-end
     # (mean = floor-divided µs — no float rounding mode in play)
+    # weighted sample over turns ⋈ conv-size: keep iff
+    # h60(conv:turn)·32 < least(w,32)·2^60 (exact HUGEINT compare)
+    q["weighted_join_sample"] = f"""
+WITH t AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+         CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS w_conv
+  FROM read_parquet('{_tpath(sf_name)}'))
+SELECT conv_id, turn_idx, w_conv
+FROM t
+WHERE CAST(('0x' || substr(md5(conv_id || ':' ||
+                               CAST(turn_idx AS VARCHAR)), 1, 15))
+           AS BIGINT)::HUGEINT * 32
+      < least(w_conv, 32)::HUGEINT * 1152921504606846976::HUGEINT"""
+
     q["turn_latency"] = f"""
 WITH b AS (
   SELECT role AS to_role, epoch_us(ts) AS us,

@@ -772,6 +772,57 @@ def q_holdout_split(sf_dir: str):
         "n_turns": pa.array([acc[k][1] for k in ks], pa.int64())})
 
 
+WJS_CAP = 32  # weight cap ≈ the generator's max turns/conv (30)
+
+
+def q_weighted_join_sample(sf_dir: str):
+    """Weighted sampling over a JOIN without materializing the join
+    (the shape of "Streaming Weighted Sampling over Join Queries",
+    EDBT 2023): each turn is kept with probability proportional to its
+    conversation's turn count w — i.e. a weighted sample of
+    turns ⋈ conv-aggregate, where the aggregate side never exists as a
+    dataset. ONE conv-keyed bucketed exchange computes w INSIDE each
+    co-located group and flips a deterministic per-row md5 coin:
+    keep iff h60(conv:turn) · CAP < min(w, CAP) · 2⁶⁰ (exact integer
+    compare — h60 = first 15 md5 hex digits, CAP = 32 ≳ the corpus max
+    turns/conv, so keep probability is w/CAP). Membership is a pure
+    function of the row key: reproducible across engines,
+    partitionings and reruns. Output (conv_id, turn_idx, w_conv)."""
+    import hashlib
+
+    from ..stages.buckets import grouped_by_bucket, run_starts
+
+    ds = read_transcripts(sf_dir).select_columns(["conv_id", "turn_idx"])
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("conv_id", "ascending"), ("turn_idx", "ascending")])
+        t = batch.take(idx)
+        cd = pc.dictionary_encode(t["conv_id"].combine_chunks())
+        if isinstance(cd, pa.ChunkedArray):
+            cd = cd.combine_chunks()
+        codes = cd.indices.to_numpy(zero_copy_only=False)
+        run_id = np.cumsum(run_starts(codes)) - 1
+        w = np.minimum(np.bincount(run_id)[run_id], WJS_CAP).astype(
+            np.int64)
+        convs = t["conv_id"].to_pylist()
+        turns = t["turn_idx"].to_numpy(zero_copy_only=False)
+        rhs = (w.astype(object) << 60)  # exact Python ints, no overflow
+        keep = np.fromiter(
+            (int(hashlib.md5(f"{c}:{ti}".encode()).hexdigest()[:15], 16)
+             * WJS_CAP < r
+             for c, ti, r in zip(convs, turns, rhs)),
+            dtype=bool, count=len(convs))
+        out = pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+            "w_conv": pa.array(np.bincount(run_id)[run_id].astype(
+                np.int64), pa.int64())})
+        return out.filter(pa.array(keep))
+
+    return grouped_by_bucket(ds, per_bucket, key="conv_id")
+
+
 TRIM_BUDGET = 64  # tokens kept per conversation (suffix window)
 
 

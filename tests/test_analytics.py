@@ -177,6 +177,32 @@ def test_hash_join_fallback_matches_broadcast(name, ray_session,
     assert fast == slow
 
 
+def test_weighted_join_sample_vs_bruteforce(ray_session):
+    """Kept turn set equals the direct per-row coin computation, and
+    longer conversations keep a larger fraction of their turns."""
+    import hashlib
+    from skewer_ray.pipelines.flagship import read_transcripts
+    from skewer_ray.pipelines.queries import WJS_CAP, q_weighted_join_sample
+
+    src = read_transcripts(SF).to_pandas()[["conv_id", "turn_idx"]]
+    w = src.groupby("conv_id")["turn_idx"].transform("size")
+    coin = [int(hashlib.md5(f"{c}:{t}".encode()).hexdigest()[:15], 16)
+            for c, t in zip(src["conv_id"], src["turn_idx"])]
+    keep = [cn * WJS_CAP < min(int(ww), WJS_CAP) << 60
+            for cn, ww in zip(coin, w)]
+    exp = {(c, int(t), int(ww)) for c, t, ww, k in
+           zip(src["conv_id"], src["turn_idx"], w, keep) if k}
+    got = {(r["conv_id"], r["turn_idx"], r["w_conv"])
+           for r in q_weighted_join_sample(SF).take_all()}
+    assert got == exp
+    # weighting sanity: short convs (w < median) keep a smaller share
+    kept_by_conv = src.assign(k=keep).groupby("conv_id")["k"].mean()
+    w_by_conv = src.groupby("conv_id")["turn_idx"].size()
+    med = w_by_conv.median()
+    assert (kept_by_conv[w_by_conv < med].mean()
+            < kept_by_conv[w_by_conv >= med].mean())
+
+
 def test_trim_context_suffix_budget(ray_session):
     """Kept turns per conversation form the maximal suffix whose token
     sum fits the budget: every kept set is a contiguous tail of the
