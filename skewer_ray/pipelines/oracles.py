@@ -364,8 +364,6 @@ SELECT split, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
        CAST(count(*) AS BIGINT) AS n_turns
 FROM s GROUP BY split ORDER BY split"""
 
-    # per-role-transition latency stats: exact integer µs end-to-end
-    # (mean = floor-divided µs — no float rounding mode in play)
     # weighted sample over turns ⋈ conv-size: keep iff
     # h60(conv:turn)·32 < least(w,32)·2^60 (exact HUGEINT compare)
     q["weighted_join_sample"] = f"""
@@ -380,6 +378,8 @@ WHERE CAST(('0x' || substr(md5(conv_id || ':' ||
            AS BIGINT)::HUGEINT * 32
       < least(w_conv, 32)::HUGEINT * 1152921504606846976::HUGEINT"""
 
+    # per-role-transition latency stats: exact integer µs end-to-end
+    # (mean = floor-divided µs — no float rounding mode in play)
     q["turn_latency"] = f"""
 WITH b AS (
   SELECT role AS to_role, epoch_us(ts) AS us,
