@@ -933,6 +933,81 @@ def q_bigram_lm(sf_dir: str):
                              coalesce=False)
 
 
+CCNET_QK_SCALE = 100  # fluency_ppm // 100 → ≤10k histogram cells
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet-style fluency bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    score every doc with ≥2 words by its mean bigram conditional
+    probability under the corpus LM and split the corpus into
+    head / middle / tail terciles — CCNet's perplexity buckets, with
+    "fluent = high mean P(w2|w1)" replacing the float perplexity so the
+    whole chain is exact-integer and cross-engine stable.
+
+    fluency_ppm = Σ p_ppm(bigram) // n_bigrams, where p_ppm is
+    q_bigram_lm's floor-ppm conditional (bigrams below the
+    LM_MIN_COUNT=20 emission filter contribute 0 — the filter is also
+    what bounds the broadcast model at scale: heavy-hitter bigrams
+    only, never vocab²). Terciles come from a BOUNDED histogram of
+    qk = fluency_ppm // 100 (≤10⁴ cells regardless of corpus size,
+    partial counts combine map-side) index-selected with the shared
+    ``curation._hist_quantile`` rule = DuckDB quantile_disc. Three
+    passes: model fit (one bigram-keyed exchange), map-only scoring
+    against the ``ray.put`` model, bounded-histogram threshold +
+    map-only labeling. Nothing driver-side ever exceeds the model /
+    histogram bounds."""
+    import ray
+
+    from ..functions.curation import _hist_quantile
+    from ..functions.textstats import norm_words
+
+    model = {(r["w1"], r["w2"]): r["p_ppm"]
+             for r in q_bigram_lm(sf_dir).take_all()}
+    model_ref = ray.put(model)
+
+    def score(b: pa.Table) -> pa.Table:
+        lm = ray.get(model_ref)
+        o_id, o_fl = [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            ws = norm_words(t)
+            if len(ws) < 2:
+                continue
+            s = sum(lm.get((a, c), 0) for a, c in zip(ws[:-1], ws[1:]))
+            o_id.append(d)
+            o_fl.append(s // (len(ws) - 1))
+        fl = np.array(o_fl, np.int64)
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "fluency_ppm": pa.array(fl, pa.int64()),
+                         "qk": pa.array(fl // CCNET_QK_SCALE, pa.int64())})
+
+    scores = _docs(sf_dir).map_batches(
+        score, batch_format="pyarrow").materialize()
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"qk": b["qk"],
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by("qk").aggregate([("n", "sum")])
+
+    acc: dict[int, int] = {}
+    for b in scores.map_batches(hist, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            acc[r["qk"]] = acc.get(r["qk"], 0) + r["n_sum"]
+    t1 = _hist_quantile(acc, 1 / 3)
+    t2 = _hist_quantile(acc, 2 / 3)
+
+    def label(b: pa.Table) -> pa.Table:
+        qk = b["qk"].to_numpy(zero_copy_only=False)
+        buckets = np.where(qk > t2, "head",
+                           np.where(qk > t1, "middle", "tail"))
+        return pa.table({"doc_id": b["doc_id"],
+                         "fluency_ppm": b["fluency_ppm"],
+                         "bucket": pa.array(buckets.tolist(), pa.string())})
+
+    return scores.map_batches(label, batch_format="pyarrow")
+
+
 IDX_MIN_DF = 5      # index only terms in ≥ this many docs
 IDX_POSTINGS = 20   # bounded posting-list prefix per term
 
@@ -1429,6 +1504,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "weighted_sample": q_weighted_sample,
     "bigram_lm": q_bigram_lm,
+    "ccnet_buckets": q_ccnet_buckets,
     "bloom_decontam": q_bloom_decontam,
     "dup_span_fraction": q_dup_span_fraction,
     "dedup_spans_removed": q_dedup_spans_removed,

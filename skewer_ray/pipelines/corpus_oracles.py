@@ -876,6 +876,33 @@ SELECT g.w1, g.w2, g.n,
 FROM g JOIN t ON g.w1 = t.w1
 WHERE g.n >= 20"""
 
+    # CCNet-style fluency terciles: mean floor-ppm bigram conditional
+    # per doc (bigrams under the n>=20 filter contribute 0), buckets by
+    # quantile_disc terciles of qk = fluency_ppm // 100
+    q["ccnet_buckets"] = _W + """,
+b AS (
+  SELECT doc_id, words, unnest(range(0, len(words) - 1)) AS i
+  FROM w WHERE len(words) >= 2),
+pair AS (SELECT doc_id, words[i+1] AS w1, words[i+2] AS w2 FROM b),
+g AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+      FROM pair GROUP BY 1, 2),
+tot AS (SELECT w1, sum(n) AS t FROM g GROUP BY w1),
+lm AS (SELECT g.w1, g.w2, CAST(g.n * 1000000 // t.t AS BIGINT) AS p_ppm
+       FROM g JOIN tot t ON g.w1 = t.w1 WHERE g.n >= 20),
+sc AS (SELECT p.doc_id,
+              CAST(coalesce(sum(lm.p_ppm), 0) // count(*) AS BIGINT)
+                AS fluency_ppm
+       FROM pair p LEFT JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+       GROUP BY p.doc_id),
+k AS (SELECT doc_id, fluency_ppm, fluency_ppm // 100 AS qk FROM sc),
+t AS (SELECT quantile_disc(qk, 1.0/3) AS t1,
+             quantile_disc(qk, 2.0/3) AS t2 FROM k)
+SELECT doc_id, fluency_ppm,
+       CASE WHEN qk > t.t2 THEN 'head'
+            WHEN qk > t.t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM k, t"""
+
     # inverted index: df over ALL docs, posting list = first 20 doc_ids
     # ascending, terms with df ≥ 5 only
     q["inverted_index"] = _W + """,

@@ -697,6 +697,46 @@ def test_dup_span_fraction_vs_bruteforce(ray_session):
     assert any(v[2] > 500_000 for v in got.values())  # planted dups
 
 
+def test_ccnet_buckets_terciles(ray_session):
+    """Buckets are score-monotone terciles: every head doc outscores
+    (by qk cell) every middle doc, which outscores every tail doc, all
+    three are non-empty, and scores match a direct model computation
+    on a sample of docs."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+    from skewer_ray.pipelines.corpus import (CCNET_QK_SCALE, LM_MIN_COUNT,
+                                             q_ccnet_buckets)
+
+    rows = q_ccnet_buckets(SF).take_all()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(
+            r["fluency_ppm"] // CCNET_QK_SCALE)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert min(by_bucket["head"]) > max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) > max(by_bucket["tail"])
+
+    # direct model recomputation for every doc
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    words = {d: norm_words(txt) for d, txt in
+             zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    cnt = Counter((a, b) for ws in words.values()
+                  for a, b in zip(ws[:-1], ws[1:]))
+    tot = Counter()
+    for (a, _), n in cnt.items():
+        tot[a] += n
+    lm = {k: n * 1_000_000 // tot[k[0]] for k, n in cnt.items()
+          if n >= LM_MIN_COUNT}
+    got = {r["doc_id"]: r["fluency_ppm"] for r in rows}
+    for d, ws in words.items():
+        if len(ws) < 2:
+            assert d not in got
+            continue
+        s = sum(lm.get((a, b), 0) for a, b in zip(ws[:-1], ws[1:]))
+        assert got[d] == s // (len(ws) - 1)
+
+
 def test_dsir_select_vs_bruteforce(ray_session):
     """Integer-ppm DSIR scores match a direct computation, and the
     target-domain (en) docs score higher on average than the rest."""
