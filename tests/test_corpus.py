@@ -63,6 +63,28 @@ def test_minhash_matches_bruteforce_at_high_jaccard(ray_session):
     assert len(bf) > 0  # the corpus plants near-dup pairs
 
 
+def test_banded_lsh_multi_band_collisions_emit_once(ray_session):
+    """Identical docs collide in EVERY band; first-band ownership must
+    still emit each pair exactly once (the case the removed
+    (doc_a, doc_b) dedup groupby used to handle) — for both the
+    MinHash and the SimHash single-exchange paths."""
+    import ray.data as rd
+    from skewer_ray.functions.dedup import minhash_lsh_pairs, simhash_pairs
+
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [{"doc_id": i, "text": same} for i in range(3)]
+    rows.append({"doc_id": 99, "text": "totally unrelated words here"})
+    ds = rd.from_items(rows)
+
+    mh = [(r["doc_a"], r["doc_b"], r["jaccard"])
+          for r in minhash_lsh_pairs(ds).take_all()]
+    assert sorted(mh) == [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0)]
+
+    sh = [(r["doc_a"], r["doc_b"], r["hamming"])
+          for r in simhash_pairs(rd.from_items(rows)).take_all()]
+    assert sorted(sh) == [(0, 1, 0), (0, 2, 0), (1, 2, 0)]
+
+
 def test_exact_dedup_accounts_for_every_doc(ray_session):
     from skewer_ray.pipelines.corpus import q_dedup_exact
     rows = q_dedup_exact(SF).take_all()
