@@ -150,6 +150,66 @@ def brute_force_topk(emb_ds, query_ids: list[int], k: int = DEFAULT_K):
     return _merge_topk(partials, k)
 
 
+def hard_negatives(emb_ds, query_ids: list[int], k: int = DEFAULT_K):
+    """Hard-negative mining for contrastive/retrieval training: for
+    each query vector, the exact top-k most-similar vectors with a
+    DIFFERENT label — the highest-cosine wrong-class candidates are
+    the informative negatives. Same shape as brute_force_topk
+    (broadcast queries + their labels once, per-block vectorized
+    partial top-k, shared ``_merge_topk`` finalize), plus one label
+    mask per query inside the block. Output schema = ann_topk's:
+    (query_id, rank, vec_id, cosine)."""
+    import ray
+
+    qids, qmat = _query_matrix(emb_ds, query_ids)
+    qarr = pa.array([int(q) for q in qids], pa.int64())
+
+    def pick_labels(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(pc.cast(batch["vec_id"], pa.int64()),
+                        value_set=qarr)
+        return batch.select(["vec_id", "label"]).filter(mask)
+
+    lrows = emb_ds.map_batches(pick_labels,
+                               batch_format="pyarrow").take_all()
+    lab_of = {r["vec_id"]: r["label"] for r in lrows}
+    qlabels = np.array([lab_of[int(q)] for q in qids], np.int64)
+    broadcast = ray.put((qids, qmat, qlabels))
+    qid_set = set(int(q) for q in query_ids)
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        b_qids, b_qmat, b_qlab = ray.get(broadcast)
+        cids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keep = np.array([c not in qid_set for c in cids])
+        if not keep.any():
+            return empty
+        cids = cids[keep]
+        clab = np.asarray(batch["label"].to_pylist(),
+                          dtype=np.int64)[keep]
+        cmat = _norm_rows(np.array(
+            batch["embedding"].to_pylist(), dtype=np.float64)[keep])
+        sims = np.round(b_qmat @ cmat.T, 6)
+        q_out, v_out, s_out = [], [], []
+        for qi in range(len(b_qids)):
+            neg = clab != b_qlab[qi]
+            if not neg.any():
+                continue
+            ids_n, sims_n = cids[neg], sims[qi][neg]
+            idx = np.lexsort((ids_n, -sims_n))[:min(k, len(ids_n))]
+            q_out.extend([int(b_qids[qi])] * len(idx))
+            v_out.extend(int(ids_n[j]) for j in idx)
+            s_out.extend(float(sims_n[j]) for j in idx)
+        return pa.table({"query_id": pa.array(q_out, pa.int64()),
+                         "vec_id": pa.array(v_out, pa.int64()),
+                         "cosine": pa.array(s_out, pa.float64())})
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+    return _merge_topk(partials, k)
+
+
 def ivf_topk(emb_ds, query_ids: list[int], k: int = DEFAULT_K,
              nprobe: int = IVF_NPROBE):
     """IVF approximate top-k: the ``label`` column is the coarse

@@ -261,6 +261,16 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining: top-k most-similar DIFFERENT-label vectors
+    per query (functions/similarity.hard_negatives) — the contrastive-
+    training negative sampler. Exact SQL mirror "hard_negatives"."""
+    from ..functions.similarity import hard_negatives
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+    return hard_negatives(ds, ANN_QUERY_IDS, k=ANN_K)
+
+
 def q_ann_lsh(sf_dir: str):
     """Approximate LSH variant. The hyperplanes are a deterministic
     function of (seed, dim), so the DuckDB oracle replicates the exact
@@ -1493,6 +1503,7 @@ QUERIES = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "semdedup": q_semdedup,
     "dsir_select": q_dsir_select,
+    "hard_negatives": q_hard_negatives,
     "sample_docs": q_sample_docs,
     "cap_per_source": q_cap_per_source,
     "chunk_docs": q_chunk_docs,

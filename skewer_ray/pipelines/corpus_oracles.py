@@ -284,6 +284,26 @@ SELECT query_id,
 FROM s
 QUALIFY rank <= 5"""
 
+    # hard-negative mining: exact top-5 highest-cosine DIFFERENT-label
+    # candidates per query (same CTEs/order rule as ann_topk)
+    q["hard_negatives"] = """
+WITH qv AS (SELECT vec_id AS query_id, label AS qlab,
+                   embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 10),
+cv AS (SELECT vec_id, label, embedding::DOUBLE[] AS ce
+       FROM embeddings WHERE vec_id >= 10),
+s AS (
+  SELECT query_id, vec_id,
+         round(list_cosine_similarity(qe, ce), 6) AS cosine
+  FROM qv JOIN cv ON cv.label <> qv.qlab
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS rank,
+       vec_id, cosine
+FROM s
+QUALIFY rank <= 5"""
+
     # radius (range) search: every candidate with cosine >= 0.30 of a
     # query — same CTEs as ann_topk, threshold instead of rank
     q["ann_range"] = """

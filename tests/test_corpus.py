@@ -719,6 +719,38 @@ def test_dup_span_fraction_vs_bruteforce(ray_session):
     assert any(v[2] > 500_000 for v in got.values())  # planted dups
 
 
+def test_hard_negatives_vs_bruteforce(ray_session):
+    """Every mined negative has a different label than its query and
+    the ranked lists equal the direct different-label top-k."""
+    import pyarrow.parquet as pq
+    from skewer_ray.pipelines.corpus import ANN_K, ANN_QUERY_IDS, \
+        q_hard_negatives
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "label", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), np.int64)
+    labels = np.asarray(t["label"].to_pylist(), np.int64)
+    mat = np.array(t["embedding"].to_pylist(), np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    qset = set(ANN_QUERY_IDS)
+    cand = np.array([i not in qset for i in ids])
+    exp = set()
+    for q in ANN_QUERY_IDS:
+        qi = np.nonzero(ids == q)[0][0]
+        m = cand & (labels != labels[qi])
+        sims = np.round(mat[m] @ mat[qi], 6)
+        cids = ids[m]
+        order = np.lexsort((cids, -sims))[:ANN_K]
+        exp |= {(q, r + 1, int(cids[j]), float(sims[j]))
+                for r, j in enumerate(order)}
+    got = {(r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+           for r in q_hard_negatives(SF).take_all()}
+    assert got == exp
+    lab_of = dict(zip(ids.tolist(), labels.tolist()))
+    for q, _, v, _ in got:
+        assert lab_of[v] != lab_of[q]
+
+
 def test_ccnet_buckets_terciles(ray_session):
     """Buckets are score-monotone terciles: every head doc outscores
     (by qk cell) every middle doc, which outscores every tail doc, all
