@@ -663,3 +663,168 @@ def curate_docs(docs_ds, p: float = QUALITY_P, scale: int = QUALITY_SCALE,
     # stage 4: rebalance_mix iterates its input twice (counts, filter) —
     # the materialized survivor set re-reads from the object store
     return rebalance_mix(deduped, targets=targets, cols=("doc_id", "lang"))
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture sampling + quality-ranked token-budget selection
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET_DEN = 4   # select top-quality docs until 1/4 of corpus tokens
+TB_BUCKETS = 4096      # segments of the boundary-cell prefix scan
+
+
+def mixture_sample(docs_ds, lang_col: str = "lang",
+                   key_col: str = "doc_id",
+                   cols: tuple[str, ...] = ("doc_id", "lang")):
+    """Temperature-based mixture sampling with α = 1/2 (the multilingual
+    rebalancing rule of XLM / mT5: sample stratum s with probability
+    ∝ p_s^α, flattening the head languages). With α = 1/2 the
+    keep-everything-possible rates are r_s = sqrt(n_min / n_s) — the
+    smallest stratum is kept whole and every larger one is thinned by
+    the square-root of its size advantage.
+
+    No square root is ever computed: keep iff u² · n_s < n_min · 2⁶⁴
+    where u is the first 8 md5 hex digits of the key (u < 2³²), an
+    EXACT integer comparison — u < sqrt(n_min/n_s)·2³² ⟺ u²·n_s <
+    n_min·2⁶⁴ — so the DuckDB mirror (HUGEINT arithmetic, products
+    stay < 2¹²⁷ for corpora up to ~2⁴⁰ docs/stratum) agrees
+    bit-for-bit and membership is a pure function of the row key:
+    reproducible across engines, partitionings and reruns.
+
+    Shape: pass 1 is the per-stratum count via map-side combine (the
+    stratum domain is tiny); pass 2 is map-only."""
+
+    def cnt(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b[lang_col],
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return t.group_by("lang").aggregate([("n", "sum")])
+
+    acc: dict[str, int] = {}
+    for b in (docs_ds.select_columns([lang_col])
+              .map_batches(cnt, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for r in b.to_pylist():
+            acc[r["lang"]] = acc.get(r["lang"], 0) + r["n_sum"]
+    if not acc:
+        return docs_ds.limit(0).select_columns(list(cols))
+    rhs = min(acc.values()) << 64
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        langs = batch[lang_col].to_pylist()
+        keep = np.fromiter(
+            (int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) ** 2
+             * acc[lang] < rhs
+             for k, lang in zip(keys, langs)),
+            dtype=bool, count=len(keys))
+        return batch.select(list(cols)).filter(pa.array(keep))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_budget_select(docs_ds, scale: int = QUALITY_SCALE,
+                        den: int = TOKEN_BUDGET_DEN,
+                        n_buckets: int = TB_BUCKETS):
+    """Quality-ranked token-budget selection: keep the best documents
+    (by quality score, ties to smaller doc_id) until the running token
+    total reaches ``1/den`` of the corpus — the "pick the top-B tokens"
+    curation step of data-constrained training runs. A doc is kept iff
+    the token total BEFORE it (in global (quality DESC, doc_id) order)
+    is < budget, i.e. SUM(n_words) OVER (ORDER BY qk DESC, doc_id) −
+    n_words < budget in the DuckDB mirror.
+
+    No global sort: (1) one text scan derives the narrow materialized
+    (doc_id, qk, n_words) projection (qk = floor(quality·scale), the
+    shared integer cell); (2) a BOUNDED per-cell histogram of token
+    sums (≤ scale cells, partials combine map-side) lets the driver
+    find the threshold cell T and the residual budget inside it;
+    (3) every doc in a cell ABOVE T is kept by a map-only filter; (4)
+    only cell T runs the pack_sequences-style segmented prefix scan
+    (contiguous doc_id ranges, ≤ n_buckets driver scalars) to cut at
+    the residual — the boundary cell is the only place doc order
+    matters, so it is the only place any ordering work happens."""
+    import ray
+
+    from .decontam import _cached_get
+    from .textstats import text_stats_batch
+
+    def derive(b: pa.Table) -> pa.Table:
+        s = text_stats_batch(b)
+        qk = pc.cast(pc.floor(pc.multiply(s["quality"], scale)),
+                     pa.int64())
+        return pa.table({"doc_id": pc.cast(s["doc_id"], pa.int64()),
+                         "qk": qk,
+                         "n_words": pc.cast(s["n_words"], pa.int64())})
+
+    scores = docs_ds.map_batches(
+        derive, batch_format="pyarrow").materialize()
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"qk": b["qk"], "n": b["n_words"]})
+        return t.group_by("qk").aggregate([("n", "sum")])
+
+    toks: dict[int, int] = {}
+    for b in scores.map_batches(hist, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            toks[r["qk"]] = toks.get(r["qk"], 0) + r["n_sum"]
+    budget = sum(toks.values()) // den
+    cum = 0
+    thr = None
+    for qk in sorted(toks, reverse=True):
+        if cum + toks[qk] >= budget:
+            thr = qk
+            break
+        cum += toks[qk]
+    if thr is None:      # den <= 1: the budget is the whole corpus
+        return scores
+    rem = budget - cum   # token budget left inside the threshold cell
+    thr_v, rem_v = int(thr), int(rem)
+
+    def above(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["qk"], thr_v))
+
+    kept_above = scores.map_batches(above, batch_format="pyarrow")
+
+    # boundary cell: contiguous doc_id-range segments, driver prefix
+    # over <= n_buckets scalars, in-segment vectorized exclusive cumsum
+    max_key = int(scores.max("doc_id"))
+    span = max(1, (max_key + n_buckets) // n_buckets)
+
+    def in_cell(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["qk"], thr_v))
+        return t.append_column(
+            "bucket", pc.divide(pc.cast(t["doc_id"], pa.int64()), span))
+
+    cell = scores.map_batches(
+        in_cell, batch_format="pyarrow").materialize()
+
+    def bucket_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"bucket": b["bucket"], "n": b["n_words"]})
+        return t.group_by("bucket").aggregate([("n", "sum")])
+
+    totals: dict[int, int] = {}
+    for b in cell.map_batches(bucket_partial, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            totals[r["bucket"]] = totals.get(r["bucket"], 0) + r["n_sum"]
+    offsets: dict[int, int] = {}
+    run = 0
+    for bk in sorted(totals):
+        offsets[bk] = run
+        run += totals[bk]
+    off_ref = ray.put(offsets)
+
+    def cut(tbl: pa.Table) -> pa.Table:
+        offs = _cached_get(off_ref)
+        idx = pc.sort_indices(tbl["doc_id"])
+        t = tbl.take(idx)
+        nw = t["n_words"].to_numpy(zero_copy_only=False)
+        before = offs[int(t["bucket"][0].as_py())] \
+            + np.concatenate(([0], np.cumsum(nw[:-1])))
+        return t.filter(pa.array(before < rem_v)).select(
+            ["doc_id", "qk", "n_words"])
+
+    selected = cell.groupby("bucket").map_groups(
+        cut, batch_format="pyarrow")
+    return kept_above.union(selected)

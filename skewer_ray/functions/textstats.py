@@ -151,3 +151,136 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, pa.int64()),
                      "dup_3gram_frac": pa.array(dup_f, pa.float64()),
                      "top_word_frac": pa.array(top_f, pa.float64())})
+
+
+# Gopher rule constants (Rae et al. 2021 §A1.1, adapted to the
+# canonical whitespace word stream; all thresholds exact-integer)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3       # mean word length lower bound
+GOPHER_MAX_MWL = 10      # mean word length upper bound
+GOPHER_SYMBOL_X10 = 1    # symbol-to-word ratio <= 0.1  (10*sym <= n)
+GOPHER_ALPHA_NUM = 4     # >= 80% of words contain a letter (5a >= 4n)
+GOPHER_MIN_STOP = 2      # >= 2 distinct EN stopwords present
+
+
+def gopher_rules_batch(batch: pa.Table) -> pa.Table:
+    """Gopher quality rules (Rae et al. 2021 §A1.1) as a map-only
+    stage: per-doc pass/fail flags for the five document-level rules
+    plus the conjunction. Every rule is an EXACT integer comparison
+    (cross-multiplied ratios — no float thresholds), so the DuckDB
+    oracle reproduces each flag bit-for-bit:
+
+    - ``r_words``:  50 <= n_words <= 100000
+    - ``r_wlen``:   mean word length in [3, 10]
+                    (3*n <= sum(len(w)) <= 10*n, n > 0)
+    - ``r_symbol``: '#'/'...' occurrences <= 10% of words
+    - ``r_alpha``:  >= 80% of words contain a letter (5a >= 4n)
+    - ``r_stop``:   >= 2 distinct EN stopwords present
+
+    Flags are int64 0/1 (not bool) so the driver's sorted-value hash
+    is unambiguous across engines."""
+    alpha_re = re.compile(r"[a-z]")
+    stop = frozenset(EN_STOP)
+    ids = batch["doc_id"]
+    cols: dict[str, list[int]] = {k: [] for k in (
+        "n_words", "r_words", "r_wlen", "r_symbol", "r_alpha",
+        "r_stop", "keep")}
+    for t in batch["text"].to_pylist():
+        ws = norm_words(t)
+        n = len(ws)
+        wl = sum(len(w) for w in ws)
+        nsym = t.count("#") + t.count("...")
+        nalpha = sum(1 for w in ws if alpha_re.search(w))
+        nstop = len(stop.intersection(ws))
+        r_words = int(GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS)
+        r_wlen = int(n > 0 and GOPHER_MIN_MWL * n <= wl
+                     <= GOPHER_MAX_MWL * n)
+        r_symbol = int(10 * nsym <= GOPHER_SYMBOL_X10 * n)
+        r_alpha = int(5 * nalpha >= GOPHER_ALPHA_NUM * n)
+        r_stop = int(nstop >= GOPHER_MIN_STOP)
+        keep = r_words & r_wlen & r_symbol & r_alpha & r_stop
+        for k, v in (("n_words", n), ("r_words", r_words),
+                     ("r_wlen", r_wlen), ("r_symbol", r_symbol),
+                     ("r_alpha", r_alpha), ("r_stop", r_stop),
+                     ("keep", keep)):
+            cols[k].append(v)
+    return pa.table({"doc_id": ids, **{
+        k: pa.array(v, pa.int64()) for k, v in cols.items()}})
+
+
+# BM25 (Robertson/Sparck-Jones; the Lucene +1 idf variant) over a
+# fixed query-term set — corpus-level relevance mining
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("data", "join", "stream", "vector")
+
+
+def bm25_scores(docs_ds, terms: tuple[str, ...] = BM25_TERMS):
+    """Per-(doc, term) BM25 partial scores for a fixed query-term set:
+    score = idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with
+    k1 = 1.2, b = 0.75 and the Lucene non-negative idf
+    ln((N − df + 0.5)/(df + 0.5) + 1). Rows are emitted only where
+    tf > 0 and are NEVER summed across terms — float addition order
+    would differ between engines; per-row scores are pure functions of
+    exact integer inputs (tf, dl, N, df, Σdl) evaluated with the
+    IDENTICAL expression tree in the DuckDB mirror, rounded to 6 dp.
+
+    Shape: pass 1 gathers (N, Σdl, df_t …) via one-row-per-batch
+    partials — the exchange is bounded by the query size, never the
+    vocabulary; pass 2 is map-only scoring (the tiny stats ride the
+    task closure)."""
+    import math
+
+    k = len(terms)
+
+    def stats(b: pa.Table) -> pa.Table:
+        nd, tw = b.num_rows, 0
+        dfs = [0] * k
+        for t in b["text"].to_pylist():
+            ws = norm_words(t)
+            tw += len(ws)
+            seen = set(ws)
+            for i, term in enumerate(terms):
+                dfs[i] += term in seen
+        return pa.table({"nd": pa.array([nd], pa.int64()),
+                         "tw": pa.array([tw], pa.int64()),
+                         **{f"df_{i}": pa.array([dfs[i]], pa.int64())
+                            for i in range(k)}})
+
+    n_docs, total_w = 0, 0
+    df = [0] * k
+    for b in (docs_ds.map_batches(stats, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for r in b.to_pylist():
+            n_docs += r["nd"]
+            total_w += r["tw"]
+            for i in range(k):
+                df[i] += r[f"df_{i}"]
+
+    nd = float(n_docs)
+    avgdl = total_w / nd if n_docs else 1.0
+    idf = {term: math.log((nd - df[i] + 0.5) / (df[i] + 0.5) + 1.0)
+           for i, term in enumerate(terms) if df[i] > 0}
+
+    def score(b: pa.Table) -> pa.Table:
+        o_id, o_t, o_tf, o_s = [], [], [], []
+        for d, t in zip(b["doc_id"].to_pylist(),
+                        b["text"].to_pylist()):
+            ws = norm_words(t)
+            dl = len(ws)
+            for term, idf_t in idf.items():
+                tf = ws.count(term)
+                if tf:
+                    s = idf_t * (tf * 2.2) / (
+                        tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+                    o_id.append(d)
+                    o_t.append(term)
+                    o_tf.append(tf)
+                    o_s.append(round(s, 6))
+        return pa.table({"doc_id": pa.array(o_id, pa.int64()),
+                         "term": pa.array(o_t, pa.string()),
+                         "tf": pa.array(o_tf, pa.int64()),
+                         "score": pa.array(o_s, pa.float64())})
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")

@@ -1485,7 +1485,52 @@ def q_pagerank_tools(sf_dir: str):
     return pagerank_tool_mass(ds)
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1) — per-doc
+    exact-integer pass/fail flags for word count, mean word length,
+    symbol ratio, alpha-word share and stopword presence plus the
+    conjunction (functions/textstats.gopher_rules_batch). Map-only.
+    Exact SQL mirror in corpus_oracles.py "gopher_rules"."""
+    from ..functions.textstats import gopher_rules_batch
+    return _docs(sf_dir).map_batches(gopher_rules_batch,
+                                     batch_format="pyarrow")
+
+
+def q_mixture_sample(sf_dir: str):
+    """α=1/2 temperature mixture sampling over the language strata
+    (XLM/mT5 rebalancing rule) — keep prob sqrt(n_min/n_s), decided by
+    the square-root-free exact integer coin u²·n_s < n_min·2⁶⁴
+    (functions/curation.mixture_sample). One tiny count exchange +
+    map-only filter. Exact SQL mirror "mixture_sample"."""
+    from ..functions.curation import mixture_sample
+    return mixture_sample(_docs_full(sf_dir))
+
+
+def q_token_budget_select(sf_dir: str):
+    """Quality-ranked token-budget selection: best docs by (quality
+    DESC, doc_id) until 1/4 of corpus tokens — the top-B-tokens
+    curation step, computed WITHOUT a global sort (bounded score-cell
+    histogram + boundary-cell segmented prefix scan;
+    functions/curation.token_budget_select). Exact SQL mirror
+    "token_budget_select" (window cumsum)."""
+    from ..functions.curation import token_budget_select
+    return token_budget_select(_docs(sf_dir))
+
+
+def q_bm25_scores(sf_dir: str):
+    """Per-(doc, term) BM25 relevance scores for a fixed query-term
+    set (functions/textstats.bm25_scores): bounded stats exchange,
+    map-only scoring, identical IEEE expression tree on both engines
+    rounded to 6 dp. Exact SQL mirror "bm25_scores"."""
+    from ..functions.textstats import bm25_scores
+    return bm25_scores(_docs(sf_dir))
+
+
 QUERIES = {
+    "gopher_rules": q_gopher_rules,
+    "mixture_sample": q_mixture_sample,
+    "token_budget_select": q_token_budget_select,
+    "bm25_scores": q_bm25_scores,
     "parse_collectd": q_parse_collectd,
     "parse_macos": q_parse_macos,
     "parse_edge_syslog": q_parse_edge_syslog,

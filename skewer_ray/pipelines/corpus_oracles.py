@@ -1340,4 +1340,100 @@ FROM documents"""
         _prof_col(c) for c in ("doc_id", "n_chars", "text", "lang",
                                "source"))
 
+    # Gopher rules (Rae et al. 2021 §A1.1): every flag an exact integer
+    # comparison over the canonical word stream; '#'/'...' counts via
+    # non-overlapping replace (same semantics as Python str.count)
+    q["gopher_rules"] = _W + f""",
+g AS (
+  SELECT doc_id, len(words) AS n,
+         coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+           AS wl,
+         (length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3
+           AS nsym,
+         len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+           AS nalpha,
+         len(list_filter([{en}],
+                         s -> list_contains(words, s))) AS nstop
+  FROM w),
+f AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+    CAST(CASE WHEN n BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+         AS BIGINT) AS r_words,
+    CAST(CASE WHEN n > 0 AND 3*n <= wl AND wl <= 10*n THEN 1 ELSE 0
+         END AS BIGINT) AS r_wlen,
+    CAST(CASE WHEN 10*nsym <= n THEN 1 ELSE 0 END AS BIGINT)
+      AS r_symbol,
+    CAST(CASE WHEN 5*nalpha >= 4*n THEN 1 ELSE 0 END AS BIGINT)
+      AS r_alpha,
+    CAST(CASE WHEN nstop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+  FROM g)
+SELECT doc_id, n_words, r_words, r_wlen, r_symbol, r_alpha, r_stop,
+       r_words * r_wlen * r_symbol * r_alpha * r_stop AS keep
+FROM f"""
+
+    # α=1/2 temperature mixture sampling: keep iff u²·n_s < n_min·2⁶⁴,
+    # u = first 8 md5 hex digits (the square-root-free exact coin)
+    q["mixture_sample"] = """
+WITH c AS (SELECT lang, CAST(count(*) AS HUGEINT) AS n
+           FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM c)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c ON d.lang = c.lang, m
+WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) AS HUGEINT)
+      * CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) AS HUGEINT)
+      * c.n
+      < m.mn * CAST(18446744073709551616 AS HUGEINT)"""
+
+    # quality-ranked token-budget selection: the engine's histogram +
+    # boundary-cell prefix scan ≡ this window cumsum (floor quantization
+    # is order-preserving; ties break by doc_id in both)
+    q["token_budget_select"] = _W + f""",
+qual AS (
+  SELECT doc_id, len(words) AS n_words,
+    0.4 * least(len(words), 100) / 100
+    + 0.3 * (1.0 - CASE WHEN len(regexp_extract_all(text, '{_TOK}')) = 0
+                        THEN 0.0
+                        ELSE len(regexp_extract_all(text, '{_PUNCT}'))
+                             / len(regexp_extract_all(text, '{_TOK}'))
+                   END)
+    + 0.3 * least(1.0, 5.0 *
+        CASE WHEN len(words) = 0 THEN 0.0
+             ELSE len(list_filter(words, t -> t IN ({en}))) / len(words)
+        END) AS quality
+  FROM w),
+k AS (SELECT doc_id,
+             CAST(floor(quality * 10000) AS BIGINT) AS qk,
+             CAST(n_words AS BIGINT) AS n_words FROM qual),
+t AS (SELECT sum(n_words) // 4 AS budget FROM k)
+SELECT doc_id, qk, n_words FROM (
+  SELECT doc_id, qk, n_words,
+         SUM(n_words) OVER (ORDER BY qk DESC, doc_id) - n_words
+           AS before
+  FROM k), t
+WHERE before < t.budget"""
+
+    # BM25 per-(doc, term) partial scores: identical IEEE expression
+    # tree to textstats.bm25_scores, rounded to 6 dp; never summed
+    # across terms (float addition order is engine-dependent)
+    q["bm25_scores"] = _W + """,
+s AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+             CAST(sum(len(words)) AS DOUBLE) AS tw FROM w),
+t(term) AS (VALUES ('data'), ('join'), ('stream'), ('vector')),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+       FROM t JOIN w ON list_contains(words, term) GROUP BY term),
+tf AS (SELECT doc_id, term,
+              CAST(len(list_filter(words, x -> x = term)) AS BIGINT)
+                AS tf,
+              len(words) AS dl
+       FROM w, t WHERE list_contains(words, term))
+SELECT doc_id, term, tf,
+  round(ln((s.nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
+        * (tf * 2.2)
+        / (tf + 1.2 * (0.25 + 0.75 * (dl / (s.tw / s.nd)))), 6)
+    AS score
+FROM tf JOIN df USING (term), s"""
+
     return q

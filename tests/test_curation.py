@@ -343,3 +343,138 @@ def test_curate_docs_composition(ray_session):
                                          cols=("doc_id", "lang")).take_all())
     assert got == want
     assert len(got) == len({d for d, _ in got})  # unique keys
+
+
+def test_gopher_rules_brute_force(ray_session):
+    """Every flag equals the serial per-doc recomputation of the rule
+    (exact integer comparisons — no tolerance)."""
+    import re
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from skewer_ray.functions.textstats import (EN_STOP,
+                                                gopher_rules_batch,
+                                                norm_words)
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = docs.map_batches(gopher_rules_batch,
+                           batch_format="pyarrow").to_pandas()
+    got = got.set_index("doc_id")
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pylist()
+    alpha = re.compile(r"[a-z]")
+    assert len(got) == len(src)
+    for r in src:
+        ws = norm_words(r["text"])
+        n = len(ws)
+        wl = sum(len(w) for w in ws)
+        nsym = r["text"].count("#") + r["text"].count("...")
+        nalpha = sum(1 for w in ws if alpha.search(w))
+        nstop = len(set(EN_STOP) & set(ws))
+        g = got.loc[r["doc_id"]]
+        assert g["n_words"] == n
+        assert g["r_words"] == int(50 <= n <= 100_000)
+        assert g["r_wlen"] == int(n > 0 and 3 * n <= wl <= 10 * n)
+        assert g["r_symbol"] == int(10 * nsym <= n)
+        assert g["r_alpha"] == int(5 * nalpha >= 4 * n)
+        assert g["r_stop"] == int(nstop >= 2)
+        assert g["keep"] == (g["r_words"] & g["r_wlen"] & g["r_symbol"]
+                             & g["r_alpha"] & g["r_stop"])
+
+
+def test_mixture_sample_coin_and_binding(ray_session):
+    """The smallest stratum survives whole (rate 1); every row's
+    membership equals the square-root-free integer coin; realized
+    rates track sqrt(n_min/n_s) (binomial ±5σ)."""
+    import hashlib as hl
+
+    import ray.data as rd
+    from skewer_ray.functions.curation import mixture_sample
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "lang", "source"])
+    src = docs.to_pandas()
+    counts = src["lang"].value_counts().to_dict()
+    n_min = min(counts.values())
+    got = set(mixture_sample(docs).to_pandas()["doc_id"])
+    binding = min(counts, key=lambda lg: (counts[lg], lg))
+    assert set(src.loc[src["lang"] == binding, "doc_id"]) <= got
+    for _, r in src.iterrows():
+        u = int(hl.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        keep = u * u * counts[r["lang"]] < (n_min << 64)
+        assert (r["doc_id"] in got) == keep
+    for lang, n in counts.items():
+        rate = (n_min / n) ** 0.5
+        k = sum(1 for _, r in src.iterrows()
+                if r["lang"] == lang and r["doc_id"] in got)
+        sigma = max(1.0, (n * rate * (1 - rate)) ** 0.5)
+        assert abs(k - n * rate) <= 5 * sigma
+
+
+def test_token_budget_select_matches_serial(ray_session):
+    """The distributed histogram + boundary-cell prefix scan selects
+    exactly the serial (quality DESC, doc_id) cumsum prefix."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from skewer_ray.functions.curation import token_budget_select
+    from skewer_ray.functions.textstats import text_stats_batch
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = token_budget_select(docs).to_pandas()
+    s = text_stats_batch(pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]))
+    import math
+    rows = [(int(math.floor(q * 10000)), d, n) for d, n, q in
+            zip(s["doc_id"].to_pylist(), s["n_words"].to_pylist(),
+                s["quality"].to_pylist())]
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    budget = sum(n for _, _, n in rows) // 4
+    want, cum = {}, 0
+    for qk, d, n in rows:
+        if cum < budget:
+            want[d] = (qk, n)
+        cum += n
+    assert dict(zip(got["doc_id"],
+                    zip(got["qk"], got["n_words"]))) == want
+    assert 0 < len(want) < len(rows)
+
+
+def test_bm25_matches_serial(ray_session):
+    """Per-(doc, term) scores equal the serial BM25 with the same
+    expression tree; rows exist exactly where tf > 0."""
+    import math
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from skewer_ray.functions.textstats import (BM25_TERMS, bm25_scores,
+                                                norm_words)
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = bm25_scores(docs).to_pandas()
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pylist()
+    words = {r["doc_id"]: norm_words(r["text"]) for r in src}
+    nd = float(len(src))
+    tw = sum(len(w) for w in words.values())
+    avgdl = tw / nd
+    df = {t: sum(1 for w in words.values() if t in w)
+          for t in BM25_TERMS}
+    want = {}
+    for d, ws in words.items():
+        dl = len(ws)
+        for t in BM25_TERMS:
+            if df[t] == 0:
+                continue
+            tf = ws.count(t)
+            if tf:
+                idf = math.log((nd - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                want[(d, t)] = (tf, round(
+                    idf * (tf * 2.2)
+                    / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))), 6))
+    have = {(r.doc_id, r.term): (r.tf, r.score)
+            for r in got.itertuples()}
+    assert have == want
+    assert len(want) > 0
