@@ -152,3 +152,62 @@ def quantized_topk(emb_ds, query_ids: list[int], k: int = 5):
 
     parts = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
     return _merge_topk(parts, k, score_col="score", score_type=int)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss signed random projection (exact integer form)
+# ---------------------------------------------------------------------------
+
+JL_K = 8            # projected dimensionality
+JL_SCALE = 1_000_000  # micro-unit quantization before projection
+
+
+def _jl_signs(dim: int, k: int) -> np.ndarray:
+    """Deterministic ±1 (dim, k) sign matrix: s(d, j) = +1 iff the
+    first md5 hex digit of "d:j" (both 1-based) is < '8' — the
+    Achlioptas {±1} JL family with a hash-derived, engine-independent
+    seed. Built once per worker (tiny: dim×k)."""
+    import hashlib
+    s = np.empty((dim, k), np.int64)
+    for d in range(1, dim + 1):
+        for j in range(1, k + 1):
+            s[d - 1, j - 1] = (
+                1 if int(hashlib.md5(f"{d}:{j}".encode())
+                         .hexdigest()[0], 16) < 8 else -1)
+    return s
+
+
+def jl_project(emb_ds, k: int = JL_K, col: str = "embedding"):
+    """Johnson-Lindenstrauss dimensionality reduction to ``k`` signed
+    components — the cheap embedding-compression step before sketching
+    or LSH at scale. All arithmetic is EXACT: vectors quantize to
+    integer micro-units q_d = floor(v_d · 10⁶) (identical IEEE floor
+    in the DuckDB mirror), the ±1 sign matrix is a pure function of
+    (d, j) via md5, and each output component y_j = Σ_d s(d,j)·q_d is
+    an integer sum — order-independent, so the distributed block
+    layout can never change the result (float JL projections cannot
+    make that promise).
+
+    Map-only: the sign matrix is rebuilt from its hash seed per worker
+    (dim×k ints — cheaper than shipping it); one (vec_id, j, y) row
+    per vector per component. Long format (not list<int>) keeps the
+    driver hash comparison and the SQL mirror trivial."""
+    cache: dict[tuple[int, int], np.ndarray] = {}
+
+    def fn(b: pa.Table) -> pa.Table:
+        m = _batch_matrix(b, col)
+        n, dim = m.shape
+        if (dim, k) not in cache:
+            cache[(dim, k)] = _jl_signs(dim, k)
+        s = cache[(dim, k)]
+        q = np.floor(m * 1000000.0).astype(np.int64)
+        y = q @ s                                   # (n, k) exact int64
+        ids = np.repeat(
+            np.asarray(b["vec_id"].to_pylist(), np.int64), k)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "j": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64),
+                                  n), pa.int64()),
+            "y": pa.array(y.reshape(-1), pa.int64())})
+
+    return emb_ds.map_batches(fn, batch_format="pyarrow")

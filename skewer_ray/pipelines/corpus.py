@@ -1517,6 +1517,16 @@ def q_token_budget_select(sf_dir: str):
     return token_budget_select(_docs(sf_dir))
 
 
+def q_jl_project(sf_dir: str):
+    """Johnson-Lindenstrauss signed projection to 8 components over
+    integer-quantized embeddings (functions/quantize.jl_project) —
+    exact integer arithmetic end-to-end, map-only, sign matrix
+    rebuilt per worker from its md5 seed. Exact SQL mirror
+    "jl_project"."""
+    from ..functions.quantize import jl_project
+    return jl_project(_emb(sf_dir))
+
+
 def q_bm25_scores(sf_dir: str):
     """Per-(doc, term) BM25 relevance scores for a fixed query-term
     set (functions/textstats.bm25_scores): bounded stats exchange,
@@ -1531,6 +1541,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "token_budget_select": q_token_budget_select,
     "bm25_scores": q_bm25_scores,
+    "jl_project": q_jl_project,
     "parse_collectd": q_parse_collectd,
     "parse_macos": q_parse_macos,
     "parse_edge_syslog": q_parse_edge_syslog,

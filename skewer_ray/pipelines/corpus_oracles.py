@@ -1415,6 +1415,24 @@ SELECT doc_id, qk, n_words FROM (
   FROM k), t
 WHERE before < t.budget"""
 
+    # JL signed projection: q_d = floor(v·10⁶) (identical IEEE floor),
+    # sign from the first md5 hex digit of "d:j", integer sums exact
+    q["jl_project"] = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+qv AS (SELECT vec_id, d,
+              CAST(floor(v * 1000000.0) AS BIGINT) AS q FROM e),
+jj AS (SELECT unnest(range(1, 9)) AS j),
+s AS (SELECT qv.vec_id, jj.j,
+             CASE WHEN substr(md5(CAST(qv.d AS VARCHAR) || ':' ||
+                              CAST(jj.j AS VARCHAR)), 1, 1) < '8'
+                  THEN qv.q ELSE -qv.q END AS t
+      FROM qv, jj)
+SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(sum(t) AS BIGINT) AS y
+FROM s GROUP BY vec_id, j"""
+
     # BM25 per-(doc, term) partial scores: identical IEEE expression
     # tree to textstats.bm25_scores, rounded to 6 dp; never summed
     # across terms (float addition order is engine-dependent)

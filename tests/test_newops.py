@@ -342,3 +342,50 @@ def test_conv_skew_gini_matches_bruteforce(ray_session):
         gnum += ln * (2 * c * cum + c * (c + 1) - c * (41))
         cum += c
     assert gnum == 0
+
+
+def test_jl_project_matches_bruteforce(ray_session):
+    """Every (vec_id, j, y) equals the serial quantize-then-project;
+    signs are a pure function of (d, j); projection roughly preserves
+    relative norms (JL sanity, loose bound)."""
+    import hashlib as hl
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from skewer_ray.functions.quantize import JL_K, jl_project
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    got = jl_project(emb).to_pandas()
+    src = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pylist()
+    dim = len(src[0]["embedding"])
+    s = np.empty((dim, JL_K), np.int64)
+    for d in range(1, dim + 1):
+        for j in range(1, JL_K + 1):
+            s[d - 1, j - 1] = (1 if int(
+                hl.md5(f"{d}:{j}".encode()).hexdigest()[0], 16) < 8
+                else -1)
+    want = {}
+    for r in src:
+        q = np.floor(np.asarray(r["embedding"], np.float64)
+                     * 1000000.0).astype(np.int64)
+        y = q @ s
+        for j in range(JL_K):
+            want[(r["vec_id"], j + 1)] = int(y[j])
+    have = {(r.vec_id, r.j): r.y for r in got.itertuples()}
+    assert have == want
+    # loose norm preservation: E[|y|^2] = k * |q|^2 for +-1 signs
+    rat = []
+    for r in src:
+        q = np.floor(np.asarray(r["embedding"], np.float64)
+                     * 1000000.0).astype(np.int64)
+        nq = float(q @ q)
+        if nq == 0:
+            continue
+        ny = sum(float(want[(r["vec_id"], j + 1)]) ** 2
+                 for j in range(JL_K))
+        rat.append(ny / (JL_K * nq))
+    mean = sum(rat) / len(rat)
+    assert 0.5 < mean < 2.0, mean
