@@ -71,7 +71,7 @@ SELECT doc_id,
   CASE WHEN n_words = 0 THEN 0.0
        ELSE len(list_filter(words, t -> t IN ({en}))) / n_words
   END AS stop_ratio,
-  0.4 * least(n_words, 100) / 100
+  CAST(0.4 AS DOUBLE) * least(n_words, 100) / 100
     + 0.3 * (1.0 - punct_ratio)
     + 0.3 * least(1.0, 5.0 * stop_ratio) AS quality
 FROM w"""
@@ -806,7 +806,7 @@ FROM c"""
     q["quality_filter"] = _W + f""",
 qual AS (
   SELECT doc_id,
-    0.4 * least(len(words), 100) / 100
+    CAST(0.4 AS DOUBLE) * least(len(words), 100) / 100
     + 0.3 * (1.0 - CASE WHEN len(regexp_extract_all(text, '{_TOK}')) = 0
                         THEN 0.0
                         ELSE len(regexp_extract_all(text, '{_PUNCT}'))
@@ -984,7 +984,7 @@ WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
     q["weighted_sample"] = _W + f""",
 qual AS (
   SELECT doc_id,
-    0.4 * least(len(words), 100) / 100
+    CAST(0.4 AS DOUBLE) * least(len(words), 100) / 100
     + 0.3 * (1.0 - CASE WHEN len(regexp_extract_all(text, '{_TOK}')) = 0
                         THEN 0.0
                         ELSE len(regexp_extract_all(text, '{_PUNCT}'))
@@ -1007,7 +1007,7 @@ WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
     q["rank_docs"] = _W + f""",
 qual AS (
   SELECT doc_id,
-    0.4 * least(len(words), 100) / 100
+    CAST(0.4 AS DOUBLE) * least(len(words), 100) / 100
     + 0.3 * (1.0 - CASE WHEN len(regexp_extract_all(text, '{_TOK}')) = 0
                         THEN 0.0
                         ELSE len(regexp_extract_all(text, '{_PUNCT}'))
@@ -1231,7 +1231,7 @@ HAVING count(*) > 0"""
     q["curated_docs"] = _W + f""",
 qual AS (
   SELECT doc_id,
-    0.4 * least(len(words), 100) / 100
+    CAST(0.4 AS DOUBLE) * least(len(words), 100) / 100
     + 0.3 * (1.0 - CASE WHEN len(regexp_extract_all(text, '{_TOK}')) = 0
                         THEN 0.0
                         ELSE len(regexp_extract_all(text, '{_PUNCT}'))
@@ -1393,7 +1393,7 @@ WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
     q["token_budget_select"] = _W + f""",
 qual AS (
   SELECT doc_id, len(words) AS n_words,
-    0.4 * least(len(words), 100) / 100
+    CAST(0.4 AS DOUBLE) * least(len(words), 100) / 100
     + 0.3 * (1.0 - CASE WHEN len(regexp_extract_all(text, '{_TOK}')) = 0
                         THEN 0.0
                         ELSE len(regexp_extract_all(text, '{_PUNCT}'))
