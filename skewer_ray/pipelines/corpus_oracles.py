@@ -1449,7 +1449,7 @@ tf AS (SELECT doc_id, term,
        FROM w, t WHERE list_contains(words, term))
 SELECT doc_id, term, tf,
   round(ln((s.nd - df.df + 0.5) / (df.df + 0.5) + 1.0)
-        * (tf * 2.2)
+        * (tf * CAST(2.2 AS DOUBLE))
         / (tf + 1.2 * (0.25 + 0.75 * (dl / (s.tw / s.nd)))), 6)
     AS score
 FROM tf JOIN df USING (term), s"""
