@@ -1527,6 +1527,16 @@ def q_jl_project(sf_dir: str):
     return jl_project(_emb(sf_dir))
 
 
+def q_kmeans_assign(sf_dir: str):
+    """Two-iteration exact-integer Lloyd k-means over the embedding
+    table (functions/kmeans.kmeans_assign): micro-unit quantized
+    vectors, k=8 lowest-vec_id seeds, int64 distances, floor-division
+    centroid update — broadcast centroids, bounded k·dim partial-sum
+    exchange, map-only passes. Exact SQL mirror "kmeans_assign"."""
+    from ..functions.kmeans import kmeans_assign
+    return kmeans_assign(_emb(sf_dir))
+
+
 def q_bm25_scores(sf_dir: str):
     """Per-(doc, term) BM25 relevance scores for a fixed query-term
     set (functions/textstats.bm25_scores): bounded stats exchange,
@@ -1541,6 +1551,7 @@ QUERIES = {
     "mixture_sample": q_mixture_sample,
     "token_budget_select": q_token_budget_select,
     "bm25_scores": q_bm25_scores,
+    "kmeans_assign": q_kmeans_assign,
     "jl_project": q_jl_project,
     "parse_collectd": q_parse_collectd,
     "parse_macos": q_parse_macos,

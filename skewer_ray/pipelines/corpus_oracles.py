@@ -1433,6 +1433,48 @@ s AS (SELECT qv.vec_id, jj.j,
 SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(sum(t) AS BIGINT) AS y
 FROM s GROUP BY vec_id, j"""
 
+    # two-iteration Lloyd k-means, fully exact: micro-unit floor
+    # quantization, k=8 lowest-vec_id seeds, int64 distances, exact
+    # floor-division centroid update ((s - pymod(s,n)) // n because
+    # DuckDB's // truncates toward zero while numpy's floors), ties to
+    # the lowest centroid id
+    q["kmeans_assign"] = """
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+qv AS (SELECT vec_id, d,
+              CAST(floor(v * 1000000.0) AS BIGINT) AS q FROM e),
+seeds AS (SELECT vec_id AS cid FROM embeddings
+          ORDER BY vec_id LIMIT 8),
+c0 AS (SELECT s.cid, qv.d, qv.q FROM qv JOIN seeds s
+       ON qv.vec_id = s.cid),
+d1 AS (SELECT qv.vec_id, c.cid,
+              CAST(sum((qv.q - c.q) * (qv.q - c.q)) AS BIGINT) AS dist2
+       FROM qv JOIN c0 c USING (d) GROUP BY 1, 2),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist2, cid) AS rn
+         FROM d1) WHERE rn = 1),
+upd AS (SELECT a1.cid, qv.d,
+               CAST(sum(qv.q) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM a1 JOIN qv USING (vec_id) GROUP BY 1, 2),
+c1 AS (
+  SELECT cid, d, (s - (((s % n) + n) % n)) // n AS q FROM upd
+  UNION ALL
+  SELECT cid, d, q FROM c0
+  WHERE cid NOT IN (SELECT DISTINCT cid FROM upd)),
+d2 AS (SELECT qv.vec_id, c.cid,
+              CAST(sum((qv.q - c.q) * (qv.q - c.q)) AS BIGINT) AS dist2
+       FROM qv JOIN c1 c USING (d) GROUP BY 1, 2)
+SELECT vec_id, cid AS cluster, dist2 FROM (
+  SELECT vec_id, cid, dist2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist2, cid) AS rn
+  FROM d2) WHERE rn = 1"""
+
     # BM25 per-(doc, term) partial scores: identical IEEE expression
     # tree to textstats.bm25_scores, rounded to 6 dp; never summed
     # across terms (float addition order is engine-dependent)

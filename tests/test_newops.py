@@ -389,3 +389,48 @@ def test_jl_project_matches_bruteforce(ray_session):
         rat.append(ny / (JL_K * nq))
     mean = sum(rat) / len(rat)
     assert 0.5 < mean < 2.0, mean
+
+
+def test_kmeans_assign_matches_bruteforce(ray_session):
+    """Distributed two-iteration Lloyd equals a serial numpy
+    reference: same seeds (k lowest vec_ids), same micro-unit
+    quantization, same floor-division update, same low-cid
+    tie-break; clusters are non-trivial (more than one used)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from skewer_ray.functions.kmeans import (KMEANS_K, KMEANS_SCALE,
+                                             kmeans_assign)
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    got = kmeans_assign(emb).to_pandas()
+
+    src = pq.read_table(f"{sf}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]).to_pylist()
+    src.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in src], np.int64)
+    q = np.floor(np.array([r["embedding"] for r in src], np.float64)
+                 * KMEANS_SCALE).astype(np.int64)
+    cids = ids[:KMEANS_K]
+    cents = q[:KMEANS_K].copy()
+
+    def assign(c):
+        d2 = ((q * q).sum(1)[:, None] - 2 * (q @ c.T)
+              + (c * c).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        return a, d2[np.arange(len(a)), a]
+
+    a1, _ = assign(cents)
+    for i in range(KMEANS_K):
+        m = a1 == i
+        if m.any():
+            cents[i] = q[m].sum(axis=0) // int(m.sum())
+    a2, d2 = assign(cents)
+
+    want = {(int(ids[i]), int(cids[a2[i]]), int(d2[i]))
+            for i in range(len(ids))}
+    have = {(r.vec_id, r.cluster, r.dist2) for r in got.itertuples()}
+    assert have == want
+    assert len(got) == len(ids)
+    assert got["cluster"].nunique() > 1
