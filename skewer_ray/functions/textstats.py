@@ -284,3 +284,49 @@ def bm25_scores(docs_ds, terms: tuple[str, ...] = BM25_TERMS):
                          "score": pa.array(o_s, pa.float64())})
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+# Unigram Shannon entropy — per-doc lexical-diversity scoring for
+# corpus curation (low-entropy docs = repetitive/templated text)
+ENT_SCALE = 1_000_000.0
+
+
+def unigram_entropy(docs_ds):
+    """Per-doc Shannon entropy of the unigram distribution over the
+    canonical word stream: H = ln(n) − (Σ_w c_w·ln c_w)/n.
+
+    Exactness contract: the inner sum is computed as int64 micro-units
+    ``ent_micro = Σ_w floor(c_w · ln(c_w) · 10⁶)`` — each term is a
+    deterministic IEEE-double floor, and integer addition is
+    order-independent, so the distributed block layout cannot perturb
+    the total the way a float Σ would. The reported ``entropy`` is the
+    single expression ``round(ln(n) − ent_micro/(n·10⁶), 6)`` evaluated
+    with the identical tree in the DuckDB mirror. Map-only, no
+    exchange. Empty docs report zeros."""
+    import math
+    from collections import Counter
+
+    def fn(b: pa.Table) -> pa.Table:
+        o_n, o_d, o_e, o_h = [], [], [], []
+        for t in b["text"].to_pylist():
+            ws = norm_words(t)
+            n = len(ws)
+            if n == 0:
+                o_n.append(0); o_d.append(0); o_e.append(0)
+                o_h.append(0.0)
+                continue
+            c = Counter(ws)
+            ent = sum(int(math.floor(k * math.log(k) * ENT_SCALE))
+                      for k in c.values())
+            o_n.append(n)
+            o_d.append(len(c))
+            o_e.append(ent)
+            o_h.append(round(math.log(n) - ent / (n * ENT_SCALE), 6))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_words": pa.array(o_n, pa.int64()),
+            "n_distinct": pa.array(o_d, pa.int64()),
+            "ent_micro": pa.array(o_e, pa.int64()),
+            "entropy": pa.array(o_h, pa.float64())})
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

@@ -1527,6 +1527,25 @@ def q_jl_project(sf_dir: str):
     return jl_project(_emb(sf_dir))
 
 
+def q_unigram_entropy(sf_dir: str):
+    """Per-doc unigram Shannon entropy with the order-independent
+    integer-micro inner sum (functions/textstats.unigram_entropy).
+    Map-only. Exact SQL mirror "unigram_entropy"."""
+    from ..functions.textstats import unigram_entropy
+    return unigram_entropy(_docs(sf_dir))
+
+
+def q_source_overlap(sf_dir: str):
+    """Pairwise cross-source shingle-Jaccard contamination matrix
+    (functions/overlap.source_overlap): int64 shingle hashes, ONE
+    bucket-keyed exchange, |S|²-bounded partials. Exact SQL mirror
+    "source_overlap"."""
+    from ..functions.overlap import source_overlap
+    return source_overlap(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["text", "source"]))
+
+
 def q_kmeans_assign(sf_dir: str):
     """Two-iteration exact-integer Lloyd k-means over the embedding
     table (functions/kmeans.kmeans_assign): micro-unit quantized
@@ -1552,6 +1571,8 @@ QUERIES = {
     "token_budget_select": q_token_budget_select,
     "bm25_scores": q_bm25_scores,
     "kmeans_assign": q_kmeans_assign,
+    "unigram_entropy": q_unigram_entropy,
+    "source_overlap": q_source_overlap,
     "jl_project": q_jl_project,
     "parse_collectd": q_parse_collectd,
     "parse_macos": q_parse_macos,

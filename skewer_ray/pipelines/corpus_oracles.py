@@ -1433,6 +1433,50 @@ s AS (SELECT qv.vec_id, jj.j,
 SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(sum(t) AS BIGINT) AS y
 FROM s GROUP BY vec_id, j"""
 
+    # per-doc unigram entropy: inner sum as order-independent int64
+    # micro-units floor(c*ln(c)*1e6); the final entropy is ONE shared
+    # expression tree rounded to 6 dp
+    q["unigram_entropy"] = _W + """,
+u AS (SELECT doc_id, unnest(words) AS wd FROM w),
+c AS (SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS c
+      FROM u GROUP BY 1, 2),
+e AS (SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+                                 * ln(CAST(c AS DOUBLE))
+                                 * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS ent_micro
+      FROM c GROUP BY 1)
+SELECT w.doc_id,
+       COALESCE(e.n_words, 0) AS n_words,
+       COALESCE(e.n_distinct, 0) AS n_distinct,
+       COALESCE(e.ent_micro, 0) AS ent_micro,
+       CASE WHEN e.n_words IS NULL OR e.n_words = 0 THEN 0.0
+            ELSE round(ln(CAST(e.n_words AS DOUBLE))
+                       - CAST(e.ent_micro AS DOUBLE)
+                         / (CAST(e.n_words AS DOUBLE) * 1000000.0), 6)
+       END AS entropy
+FROM w LEFT JOIN e USING (doc_id)"""
+
+    # cross-source shingle contamination matrix: distinct shingles per
+    # source, pairwise intersection counts, Jaccard rounded 6 dp with
+    # the same expression tree; only n_common > 0 pairs emitted
+    q["source_overlap"] = _shingle_ctes() + """,
+ss AS (SELECT DISTINCT d.source, sh.s
+       FROM sh JOIN documents d USING (doc_id)),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+       FROM ss GROUP BY 1),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT p.source_a, p.source_b, za.n AS n_a, zb.n AS n_b, p.n_common,
+       round(CAST(p.n_common AS DOUBLE)
+             / CAST(za.n + zb.n - p.n_common AS DOUBLE), 6) AS jaccard
+FROM pairs p JOIN sz za ON za.source = p.source_a
+             JOIN sz zb ON zb.source = p.source_b"""
+
     # two-iteration Lloyd k-means, fully exact: micro-unit floor
     # quantization, k=8 lowest-vec_id seeds, int64 distances, exact
     # floor-division centroid update ((s - pymod(s,n)) // n because

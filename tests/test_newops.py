@@ -434,3 +434,68 @@ def test_kmeans_assign_matches_bruteforce(ray_session):
     assert have == want
     assert len(got) == len(ids)
     assert got["cluster"].nunique() > 1
+
+
+def test_unigram_entropy_matches_bruteforce(ray_session):
+    """Distributed entropy equals the serial Counter computation for
+    every doc; ent_micro is an exact integer (layout-independent)."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from skewer_ray.functions.textstats import (ENT_SCALE, norm_words,
+                                                unigram_entropy)
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = {r.doc_id: (r.n_words, r.n_distinct, r.ent_micro, r.entropy)
+           for r in unigram_entropy(docs).to_pandas().itertuples()}
+    src = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pylist()
+    assert len(got) == len(src)
+    for r in src:
+        ws = norm_words(r["text"])
+        n = len(ws)
+        c = Counter(ws)
+        ent = sum(int(math.floor(k * math.log(k) * ENT_SCALE))
+                  for k in c.values())
+        h = round(math.log(n) - ent / (n * ENT_SCALE), 6) if n else 0.0
+        assert got[r["doc_id"]] == (n, len(c), ent, h)
+    ents = [v[3] for v in got.values()]
+    assert min(ents) >= 0.0 and max(ents) > 1.0  # non-degenerate
+
+
+def test_source_overlap_matches_bruteforce(ray_session):
+    """The bucketed pair-count matrix equals serial set algebra over
+    the per-source distinct shingle sets."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from skewer_ray.functions.dedup import shingles_of
+    from skewer_ray.functions.overlap import source_overlap
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["text", "source"])
+    got = {(r.source_a, r.source_b):
+           (r.n_a, r.n_b, r.n_common, r.jaccard)
+           for r in source_overlap(docs).to_pandas().itertuples()}
+
+    src = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["text", "source"]).to_pylist()
+    per: dict[str, set] = {}
+    for r in src:
+        per.setdefault(r["source"], set()).update(shingles_of(r["text"]))
+    want = {}
+    names = sorted(per)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            common = len(per[a] & per[b])
+            if common:
+                want[(a, b)] = (len(per[a]), len(per[b]), common,
+                                round(float(common) / float(
+                                    len(per[a]) + len(per[b]) - common),
+                                    6))
+    assert got == want
+    assert len(got) > 0
