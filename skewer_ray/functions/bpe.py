@@ -81,3 +81,58 @@ def bpe_merge_candidates(docs_ds, top_k: int = TOP_PAIRS) -> pa.Table:
         "right_sym": pa.array([p[1] for p in pairs], pa.string()),
         "n": pa.array([p[2] for p in pairs], pa.int64()),
     })
+
+
+def bpe_encode(docs_ds, top_k: int = TOP_PAIRS):
+    """Train-then-apply: encode every word with the round-0 top-K merge
+    list and report per-doc token statistics — the full tokenizer
+    train+apply loop as one pipeline (train = the bounded pair-count
+    exchange of bpe_merge_candidates; apply = map-only with the ranked
+    merge list broadcast once via ``ray.put``).
+
+    Merge-application contract (shared with the SQL mirror): each word
+    becomes the space-separated symbol sequence ``' w o r d '``; merges
+    apply IN RANK ORDER, each as ONE left-to-right non-overlapping
+    ``str.replace(' l r ', ' lr ')`` pass — exactly the semantics of
+    SQL ``replace``, which is why both engines produce identical
+    segmentations. (True fixed-point BPE would rescan after each
+    replacement; a single pass is deterministic and engine-portable,
+    and differs only on runs like 'a a a a' where overlapping pair
+    occurrences share a separator.)
+
+    Output: (doc_id, n_chars, n_tokens, n_merged) — chars of the word
+    stream, symbols after merging, multi-char symbols. Exact integer
+    columns only."""
+    import ray
+
+    from .textstats import norm_words
+
+    cand = bpe_merge_candidates(docs_ds, top_k)
+    merges = [(ls, rs) for ls, rs in zip(cand["left_sym"].to_pylist(),
+                                         cand["right_sym"].to_pylist())]
+    bc = ray.put(merges)
+
+    def fn(b: pa.Table) -> pa.Table:
+        ms = ray.get(bc)
+        pats = [(f" {l} {r} ", f" {l}{r} ") for l, r in ms]
+        o_c, o_t, o_m = [], [], []
+        for t in b["text"].to_pylist():
+            n_chars = n_tok = n_merged = 0
+            for word in norm_words(t):
+                n_chars += len(word)
+                seq = " " + " ".join(word) + " "
+                for pat, rep in pats:
+                    seq = seq.replace(pat, rep)
+                toks = seq.split()
+                n_tok += len(toks)
+                n_merged += sum(1 for s in toks if len(s) > 1)
+            o_c.append(n_chars)
+            o_t.append(n_tok)
+            o_m.append(n_merged)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_chars": pa.array(o_c, pa.int64()),
+            "n_tokens": pa.array(o_t, pa.int64()),
+            "n_merged": pa.array(o_m, pa.int64())})
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

@@ -1527,6 +1527,16 @@ def q_jl_project(sf_dir: str):
     return jl_project(_emb(sf_dir))
 
 
+def q_bpe_encode(sf_dir: str):
+    """Tokenizer train+apply: round-0 top-20 BPE merges (bounded
+    pair-count exchange) applied in rank order to every word via the
+    shared single-pass replace contract (functions/bpe.bpe_encode).
+    Map-only apply with the merge list broadcast once. Exact SQL
+    mirror "bpe_encode" (20 generated replace steps)."""
+    from ..functions.bpe import bpe_encode
+    return bpe_encode(_docs(sf_dir))
+
+
 def q_unigram_entropy(sf_dir: str):
     """Per-doc unigram Shannon entropy with the order-independent
     integer-micro inner sum (functions/textstats.unigram_entropy).
@@ -1572,6 +1582,7 @@ QUERIES = {
     "bm25_scores": q_bm25_scores,
     "kmeans_assign": q_kmeans_assign,
     "unigram_entropy": q_unigram_entropy,
+    "bpe_encode": q_bpe_encode,
     "source_overlap": q_source_overlap,
     "jl_project": q_jl_project,
     "parse_collectd": q_parse_collectd,

@@ -1433,6 +1433,47 @@ s AS (SELECT qv.vec_id, jj.j,
 SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(sum(t) AS BIGINT) AS y
 FROM s GROUP BY vec_id, j"""
 
+    # BPE train+apply: the round-0 top-20 merge list applied in rank
+    # order, one single-pass replace per merge (SQL replace ==
+    # Python str.replace semantics — the shared contract). Steps are
+    # generated; a rank with no merge row falls back to a chr(1)
+    # pattern that can never match (COALESCE guard).
+    steps = []
+    prev = "s0"
+    for i in range(1, 21):
+        steps.append(
+            f"s{i} AS (SELECT doc_id, word, replace(seq,\n"
+            f"  COALESCE((SELECT ' '||l||' '||r||' ' FROM m WHERE rk={i}),"
+            f" chr(1)),\n"
+            f"  COALESCE((SELECT ' '||l||r||' ' FROM m WHERE rk={i}),"
+            f" chr(1))) AS seq FROM {prev})")
+        prev = f"s{i}"
+    q["bpe_encode"] = _W + r""",
+wo AS (SELECT doc_id, unnest(words) AS word FROM w),
+pr AS (SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r
+       FROM (SELECT word, unnest(range(1, len(word))) AS i
+             FROM wo WHERE len(word) >= 2)),
+m AS (SELECT l, r, row_number() OVER (ORDER BY n DESC, l, r) AS rk
+      FROM (SELECT l, r, CAST(count(*) AS BIGINT) AS n
+            FROM pr GROUP BY 1, 2
+            ORDER BY n DESC, l, r LIMIT 20)),
+s0 AS (SELECT doc_id, word,
+              ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS seq
+       FROM wo),
+""" + ",\n".join(steps) + f""",
+tok AS (SELECT doc_id, len(word) AS n_chars,
+               string_split(trim(seq), ' ') AS toks FROM {prev}),
+agg AS (SELECT doc_id,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+               CAST(sum(len(list_filter(toks, t -> len(t) > 1)))
+                    AS BIGINT) AS n_merged
+        FROM tok GROUP BY 1)
+SELECT w.doc_id, COALESCE(a.n_chars, 0) AS n_chars,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_merged, 0) AS n_merged
+FROM w LEFT JOIN agg a USING (doc_id)"""
+
     # per-doc unigram entropy: inner sum as order-independent int64
     # micro-units floor(c*ln(c)*1e6); the final entropy is ONE shared
     # expression tree rounded to 6 dp

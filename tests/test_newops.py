@@ -499,3 +499,48 @@ def test_source_overlap_matches_bruteforce(ray_session):
                                     6))
     assert got == want
     assert len(got) > 0
+
+
+def test_bpe_encode_matches_bruteforce(ray_session):
+    """Distributed train+apply equals the serial merge-list build and
+    single-pass replace application; merging strictly reduces token
+    count somewhere (non-degenerate)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from skewer_ray.functions.bpe import bpe_encode
+    from skewer_ray.functions.textstats import norm_words
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = {r.doc_id: (r.n_chars, r.n_tokens, r.n_merged)
+           for r in bpe_encode(docs).to_pandas().itertuples()}
+
+    src = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pylist()
+    pairs: Counter = Counter()
+    for r in src:
+        for word in norm_words(r["text"]):
+            for a, b in zip(word, word[1:]):
+                pairs[(a, b)] += 1
+    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    pats = [(f" {l} {r} ", f" {l}{r} ") for (l, r), _ in ranked]
+
+    total_merged = 0
+    for r in src:
+        n_chars = n_tok = n_merged = 0
+        for word in norm_words(r["text"]):
+            n_chars += len(word)
+            seq = " " + " ".join(word) + " "
+            for pat, rep in pats:
+                seq = seq.replace(pat, rep)
+            toks = seq.split()
+            n_tok += len(toks)
+            n_merged += sum(1 for s in toks if len(s) > 1)
+        assert got[r["doc_id"]] == (n_chars, n_tok, n_merged), \
+            r["doc_id"]
+        total_merged += n_merged
+    assert len(got) == len(src)
+    assert total_merged > 0
