@@ -828,3 +828,97 @@ def token_budget_select(docs_ds, scale: int = QUALITY_SCALE,
     selected = cell.groupby("bucket").map_groups(
         cut, batch_format="pyarrow")
     return kept_above.union(selected)
+
+
+EPOCHS = 2
+SHUFFLE_SHARDS = 8
+
+
+def epoch_shuffle(docs_ds, n_epochs: int = EPOCHS,
+                  n_shards: int = SHUFFLE_SHARDS):
+    """Deterministic per-epoch training-order shuffle WITHOUT a global
+    sort exchange — the "different random order every epoch,
+    reproducible across reruns" step of a training-data loader.
+
+    Order key: md5(f"{epoch}:{doc_id}") (engine-independent, no RNG
+    state). Global position via the rank_docs histogram-offset shape:
+    the first two hex chars give a 256-cell histogram per epoch
+    (bounded map-side partials → driver offsets, broadcast once); ONE
+    (epoch, cell)-keyed bucket exchange co-locates each cell, whose
+    rows sort locally by (hash, doc_id) and number offset+1… . The
+    all-to-all moves narrow (epoch, doc_id, hash) rows under a bounded
+    key — no range-partitioned sort, no skew sensitivity (cells are
+    md5-uniform by construction).
+
+    Output: (epoch, doc_id, pos, shard) with pos the 1-based rank in
+    the epoch's order and shard = (pos-1) % n_shards (round-robin
+    shard assignment at equal sizes)."""
+    import hashlib
+
+    import ray
+
+    from ..stages.buckets import grouped_by_bucket
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        o_e, o_d, o_h, o_c = [], [], [], []
+        for did in ids:
+            for ep in range(1, n_epochs + 1):
+                h = hashlib.md5(f"{ep}:{did}".encode()).hexdigest()
+                o_e.append(ep)
+                o_d.append(did)
+                o_h.append(h)
+                o_c.append(int(h[:2], 16))
+        return pa.table({"epoch": pa.array(o_e, pa.int64()),
+                         "doc_id": pa.array(o_d, pa.int64()),
+                         "h": pa.array(o_h, pa.string()),
+                         "cell": pa.array(o_c, pa.int64())})
+
+    rows = docs_ds.select_columns(["doc_id"]) \
+        .map_batches(explode, batch_format="pyarrow")
+
+    def hist(b: pa.Table) -> pa.Table:
+        key = (b["epoch"].to_numpy(zero_copy_only=False) << 9) \
+            | b["cell"].to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(uniq, pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    acc: dict[int, int] = {}
+    for b in rows.map_batches(hist, batch_format="pyarrow") \
+                 .iter_batches(batch_format="pyarrow"):
+        for k, n in zip(b["k"].to_pylist(), b["n"].to_pylist()):
+            acc[k] = acc.get(k, 0) + n
+    offsets: dict[int, int] = {}
+    for ep in range(1, n_epochs + 1):
+        cum = 0
+        for cell in range(256):
+            k = (ep << 9) | cell
+            offsets[k] = cum
+            cum += acc.get(k, 0)
+    bc = ray.put(offsets)
+
+    def number(b: pa.Table) -> pa.Table:
+        offs = ray.get(bc)
+        ep = b["epoch"].to_numpy(zero_copy_only=False)
+        cell = b["cell"].to_numpy(zero_copy_only=False)
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        hh = np.asarray(b["h"].to_pylist(), dtype=object)
+        key = (ep << 9) | cell
+        order = np.lexsort((did, hh, key))
+        key_s = key[order]
+        starts = np.ones(len(order), dtype=bool)
+        starts[1:] = key_s[1:] != key_s[:-1]
+        seg_id = np.cumsum(starts) - 1
+        seg_first = np.flatnonzero(starts)
+        within = np.arange(len(order)) - seg_first[seg_id]
+        base = np.array([offs[int(k)] for k in key_s[starts]],
+                        dtype=np.int64)
+        pos = base[seg_id] + within + 1
+        return pa.table({
+            "epoch": pa.array(ep[order], pa.int64()),
+            "doc_id": pa.array(did[order], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "shard": pa.array((pos - 1) % n_shards, pa.int64())})
+
+    return grouped_by_bucket(rows, number, key=["epoch", "cell"])

@@ -660,3 +660,41 @@ def late_event_counts(events_ds, max_id: int,
         "n_total": pa.array([acc[k][1] for k in ks], pa.int64()),
         "late_id_sum": pa.array([acc[k][2] for k in ks], pa.int64()),
     })
+
+
+def upsert_latest(events_ds):
+    """CDC latest-wins compaction: ONE surviving row per
+    (user_id, event_type), winner = highest event_id — the key-merge
+    step of a changelog/upsert sink (Kafka compacted-topic semantics).
+
+    Shape: phase 1 is a map-side combiner (each batch shrinks to its
+    distinct keys — the exchange then carries at most one row per key
+    per batch, not the stream); phase 2 is ONE user_id-keyed bucket
+    exchange with the SAME idempotent kernel applied in-bucket.
+    Whale-safe: a hot user costs its distinct (user, type) rows per
+    batch, never its raw row count.
+
+    Output: (user_id, event_type, event_id, value)."""
+    from ..stages.buckets import grouped_by_bucket
+
+    cols = ["user_id", "event_type", "event_id", "value"]
+
+    def latest_in(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.select(cols)
+        u = b["user_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tcodes = b["event_type"].combine_chunks().dictionary_encode() \
+            .indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = b["event_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # (user, type) runs with the highest event_id first in each run
+        order = np.lexsort((-eid, tcodes, u))
+        su, st = u[order], tcodes[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (su[1:] != su[:-1]) | (st[1:] != st[:-1])
+        return b.select(cols).take(
+            pa.array(np.sort(order[first]), pa.int64()))
+
+    part = events_ds.map_batches(latest_in, batch_format="pyarrow")
+    return grouped_by_bucket(part, latest_in, key="user_id")

@@ -1527,6 +1527,30 @@ def q_jl_project(sf_dir: str):
     return jl_project(_emb(sf_dir))
 
 
+def q_upsert_latest(sf_dir: str):
+    """CDC latest-wins compaction: one row per (user_id, event_type),
+    winner = max event_id (functions/windows.upsert_latest) — map-side
+    key combiner + ONE user-keyed bucket exchange, whale-safe. Exact
+    SQL mirror "upsert_latest"."""
+    from ..functions.windows import upsert_latest
+    return upsert_latest(_events(sf_dir, ["user_id", "event_type",
+                                          "event_id", "value"]))
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic per-epoch training shuffle without a global sort
+    (functions/curation.epoch_shuffle): md5 order keys, 256-cell
+    histogram offsets broadcast once, (epoch, cell)-keyed bucket
+    exchange, in-cell numbering. Exact SQL mirror "epoch_shuffle"."""
+    from ..functions.curation import epoch_shuffle
+    return epoch_shuffle(_docs_ids(sf_dir))
+
+
+def _docs_ids(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+
 def q_bpe_encode(sf_dir: str):
     """Tokenizer train+apply: round-0 top-20 BPE merges (bounded
     pair-count exchange) applied in rank order to every word via the
@@ -1583,6 +1607,8 @@ QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "unigram_entropy": q_unigram_entropy,
     "bpe_encode": q_bpe_encode,
+    "upsert_latest": q_upsert_latest,
+    "epoch_shuffle": q_epoch_shuffle,
     "source_overlap": q_source_overlap,
     "jl_project": q_jl_project,
     "parse_collectd": q_parse_collectd,

@@ -1433,6 +1433,34 @@ s AS (SELECT qv.vec_id, jj.j,
 SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(sum(t) AS BIGINT) AS y
 FROM s GROUP BY vec_id, j"""
 
+    # CDC latest-wins compaction: one row per (user, type), winner =
+    # highest event_id
+    q["upsert_latest"] = """
+SELECT user_id, event_type, event_id, value FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY event_id DESC) AS rn
+  FROM events) WHERE rn = 1"""
+
+    # deterministic per-epoch shuffle: md5 order key, rank within
+    # epoch, round-robin shard; lowercase-hex md5 ordering matches the
+    # engine's cell-histogram + in-cell lexicographic numbering
+    q["epoch_shuffle"] = """
+WITH e AS (SELECT doc_id, unnest(range(1, 3)) AS epoch
+           FROM documents),
+h AS (SELECT epoch, doc_id,
+             md5(CAST(epoch AS VARCHAR) || ':'
+                 || CAST(doc_id AS VARCHAR)) AS hh
+      FROM e),
+r AS (SELECT epoch, doc_id,
+             row_number() OVER (PARTITION BY epoch
+                                ORDER BY hh, doc_id) AS pos
+      FROM h)
+SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       CAST(pos AS BIGINT) AS pos,
+       CAST((pos - 1) % 8 AS BIGINT) AS shard
+FROM r"""
+
     # BPE train+apply: the round-0 top-20 merge list applied in rank
     # order, one single-pass replace per merge (SQL replace ==
     # Python str.replace semantics — the shared contract). Steps are

@@ -544,3 +544,59 @@ def test_bpe_encode_matches_bruteforce(ray_session):
         total_merged += n_merged
     assert len(got) == len(src)
     assert total_merged > 0
+
+
+def test_upsert_latest_matches_bruteforce(ray_session):
+    """Latest-wins compaction equals the serial max-event_id pick per
+    (user_id, event_type), including carried value."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from skewer_ray.functions.windows import upsert_latest
+
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "event_type", "event_id",
+                                  "value"])
+    got = {(r.user_id, r.event_type): (r.event_id, r.value)
+           for r in upsert_latest(ev).to_pandas().itertuples()}
+
+    src = pq.read_table(f"{sf}/events.parquet",
+                        columns=["user_id", "event_type", "event_id",
+                                 "value"]).to_pylist()
+    want: dict = {}
+    for r in src:
+        k = (r["user_id"], r["event_type"])
+        if k not in want or r["event_id"] > want[k][0]:
+            want[k] = (r["event_id"], r["value"])
+    assert got == want
+    assert len(got) < len(src)  # actually compacted something
+
+
+def test_epoch_shuffle_matches_bruteforce(ray_session):
+    """Histogram-offset epoch shuffle equals the serial md5 sort:
+    every (epoch, doc_id) gets the exact global rank; positions are a
+    permutation of 1..N per epoch; epochs order differently."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from skewer_ray.functions.curation import epoch_shuffle
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id"])
+    got = {(r.epoch, r.doc_id): (r.pos, r.shard)
+           for r in epoch_shuffle(docs).to_pandas().itertuples()}
+
+    ids = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    orders = {}
+    for ep in (1, 2):
+        keyed = sorted(
+            (hashlib.md5(f"{ep}:{d}".encode()).hexdigest(), d)
+            for d in ids)
+        orders[ep] = [d for _, d in keyed]
+        for pos, (_, d) in enumerate(keyed, start=1):
+            assert got[(ep, d)] == (pos, (pos - 1) % 8), (ep, d)
+    assert len(got) == 2 * len(ids)
+    assert orders[1] != orders[2]  # epochs genuinely reshuffle
