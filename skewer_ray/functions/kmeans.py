@@ -19,8 +19,8 @@ the DuckDB oracle reproduces assignments bit-for-bit:
 - ties (equal dist²) break to the lowest centroid id on both sides.
 
 Distributed shape (100-TB-safe):
-  1. bounded bottom-k partials find the seed ids (k rows per block →
-     driver merge of ≤ k·blocks tiny rows);
+  1. bounded bottom-k partials find the seed ids AND vectors in one
+     pass (k rows per block → driver merge of ≤ k·blocks tiny rows);
   2. the (k, dim) centroid matrix is broadcast ONCE via ``ray.put``
      and read inside ``map_batches`` — never re-shipped per batch;
   3. the update pass emits per-batch per-cluster partial sums
@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -49,21 +50,30 @@ KMEANS_K = 8
 KMEANS_SCALE = 1_000_000.0
 
 
-def _bottom_ids(emb_ds, k: int) -> np.ndarray:
-    """The k smallest vec_ids via bounded per-block partials."""
+def _seed_rows(emb_ds, k: int, col: str):
+    """The k smallest-vec_id rows WITH their vectors, via bounded
+    per-block partials (k rows per block → driver merge of k·blocks
+    tiny rows) — one pass finds the seed ids AND their vectors, no
+    second filter scan."""
 
     def partial(b: pa.Table) -> pa.Table:
-        ids = np.sort(b["vec_id"].combine_chunks()
-                      .to_numpy(zero_copy_only=False).astype(np.int64))
-        return pa.table({"vec_id": pa.array(ids[:k], pa.int64())})
+        ids = b["vec_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.sort(np.argsort(ids)[:k])
+        return b.select(["vec_id", col]).take(pa.array(keep, pa.int64()))
 
-    acc: list[int] = []
-    for b in (emb_ds.select_columns(["vec_id"])
+    acc: dict[int, list[float]] = {}
+    for b in (emb_ds.select_columns(["vec_id", col])
               .map_batches(partial, batch_format="pyarrow")
               .iter_batches(batch_format="pyarrow")):
-        acc.extend(b["vec_id"].to_pylist())
-        acc = sorted(set(acc))[:k]
-    return np.array(acc, dtype=np.int64)
+        for r in b.to_pylist():
+            acc[int(r["vec_id"])] = r[col]
+        if len(acc) > k:
+            for vid in sorted(acc)[k:]:
+                del acc[vid]
+    ids = np.array(sorted(acc), dtype=np.int64)
+    mat = np.array([acc[i] for i in ids], dtype=np.float64)
+    return ids, mat
 
 
 def _quantize(m: np.ndarray) -> np.ndarray:
@@ -82,11 +92,7 @@ def kmeans_assign(emb_ds, k: int = KMEANS_K, col: str = "embedding"):
     where ``cluster`` is the seed vec_id of the owning centroid after
     ONE centroid update, ``dist2`` the exact int64 squared distance in
     micro-units. See module docstring for the exactness contract."""
-    from .similarity import _query_matrix
-
-    seed_ids = _bottom_ids(emb_ds, k)
-    _, seed_mat = _query_matrix(emb_ds, seed_ids.tolist(),
-                                normalize=False)
+    seed_ids, seed_mat = _seed_rows(emb_ds, k, col)
     cents0 = _quantize(seed_mat)          # (k, dim), rows by cid asc
     bc0 = ray.put((seed_ids, cents0))
 
@@ -141,14 +147,9 @@ def kmeans_assign(emb_ds, k: int = KMEANS_K, col: str = "embedding"):
         d2 = _dist2(q, cents)
         assign = np.argmin(d2, axis=1)
         return pa.table({
-            "vec_id": pc_cast_int64(b["vec_id"]),
+            "vec_id": pc.cast(b["vec_id"], pa.int64()),
             "cluster": pa.array(cids[assign], pa.int64()),
             "dist2": pa.array(d2[np.arange(len(assign)), assign],
                               pa.int64())})
 
     return emb_ds.map_batches(final_assign, batch_format="pyarrow")
-
-
-def pc_cast_int64(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-    import pyarrow.compute as pc
-    return pc.cast(arr, pa.int64())

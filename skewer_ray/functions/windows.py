@@ -664,8 +664,9 @@ def late_event_counts(events_ds, max_id: int,
 
 def upsert_latest(events_ds):
     """CDC latest-wins compaction: ONE surviving row per
-    (user_id, event_type), winner = highest event_id — the key-merge
-    step of a changelog/upsert sink (Kafka compacted-topic semantics).
+    (user_id, event_type), winner = highest event_id (ties, should an
+    id ever repeat, break to the highest value) — the key-merge step
+    of a changelog/upsert sink (Kafka compacted-topic semantics).
 
     Shape: phase 1 is a map-side combiner (each batch shrinks to its
     distinct keys — the exchange then carries at most one row per key
@@ -688,8 +689,12 @@ def upsert_latest(events_ds):
             .indices.to_numpy(zero_copy_only=False).astype(np.int64)
         eid = b["event_id"].combine_chunks() \
             .to_numpy(zero_copy_only=False).astype(np.int64)
-        # (user, type) runs with the highest event_id first in each run
-        order = np.lexsort((-eid, tcodes, u))
+        val = b["value"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        # (user, type) runs, highest event_id first; duplicate
+        # event_ids break to the highest value (deterministic under
+        # any partitioning — matches the oracle's ORDER BY)
+        order = np.lexsort((-val, -eid, tcodes, u))
         su, st = u[order], tcodes[order]
         first = np.ones(len(order), dtype=bool)
         first[1:] = (su[1:] != su[:-1]) | (st[1:] != st[:-1])

@@ -1439,7 +1439,7 @@ FROM s GROUP BY vec_id, j"""
 SELECT user_id, event_type, event_id, value FROM (
   SELECT user_id, event_type, event_id, value,
          row_number() OVER (PARTITION BY user_id, event_type
-                            ORDER BY event_id DESC) AS rn
+                            ORDER BY event_id DESC, value DESC) AS rn
   FROM events) WHERE rn = 1"""
 
     # deterministic per-epoch shuffle: md5 order key, rank within
