@@ -120,3 +120,182 @@ def source_overlap(docs_ds, n_buckets: int = OVERLAP_BUCKETS):
              for k, v in rows], pa.float64())})
     import ray.data as rd
     return rd.from_arrow(out)
+
+
+def ngram_diversity(docs_ds, n_buckets: int = OVERLAP_BUCKETS):
+    """Per-source shingle type-token ratio — the lexical-diversity /
+    template-detection diagnostic (a low ratio means the source keeps
+    re-emitting the same n-grams).
+
+    postings = Σ over docs of |distinct shingles(doc)| (map-side sums,
+    |S|-bounded partials); types = globally distinct (shingle, source)
+    pairs, counted after the same hash-keyed bucket exchange
+    source_overlap uses (int64 hashes, per-bucket dedupe, |S|-bounded
+    count partials). ttr = types/postings rounded 6 dp with the shared
+    expression tree.
+
+    Output: (source, n_postings, n_types, ttr)."""
+    from ..stages.buckets import grouped_by_bucket, run_starts
+
+    def explode(b: pa.Table) -> pa.Table:
+        hs: list[int] = []
+        srcs: list[str] = []
+        post: dict[str, int] = {}
+        seen: set[tuple[int, str]] = set()
+        for t, src in zip(b["text"].to_pylist(),
+                          b["source"].to_pylist()):
+            sh = shingles_of(t)
+            post[src] = post.get(src, 0) + len(sh)
+            for s in sh:
+                key = (_shingle_hash64(s), src)
+                if key not in seen:
+                    seen.add(key)
+                    hs.append(key[0])
+                    srcs.append(src)
+        # postings partials ride along as h = NULL-standin rows
+        # (h = i64 min sentinel can collide with nothing: real hashes
+        # are md5-derived and the sentinel row count is |S| per batch)
+        return pa.table({
+            "h": pa.array(hs + [-(1 << 63)] * len(post), pa.int64()),
+            "source": pa.array(srcs + list(post), pa.string()),
+            "n": pa.array([0] * len(hs) + list(post.values()),
+                          pa.int64())})
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        h = b["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = b["source"].combine_chunks()
+        nn = b["n"].combine_chunks().to_numpy(zero_copy_only=False)
+        codes = src.dictionary_encode()
+        names = codes.dictionary.to_pylist()
+        idx = codes.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        post_mask = h == -(1 << 63)
+        ns = len(names)
+        postings = np.zeros(ns, dtype=np.int64)
+        np.add.at(postings, idx[post_mask], nn[post_mask])
+        h, idx = h[~post_mask], idx[~post_mask]
+        order = np.lexsort((idx, h))
+        h, idx = h[order], idx[order]
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = (h[1:] != h[:-1]) | (idx[1:] != idx[:-1])
+        types = np.bincount(idx[keep], minlength=ns).astype(np.int64)
+        return pa.table({
+            "source": pa.array(names * 2, pa.string()),
+            "kind": pa.array(["types"] * ns + ["postings"] * ns,
+                             pa.string()),
+            "n": pa.array(np.concatenate([types, postings]),
+                          pa.int64())})
+
+    parts = grouped_by_bucket(
+        docs_ds.map_batches(explode, batch_format="pyarrow"),
+        bucket_counts, key="h", n_buckets=n_buckets)
+
+    types: dict[str, int] = {}
+    posts: dict[str, int] = {}
+    for blk in parts.iter_batches(batch_format="pyarrow"):
+        for s, k, n in zip(blk["source"].to_pylist(),
+                           blk["kind"].to_pylist(),
+                           blk["n"].to_pylist()):
+            d = types if k == "types" else posts
+            d[s] = d.get(s, 0) + n
+    names = sorted(set(types) | set(posts))
+    out = pa.table({
+        "source": pa.array(names, pa.string()),
+        "n_postings": pa.array([posts.get(s, 0) for s in names],
+                               pa.int64()),
+        "n_types": pa.array([types.get(s, 0) for s in names],
+                            pa.int64()),
+        "ttr": pa.array(
+            [round(float(types.get(s, 0)) / float(posts[s]), 6)
+             if posts.get(s, 0) else 0.0 for s in names],
+            pa.float64())})
+    import ray.data as rd
+    return rd.from_arrow(out)
+
+
+def shingle_novelty(docs_ds, n_buckets: int = OVERLAP_BUCKETS):
+    """Vocabulary-growth curve (Heaps-law diagnostic): for every doc,
+    how many of its distinct shingles appear in NO earlier doc
+    (earlier = lower doc_id) — the marginal-novelty signal behind
+    "is more data still adding new content".
+
+    Shape: per-doc distinct (shingle_hash, doc_id) rows; ONE
+    hash-keyed bucket exchange; within a bucket the FIRST owner of
+    each shingle (min doc_id) is found by a sorted segmented sweep and
+    per-doc novelty counts are emitted as bounded partials (≤ docs per
+    bucket). The partials then co-group with the per-doc size rows
+    under a doc_id-keyed bucket exchange — NO O(docs) driver state
+    anywhere (the result stays a distributed Dataset).
+
+    Output: (doc_id, n_shingles, n_new) — n_new sums to the global
+    distinct-shingle count by construction."""
+    from ..stages.buckets import grouped_by_bucket
+
+    def explode(b: pa.Table) -> pa.Table:
+        hs: list[int] = []
+        ds: list[int] = []
+        for did, t in zip(b["doc_id"].to_pylist(),
+                          b["text"].to_pylist()):
+            for s in shingles_of(t):
+                hs.append(_shingle_hash64(s))
+                ds.append(did)
+        return pa.table({"h": pa.array(hs, pa.int64()),
+                         "doc_id": pa.array(ds, pa.int64())})
+
+    rows = docs_ds.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_firsts(b: pa.Table) -> pa.Table:
+        h = b["h"].combine_chunks().to_numpy(zero_copy_only=False)
+        did = b["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((did, h))
+        h, did = h[order], did[order]
+        starts = np.ones(len(h), dtype=bool)
+        starts[1:] = h[1:] != h[:-1]
+        owners = did[starts]                  # min doc_id per shingle
+        uniq, counts = np.unique(owners, return_counts=True)
+        z = np.zeros(len(uniq), dtype=np.int64)
+        return pa.table({"doc_id": pa.array(uniq, pa.int64()),
+                         "n_shingles": pa.array(z, pa.int64()),
+                         "n_new": pa.array(counts, pa.int64())})
+
+    firsts = grouped_by_bucket(rows, bucket_firsts, key="h",
+                               n_buckets=n_buckets)
+
+    def sizes(b: pa.Table) -> pa.Table:
+        o_d, o_n = [], []
+        for did, t in zip(b["doc_id"].to_pylist(),
+                          b["text"].to_pylist()):
+            o_d.append(did)
+            o_n.append(len(shingles_of(t)))
+        z = [0] * len(o_d)
+        return pa.table({"doc_id": pa.array(o_d, pa.int64()),
+                         "n_shingles": pa.array(o_n, pa.int64()),
+                         "n_new": pa.array(z, pa.int64())})
+
+    both = docs_ds.map_batches(sizes, batch_format="pyarrow") \
+        .union(firsts)
+
+    def fold(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].combine_chunks() \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        nsh = b["n_shingles"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        nnew = b["n_new"].combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        order = np.argsort(did, kind="stable")
+        did = did[order]
+        starts = np.ones(len(did), dtype=bool)
+        starts[1:] = did[1:] != did[:-1]
+        seg = np.cumsum(starts) - 1
+        n = int(seg[-1]) + 1 if len(seg) else 0
+        sh = np.zeros(n, dtype=np.int64)
+        nw = np.zeros(n, dtype=np.int64)
+        np.add.at(sh, seg, nsh[order])
+        np.add.at(nw, seg, nnew[order])
+        return pa.table({"doc_id": pa.array(did[starts], pa.int64()),
+                         "n_shingles": pa.array(sh, pa.int64()),
+                         "n_new": pa.array(nw, pa.int64())})
+
+    return grouped_by_bucket(both, fold, key="doc_id",
+                             n_buckets=n_buckets)

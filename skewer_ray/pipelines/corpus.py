@@ -1580,6 +1580,27 @@ def q_source_overlap(sf_dir: str):
                         columns=["text", "source"]))
 
 
+def q_ngram_diversity(sf_dir: str):
+    """Per-source shingle type-token ratio
+    (functions/overlap.ngram_diversity): map-side postings sums, one
+    hash-keyed bucket exchange for global types, |S|-bounded partials.
+    Exact SQL mirror "ngram_diversity"."""
+    from ..functions.overlap import ngram_diversity
+    return ngram_diversity(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["text", "source"]))
+
+
+def q_shingle_novelty(sf_dir: str):
+    """Vocabulary-growth curve: per-doc count of shingles unseen in
+    any lower-doc_id doc (functions/overlap.shingle_novelty) — ONE
+    hash-keyed exchange finds min-owner per shingle, bounded per-doc
+    partials co-group with size rows under a doc-keyed exchange; no
+    O(docs) driver state. Exact SQL mirror "shingle_novelty"."""
+    from ..functions.overlap import shingle_novelty
+    return shingle_novelty(_docs(sf_dir))
+
+
 def q_kmeans_assign(sf_dir: str):
     """Two-iteration exact-integer Lloyd k-means over the embedding
     table (functions/kmeans.kmeans_assign): micro-unit quantized
@@ -1608,6 +1629,8 @@ QUERIES = {
     "unigram_entropy": q_unigram_entropy,
     "bpe_encode": q_bpe_encode,
     "upsert_latest": q_upsert_latest,
+    "ngram_diversity": q_ngram_diversity,
+    "shingle_novelty": q_shingle_novelty,
     "epoch_shuffle": q_epoch_shuffle,
     "source_overlap": q_source_overlap,
     "jl_project": q_jl_project,

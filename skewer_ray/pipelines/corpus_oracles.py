@@ -1433,6 +1433,32 @@ s AS (SELECT qv.vec_id, jj.j,
 SELECT vec_id, CAST(j AS BIGINT) AS j, CAST(sum(t) AS BIGINT) AS y
 FROM s GROUP BY vec_id, j"""
 
+    # per-source shingle type-token ratio: postings = Σ per-doc
+    # DISTINCT shingles (the sh CTE is per-doc distinct), types =
+    # globally distinct per source; shared round-6dp expression
+    q["ngram_diversity"] = _shingle_ctes() + """,
+ss AS (SELECT d.source, sh.doc_id, sh.s
+       FROM sh JOIN documents d USING (doc_id)),
+p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_postings,
+             CAST(count(DISTINCT s) AS BIGINT) AS n_types
+      FROM ss GROUP BY 1)
+SELECT source, n_postings, n_types,
+       CASE WHEN n_postings = 0 THEN 0.0
+            ELSE round(CAST(n_types AS DOUBLE)
+                       / CAST(n_postings AS DOUBLE), 6) END AS ttr
+FROM p"""
+
+    # vocabulary-growth curve: a shingle is "new" in its min-doc_id
+    # owner; every doc keeps a row (empty docs report zeros)
+    q["shingle_novelty"] = _shingle_ctes() + """,
+f AS (SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY s),
+nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new
+       FROM f GROUP BY 1)
+SELECT w.doc_id, CAST(COALESCE(z.n, 0) AS BIGINT) AS n_shingles,
+       COALESCE(nn.n_new, 0) AS n_new
+FROM w LEFT JOIN sizes z USING (doc_id)
+       LEFT JOIN nn USING (doc_id)"""
+
     # CDC latest-wins compaction: one row per (user, type), winner =
     # highest event_id
     q["upsert_latest"] = """

@@ -600,3 +600,61 @@ def test_epoch_shuffle_matches_bruteforce(ray_session):
             assert got[(ep, d)] == (pos, (pos - 1) % 8), (ep, d)
     assert len(got) == 2 * len(ids)
     assert orders[1] != orders[2]  # epochs genuinely reshuffle
+
+
+def test_ngram_diversity_matches_bruteforce(ray_session):
+    """Per-source TTR equals serial set/posting counting."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from skewer_ray.functions.dedup import shingles_of
+    from skewer_ray.functions.overlap import ngram_diversity
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["text", "source"])
+    got = {r.source: (r.n_postings, r.n_types, r.ttr)
+           for r in ngram_diversity(docs).to_pandas().itertuples()}
+
+    src = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["text", "source"]).to_pylist()
+    posts: dict = {}
+    types: dict = {}
+    for r in src:
+        sh = shingles_of(r["text"])
+        posts[r["source"]] = posts.get(r["source"], 0) + len(sh)
+        types.setdefault(r["source"], set()).update(sh)
+    want = {s: (posts[s], len(types[s]),
+                round(float(len(types[s])) / float(posts[s]), 6))
+            for s in posts}
+    assert got == want
+    assert all(0 < v[2] <= 1.0 for v in got.values())
+
+
+def test_shingle_novelty_matches_bruteforce(ray_session):
+    """Per-doc novelty equals the serial first-owner sweep; novelty
+    sums to the global distinct-shingle count; the first doc is 100%
+    novel."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from skewer_ray.functions.dedup import shingles_of
+    from skewer_ray.functions.overlap import shingle_novelty
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = {r.doc_id: (r.n_shingles, r.n_new)
+           for r in shingle_novelty(docs).to_pandas().itertuples()}
+
+    src = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pylist()
+    src.sort(key=lambda r: r["doc_id"])
+    seen: set = set()
+    want = {}
+    for r in src:
+        sh = shingles_of(r["text"])
+        want[r["doc_id"]] = (len(sh), len(sh - seen))
+        seen |= sh
+    assert got == want
+    assert sum(v[1] for v in got.values()) == len(seen)
+    d0 = src[0]["doc_id"]
+    assert got[d0][0] == got[d0][1] > 0
