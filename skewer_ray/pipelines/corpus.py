@@ -1399,6 +1399,58 @@ def q_events_rollup(sf_dir: str):
     })
 
 
+def q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, day) from ONE scan: the fine level is
+    the same grouped_stats combine as events_rollup; BOTH one-dim
+    subtotals AND the grand total are exact integer summary-of-summary
+    folds of the fine cells (no extra exchange). Sentinels 'ALL'/-1
+    replace NULL grouping markers. Exact SQL mirror "events_cube"."""
+    from ..stages.agg import grouped_stats
+
+    def pre(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b["ts"], pa.int64())
+        return pa.table({
+            "event_type": b["event_type"],
+            "day": pc.divide(ts, DAY_US),
+            "cents": pc.cast(pc.round(pc.multiply(b["value"], 100)),
+                             pa.int64()),
+        })
+
+    fine = grouped_stats(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts", "value"]),
+        ["event_type", "day"], [("cents", "count"), ("cents", "sum")],
+        pre=pre, combine="driver")
+    empty = pa.table({"event_type": pa.array([], pa.string()),
+                      "day": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "sum_cents": pa.array([], pa.int64())})
+    if fine.num_rows == 0 or "event_type" not in fine.column_names:
+        return empty
+    import pandas as pd
+    f = pd.DataFrame({"event_type": fine["event_type"].to_pylist(),
+                      "day": fine["day"].to_pylist(),
+                      "n": fine["n"].to_pylist(),
+                      "sum_cents": fine["sum_cents"].to_pylist()})
+    by_type = (f.groupby("event_type", as_index=False)[["n", "sum_cents"]]
+               .sum())
+    by_type["day"] = -1
+    by_day = (f.groupby("day", as_index=False)[["n", "sum_cents"]]
+              .sum())
+    by_day["event_type"] = "ALL"
+    grand = pd.DataFrame({"event_type": ["ALL"], "day": [-1],
+                          "n": [f["n"].sum()],
+                          "sum_cents": [f["sum_cents"].sum()]})
+    out = pd.concat([f, by_type, by_day, grand], ignore_index=True)
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "day": pa.array(out["day"].astype("int64"), pa.int64()),
+        "n": pa.array(out["n"].astype("int64"), pa.int64()),
+        "sum_cents": pa.array(out["sum_cents"].astype("int64"),
+                              pa.int64()),
+    })
+
+
 def q_late_events(sf_dir: str):
     """Watermark-style late-data detection over the event stream —
     running-max event time by arrival order via a distributed segmented
@@ -1704,6 +1756,7 @@ QUERIES = {
     "pagerank_tools": q_pagerank_tools,
     "sampled_quantiles": q_sampled_quantiles,
     "events_rollup": q_events_rollup,
+    "events_cube": q_events_cube,
     "curated_docs": q_curated_docs,
     "late_events": q_late_events,
     "ann_quantized": q_ann_quantized,

@@ -1226,6 +1226,20 @@ SELECT COALESCE(event_type, 'ALL') AS event_type,
 FROM e GROUP BY ROLLUP(event_type, day)
 HAVING count(*) > 0"""
 
+    # CUBE: rollup + the by-day slice, same sentinel convention
+    q["events_cube"] = """
+WITH e AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(day, -1) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM e GROUP BY CUBE(event_type, day)
+HAVING count(*) > 0"""
+
     # composed curation flagship: the quality_filter, dedup_exact and
     # rebalance_mix rules chained over the SURVIVOR set at each stage
     q["curated_docs"] = _W + f""",

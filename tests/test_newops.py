@@ -658,3 +658,29 @@ def test_shingle_novelty_matches_bruteforce(ray_session):
     assert sum(v[1] for v in got.values()) == len(seen)
     d0 = src[0]["doc_id"]
     assert got[d0][0] == got[d0][1] > 0
+
+
+def test_events_cube_consistent(ray_session):
+    """CUBE levels are exact folds of the fine level: by-type rows
+    equal rollup's, by-day rows sum the fine cells of that day, the
+    grand total matches, and the row count is fine+types+days+1."""
+    from skewer_ray.pipelines.corpus import q_events_cube
+
+    sf = "/root/testdata/sf0.001"
+    t = q_events_cube(sf).to_pandas()
+    fine = t[(t.event_type != "ALL") & (t.day != -1)]
+    by_type = t[(t.event_type != "ALL") & (t.day == -1)]
+    by_day = t[(t.event_type == "ALL") & (t.day != -1)]
+    grand = t[(t.event_type == "ALL") & (t.day == -1)]
+    assert len(grand) == 1
+    assert int(grand.n.iloc[0]) == int(fine.n.sum())
+    assert int(grand.sum_cents.iloc[0]) == int(fine.sum_cents.sum())
+    for et, g in fine.groupby("event_type"):
+        row = by_type[by_type.event_type == et]
+        assert int(row.n.iloc[0]) == int(g.n.sum())
+        assert int(row.sum_cents.iloc[0]) == int(g.sum_cents.sum())
+    for day, g in fine.groupby("day"):
+        row = by_day[by_day.day == day]
+        assert int(row.n.iloc[0]) == int(g.n.sum())
+        assert int(row.sum_cents.iloc[0]) == int(g.sum_cents.sum())
+    assert len(t) == (len(fine) + len(by_type) + len(by_day) + 1)
