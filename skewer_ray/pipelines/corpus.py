@@ -261,6 +261,46 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two retrieval rankings — the hybrid-
+    search serving op: the float-cosine brute-force top-k and the
+    int8-quantized top-k lists fuse per (query, candidate) with
+    integer RRF contributions floor(10⁹/(60+rank)) (missing list = 0),
+    so scores are order-independent int64 sums and ordering
+    (score DESC, vec_id) is exact on both engines. Both input
+    rankings are the already-bounded queries×k tables, so fusion is a
+    driver fold over ≤ 2·|Q|·k rows. Exact SQL mirror "rrf_fusion"."""
+    from ..functions.quantize import quantized_topk
+    from ..functions.similarity import brute_force_topk
+
+    a = brute_force_topk(_emb(sf_dir), ANN_QUERY_IDS,
+                         k=ANN_K).to_pandas()
+    b = quantized_topk(_emb(sf_dir), ANN_QUERY_IDS,
+                       k=ANN_K).to_pandas()
+    scores: dict[tuple[int, int], int] = {}
+    for df in (a, b):
+        for r in df.itertuples():
+            key = (int(r.query_id), int(r.vec_id))
+            scores[key] = scores.get(key, 0) \
+                + 1_000_000_000 // (60 + int(r.rank))
+    per_q: dict[int, list] = {}
+    for (qid, vid), s in scores.items():
+        per_q.setdefault(qid, []).append((-s, vid))
+    o_q, o_r, o_v, o_s = [], [], [], []
+    for qid in sorted(per_q):
+        for rank, (ns, vid) in enumerate(sorted(per_q[qid])[:ANN_K],
+                                         start=1):
+            o_q.append(qid)
+            o_r.append(rank)
+            o_v.append(vid)
+            o_s.append(-ns)
+    return pa.table({
+        "query_id": pa.array(o_q, pa.int64()),
+        "rrf_rank": pa.array(o_r, pa.int64()),
+        "vec_id": pa.array(o_v, pa.int64()),
+        "rrf_score": pa.array(o_s, pa.int64())})
+
+
 def q_hard_negatives(sf_dir: str):
     """Hard-negative mining: top-k most-similar DIFFERENT-label vectors
     per query (functions/similarity.hard_negatives) — the contrastive-
@@ -1757,6 +1797,7 @@ QUERIES = {
     "sampled_quantiles": q_sampled_quantiles,
     "events_rollup": q_events_rollup,
     "events_cube": q_events_cube,
+    "rrf_fusion": q_rrf_fusion,
     "curated_docs": q_curated_docs,
     "late_events": q_late_events,
     "ann_quantized": q_ann_quantized,

@@ -284,6 +284,54 @@ SELECT query_id,
 FROM s
 QUALIFY rank <= 5"""
 
+    # reciprocal-rank fusion of the ann_topk (rounded-cosine) and
+    # ann_quantized (int8-dot) rankings: integer contributions
+    # floor(1e9/(60+rank)), missing list = 0, exact int64 ordering
+    q["rrf_fusion"] = """
+WITH qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 10),
+cv AS (SELECT vec_id, embedding::DOUBLE[] AS ce
+       FROM embeddings WHERE vec_id >= 10),
+sc AS (SELECT query_id, vec_id,
+              round(list_cosine_similarity(qe, ce), 6) AS cosine
+       FROM qv CROSS JOIN cv),
+ra AS (SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id) AS rank
+       FROM sc QUALIFY rank <= 5),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+am AS (SELECT d, max(abs(v)) AS amax FROM e GROUP BY d),
+qq AS (SELECT e.vec_id, e.d,
+              CASE WHEN am.amax > 0 THEN
+                CAST(least(greatest(floor((v * 127) / am.amax), -127),
+                           127) AS BIGINT)
+              ELSE 0 END AS q
+       FROM e JOIN am USING (d)),
+s2 AS (SELECT ql.vec_id AS query_id, db.vec_id AS vec_id,
+              CAST(sum(ql.q * db.q) AS BIGINT) AS score
+       FROM qq ql JOIN qq db ON ql.d = db.d
+       WHERE ql.vec_id IN (0,1,2,3,4,5,6,7,8,9)
+         AND db.vec_id NOT IN (0,1,2,3,4,5,6,7,8,9)
+       GROUP BY 1, 2),
+rb AS (SELECT query_id, vec_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, vec_id) AS rank
+       FROM s2 QUALIFY rank <= 5),
+u AS (SELECT COALESCE(ra.query_id, rb.query_id) AS query_id,
+             COALESCE(ra.vec_id, rb.vec_id) AS vec_id,
+             COALESCE(CAST(floor(1000000000 / (60 + ra.rank))
+                           AS BIGINT), 0)
+           + COALESCE(CAST(floor(1000000000 / (60 + rb.rank))
+                           AS BIGINT), 0) AS s
+      FROM ra FULL JOIN rb
+        ON ra.query_id = rb.query_id AND ra.vec_id = rb.vec_id)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY s DESC, vec_id) AS rrf_rank,
+       vec_id, s AS rrf_score
+FROM u QUALIFY rrf_rank <= 5"""
+
     # hard-negative mining: exact top-5 highest-cosine DIFFERENT-label
     # candidates per query (same CTEs/order rule as ann_topk)
     q["hard_negatives"] = """

@@ -684,3 +684,38 @@ def test_events_cube_consistent(ray_session):
         assert int(row.n.iloc[0]) == int(g.n.sum())
         assert int(row.sum_cents.iloc[0]) == int(g.sum_cents.sum())
     assert len(t) == (len(fine) + len(by_type) + len(by_day) + 1)
+
+
+def test_rrf_fusion_matches_bruteforce(ray_session):
+    """Fusion equals the serial RRF over the two component rankings;
+    a candidate present in both lists outranks equal-rank singletons."""
+    import ray.data as rd
+    from skewer_ray.functions.quantize import quantized_topk
+    from skewer_ray.functions.similarity import brute_force_topk
+    from skewer_ray.pipelines.corpus import (ANN_K, ANN_QUERY_IDS,
+                                             q_rrf_fusion)
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    a = brute_force_topk(emb, ANN_QUERY_IDS, k=ANN_K).to_pandas()
+    b = quantized_topk(emb, ANN_QUERY_IDS, k=ANN_K).to_pandas()
+    scores: dict = {}
+    for df in (a, b):
+        for r in df.itertuples():
+            k2 = (int(r.query_id), int(r.vec_id))
+            scores[k2] = scores.get(k2, 0) \
+                + 1_000_000_000 // (60 + int(r.rank))
+    want = []
+    for qid in sorted({k[0] for k in scores}):
+        cand = sorted((-s, v) for (q2, v), s in scores.items()
+                      if q2 == qid)[:ANN_K]
+        for rank, (ns, v) in enumerate(cand, start=1):
+            want.append((qid, rank, v, -ns))
+
+    got = [(r.query_id, r.rrf_rank, r.vec_id, r.rrf_score)
+           for r in q_rrf_fusion(sf).to_pandas().itertuples()]
+    assert sorted(got) == sorted(want)
+    both = {k for k in scores
+            if scores[k] > 1_000_000_000 // 61}  # > best single-list
+    assert both, "no candidate appeared in both lists at sf0.001"
