@@ -52,10 +52,27 @@ _DRIVER_CHECKED_R03 = (
 )
 
 
+# VERDICT.md r03 "Next round" #1 names these 30 (never driver-checked as of
+# r03) as the coverage-completing priority; they must land inside the
+# driver's 50-entry sample even though 22 newer r04 queries are also
+# unwitnessed — so they come FIRST, new r04 ops second, checked 100 last.
+_PRIORITY_UNCHECKED = (
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22", "events_rollup",
+    "curated_docs", "late_events", "ann_quantized", "dedup_prefix",
+    "profile_docs", "events_histogram", "events_quantiles",
+)
+
+
 def _rotate_unwitnessed_first(full: dict) -> dict:
-    """Unchecked entries first (original relative order), checked 100 last."""
+    """Priority-unchecked first, other unchecked next, checked 100 last."""
     checked = set(_DRIVER_CHECKED_R03)
-    ordered = {k: v for k, v in full.items() if k not in checked}
+    ordered = {k: full[k] for k in _PRIORITY_UNCHECKED if k in full}
+    ordered.update(
+        {k: v for k, v in full.items()
+         if k not in checked and k not in ordered})
     ordered.update({k: full[k] for k in _DRIVER_CHECKED_R03 if k in full})
     return ordered
 
