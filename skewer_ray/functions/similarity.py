@@ -523,3 +523,141 @@ def knn_classify(emb_ds, query_ids: list[int], k: int = DEFAULT_K):
         "label": pa.array(win, pa.int64()),
         "votes": pa.array(n_votes, pa.int64()),
     })
+
+
+MATRYOSHKA_PREFIX = 16
+MATRYOSHKA_M = 20
+
+
+def matryoshka_rerank(emb_ds, query_ids: list[int], k: int = DEFAULT_K,
+                      prefix_dims: int = MATRYOSHKA_PREFIX,
+                      m: int = MATRYOSHKA_M):
+    """Matryoshka two-stage retrieval (MRL, Kusupati et al. 2022,
+    arXiv:2205.13147): stage 1 scans every candidate with only the
+    FIRST ``prefix_dims`` dims of the embedding — the cheap coarse
+    pass, and the only full scan (a 4x-narrower matmul whose bytes are
+    what matters at 100 TB) — keeping the exact top-``m`` per query by
+    (round(prefix_cos, 6) DESC, vec_id). Stage 2 reranks just those
+    <= |Q|*m candidates with the FULL vector: a bounded is_in fetch
+    (the knn_classify pattern) plus one tiny matmul, never a second
+    scan. Output schema = ann_topk's (query_id, rank, vec_id, cosine
+    [full-dim, round 6]). Exact SQL mirror: "matryoshka_rerank"."""
+    import ray
+    import ray.data as rd
+
+    qids, qraw = _query_matrix(emb_ds, query_ids, normalize=False)
+    if qraw.size == 0:
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+    qpre = _norm_rows(qraw[:, :prefix_dims])
+    broadcast = ray.put((qids, qpre))
+    qid_np = np.asarray(qids, dtype=np.int64)
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "pcos": pa.array([], pa.float64())})
+
+    def partial_prefix(batch: pa.Table) -> pa.Table:
+        b_qids, b_qpre = ray.get(broadcast)
+        cids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        keep = ~np.isin(cids, qid_np)
+        if not keep.any():
+            return empty
+        cids = cids[keep]
+        cmat = np.array(batch["embedding"].to_pylist(),
+                        dtype=np.float64)[keep]
+        cpre = _norm_rows(cmat[:, :prefix_dims])
+        sims = np.round(b_qpre @ cpre.T, 6)  # queries x block
+        q_out, v_out, s_out = [], [], []
+        kk = min(m, sims.shape[1])
+        for qi in range(len(b_qids)):
+            idx = np.lexsort((cids, -sims[qi]))[:kk]
+            q_out.extend([int(b_qids[qi])] * len(idx))
+            v_out.extend(int(cids[j]) for j in idx)
+            s_out.extend(float(sims[qi, j]) for j in idx)
+        return pa.table({"query_id": pa.array(q_out, pa.int64()),
+                         "vec_id": pa.array(v_out, pa.int64()),
+                         "pcos": pa.array(s_out, pa.float64())})
+
+    partials = emb_ds.map_batches(partial_prefix, batch_format="pyarrow")
+    cand_rows = _merge_topk(partials, m, score_col="pcos").take_all()
+
+    cand_ids = sorted({int(r["vec_id"]) for r in cand_rows})
+    cvids, craw = _query_matrix(emb_ds, cand_ids, normalize=False)
+    cfull = _norm_rows(craw)
+    qfull = _norm_rows(qraw)
+    cpos = {int(v): i for i, v in enumerate(cvids)}
+    qpos = {int(q): i for i, q in enumerate(qids)}
+    q_out, v_out, s_out = [], [], []
+    for r in cand_rows:
+        q_out.append(int(r["query_id"]))
+        v_out.append(int(r["vec_id"]))
+        s_out.append(float(np.round(
+            qfull[qpos[q_out[-1]]] @ cfull[cpos[v_out[-1]]], 6)))
+    tbl = pa.table({"query_id": pa.array(q_out, pa.int64()),
+                    "vec_id": pa.array(v_out, pa.int64()),
+                    "cosine": pa.array(s_out, pa.float64())})
+    return rd.from_arrow(_topk_finalize(tbl, k, "cosine", float))
+
+
+MMR_POOL = 8
+
+
+def mmr_diversify(emb_ds, query_ids: list[int], k: int = DEFAULT_K,
+                  m: int = MMR_POOL):
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) with equal relevance/diversity weights, in exact
+    integer micro-cosine units: the candidate pool is the exact
+    top-``m`` full-dim cosine list per query (the distributed scan —
+    the same partial-top-k map as ann_topk); selection is the classic
+    greedy fold — step 1 takes the most relevant candidate, step t
+    takes argmax of rel_i - max_{j in selected} sim_ij (ties toward
+    the smaller vec_id). rel/sim are int64 round(cos * 1e6), so the
+    fold is order-exact on both engines. The fold is bounded by
+    |Q|*m rows plus one pool x pool sim matrix and runs on the driver,
+    like rrf_fusion's fusion fold. Output (query_id, step, vec_id,
+    mmr_score). Exact SQL mirror: "mmr_diversify"."""
+    cand = brute_force_topk(emb_ds, query_ids, k=m).take_all()
+    cand_ids = sorted({int(r["vec_id"]) for r in cand})
+    if not cand_ids:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "step": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "mmr_score": pa.array([], pa.int64())})
+    cvids, craw = _query_matrix(emb_ds, cand_ids, normalize=False)
+    cfull = _norm_rows(craw)
+    sim_micro = np.rint(
+        np.round(cfull @ cfull.T, 6) * 1e6).astype(np.int64)
+    cpos = {int(v): i for i, v in enumerate(cvids)}
+    per_q: dict[int, list[tuple[int, int]]] = {}
+    for r in cand:
+        per_q.setdefault(int(r["query_id"]), []).append(
+            (int(r["vec_id"]), int(np.rint(r["cosine"] * 1e6))))
+    q_out, st_out, v_out, s_out = [], [], [], []
+    for qid in sorted(per_q):
+        pool = per_q[qid]
+        chosen: list[int] = []
+        chosen_ids: set[int] = set()
+        for step in range(1, min(k, len(pool)) + 1):
+            best_vid = best_score = None
+            for vid, rel in pool:
+                if vid in chosen_ids:
+                    continue
+                score = rel if not chosen else rel - int(max(
+                    sim_micro[cpos[vid], c] for c in chosen))
+                if best_vid is None or score > best_score or \
+                        (score == best_score and vid < best_vid):
+                    best_vid, best_score = vid, score
+            chosen.append(cpos[best_vid])
+            chosen_ids.add(best_vid)
+            q_out.append(qid)
+            st_out.append(step)
+            v_out.append(best_vid)
+            s_out.append(best_score)
+    return pa.table({"query_id": pa.array(q_out, pa.int64()),
+                     "step": pa.array(st_out, pa.int64()),
+                     "vec_id": pa.array(v_out, pa.int64()),
+                     "mmr_score": pa.array(s_out, pa.int64())})

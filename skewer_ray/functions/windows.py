@@ -703,3 +703,59 @@ def upsert_latest(events_ds):
 
     part = events_ds.map_batches(latest_in, batch_format="pyarrow")
     return grouped_by_bucket(part, latest_in, key="user_id")
+
+
+ALERT_THRESHOLD = 2
+
+
+def alert_windows(events_ds, window_us: int = HOUR_US,
+                  threshold: int = ALERT_THRESHOLD):
+    """Edge-triggered threshold alerts — the monitoring-rule operator:
+    per (user, tumbling window) event counts, where a row FIRES when
+    the count reaches ``threshold`` and the count in the immediately
+    preceding window (window_start - window_us; 0 when that window has
+    no events) was below it — i.e. the alert raises on the crossing,
+    not on every hot window (the classic alert-dedup rule of log
+    monitors).
+
+    Shape at scale: map-side combine first (each block collapses to
+    its (user, window) PARTIAL counts, so the exchange carries partial
+    rows, not events), ONE user-bucket shuffle, then a per-bucket
+    vectorized sweep — after the final combine the (user, window) rows
+    are unique and sorted, so "the previous existing window of this
+    user" is simply the previous row, and adjacency is one vectorized
+    comparison. Output (user_id, window_start, n, prev_n), fired rows
+    only."""
+    from ..stages.buckets import grouped_by_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64())
+        win = pc.multiply(pc.divide(ts, window_us), window_us)
+        t = pa.table({"user_id": batch["user_id"], "win": win})
+        part = t.group_by(["user_id", "win"]).aggregate([("win", "count")])
+        return part.rename_columns(["user_id", "win", "n"])
+
+    def sweep(tbl: pa.Table) -> pa.Table:
+        # final combine of the partials, then the lag-vs-adjacent rule
+        full = tbl.group_by(["user_id", "win"]).aggregate([("n", "sum")])
+        uid = full["user_id"].to_numpy(zero_copy_only=False)
+        win = full["win"].to_numpy(zero_copy_only=False)
+        n = full["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((win, uid))
+        uid, win, n = uid[order], win[order], n[order]
+        prev_n = np.zeros_like(n)
+        if len(n) > 1:
+            adj = (uid[1:] == uid[:-1]) & (win[1:] - win[:-1] == window_us)
+            prev_n[1:][adj] = n[:-1][adj]
+        fired = (n >= threshold) & (prev_n < threshold)
+        return pa.table({
+            "user_id": pa.array(uid[fired], pa.int64()),
+            "window_start": pa.array(win[fired], pa.int64())
+                              .cast(pa.timestamp("us")),
+            "n": pa.array(n[fired], pa.int64()),
+            "prev_n": pa.array(prev_n[fired], pa.int64()),
+        })
+
+    partials = events_ds.map_batches(pre, batch_format="pyarrow")
+    return grouped_by_bucket(partials, sweep, key="user_id",
+                             coalesce=False)

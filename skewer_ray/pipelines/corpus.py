@@ -1320,6 +1320,39 @@ def q_profile_docs(sf_dir: str):
                          str_cols=["text", "lang", "source"])
 
 
+def q_matryoshka_rerank(sf_dir: str):
+    """Matryoshka two-stage retrieval: prefix-16-dim coarse top-20
+    scan, full-64-dim rerank of the bounded candidate set
+    (functions/similarity.matryoshka_rerank)."""
+    from ..functions.similarity import matryoshka_rerank
+    return matryoshka_rerank(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_mmr_diversify(sf_dir: str):
+    """MMR-diversified top-k: exact top-8 cosine pool per query, then
+    the greedy rel - max-sim-to-selected fold in integer micro-cosine
+    units (functions/similarity.mmr_diversify)."""
+    from ..functions.similarity import mmr_diversify
+    return mmr_diversify(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def q_feature_hashing(sf_dir: str):
+    """Hashing-trick bag-of-words: map-only signed md5 bucket sums per
+    doc, no vocabulary exchange (functions/textstats.
+    feature_hash_batch)."""
+    from ..functions.textstats import feature_hash_batch
+    return _docs(sf_dir).map_batches(feature_hash_batch,
+                                     batch_format="pyarrow")
+
+
+def q_alert_windows(sf_dir: str):
+    """Edge-triggered per-user threshold alerts over tumbling windows
+    (functions/windows.alert_windows): fires on the below→at-or-above
+    crossing only."""
+    from ..functions.windows import alert_windows
+    return alert_windows(_events(sf_dir, ["ts", "user_id"]))
+
+
 def q_dedup_prefix(sf_dir: str):
     """Exact Jaccard pairs via PPJoin-style prefix filtering — the
     sub-quadratic EXACT near-dup path (functions/dedup.
@@ -1803,6 +1836,10 @@ QUERIES = {
     "ann_quantized": q_ann_quantized,
     "dedup_prefix": q_dedup_prefix,
     "profile_docs": q_profile_docs,
+    "matryoshka_rerank": q_matryoshka_rerank,
+    "mmr_diversify": q_mmr_diversify,
+    "feature_hashing": q_feature_hashing,
+    "alert_windows": q_alert_windows,
 }
 
 

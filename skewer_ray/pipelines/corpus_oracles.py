@@ -1697,4 +1697,119 @@ SELECT doc_id, term, tf,
     AS score
 FROM tf JOIN df USING (term), s"""
 
+    # Matryoshka two-stage retrieval: coarse top-20 on the first 16
+    # dims (rounded-cosine/vec_id order), exact full-dim rerank to
+    # top-5 — mirrors functions/similarity.matryoshka_rerank
+    q["matryoshka_rerank"] = """
+WITH qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 10),
+cv AS (SELECT vec_id, embedding::DOUBLE[] AS ce
+       FROM embeddings WHERE vec_id >= 10),
+p AS (SELECT query_id, vec_id, qe, ce,
+             round(list_cosine_similarity(qe[1:16], ce[1:16]), 6)
+               AS pcos
+      FROM qv CROSS JOIN cv),
+cand AS (SELECT query_id, vec_id, qe, ce,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY pcos DESC, vec_id) AS prank
+         FROM p QUALIFY prank <= 20),
+r AS (SELECT query_id, vec_id,
+             round(list_cosine_similarity(qe, ce), 6) AS cosine
+      FROM cand)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, vec_id) AS rank,
+       vec_id, cosine
+FROM r QUALIFY rank <= 5"""
+
+    # MMR greedy diversified top-5 over the exact top-8 cosine pool,
+    # unrolled one CTE per selection step; rel/sim in int64
+    # micro-cosine units so the fold is order-exact on both engines —
+    # mirrors functions/similarity.mmr_diversify
+    q["mmr_diversify"] = _mmr_sql(k=5, m=8)
+
+    # hashing-trick bag-of-words: signed md5-bucket sums per doc,
+    # nonzero rows only — mirrors textstats.feature_hash_batch
+    q["feature_hashing"] = _W + """,
+tok AS (SELECT doc_id, unnest(words) AS t FROM w),
+h AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 64
+               AS bucket,
+             CASE WHEN CAST(('0x' || substr(md5(t), 9, 1)) AS BIGINT)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok)
+SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS weight
+FROM h GROUP BY doc_id, bucket HAVING sum(sgn) <> 0"""
+
+    # edge-triggered per-user threshold alerts over 1-hour tumbling
+    # windows: fires when n reaches 2 and the immediately preceding
+    # window was below 2 (absent window counts 0) — mirrors
+    # functions/windows.alert_windows
+    q["alert_windows"] = """
+WITH c AS (SELECT user_id,
+                  (epoch_us(ts) // 3600000000) * 3600000000 AS w,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+l AS (SELECT user_id, w, n,
+             CASE WHEN lag(w) OVER (PARTITION BY user_id ORDER BY w)
+                       = w - 3600000000
+                  THEN lag(n) OVER (PARTITION BY user_id ORDER BY w)
+                  ELSE 0 END AS prev_n
+      FROM c)
+SELECT user_id, make_timestamp(w) AS window_start, n, prev_n
+FROM l WHERE n >= 2 AND prev_n < 2"""
+
     return q
+
+
+def _mmr_sql(k: int, m: int) -> str:
+    """Unrolled MMR selection SQL: one (p_t, sel_t) CTE pair per
+    greedy step — no recursive CTE, every step an argmax QUALIFY."""
+    head = """
+WITH qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id < 10),
+cv AS (SELECT vec_id, embedding::DOUBLE[] AS ce
+       FROM embeddings WHERE vec_id >= 10),
+s AS (SELECT query_id, vec_id,
+             round(list_cosine_similarity(qe, ce), 6) AS cosine
+      FROM qv CROSS JOIN cv),
+cand AS (SELECT query_id, vec_id,
+                CAST(round(cosine * 1000000) AS BIGINT) AS rel,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rnk
+         FROM s QUALIFY rnk <= %d),
+ce2 AS (SELECT c.query_id, c.vec_id, e.embedding::DOUBLE[] AS ce
+        FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id),
+sim AS (SELECT a.query_id, a.vec_id AS v1, b.vec_id AS v2,
+               CAST(round(round(list_cosine_similarity(a.ce, b.ce), 6)
+                          * 1000000) AS BIGINT) AS s
+        FROM ce2 a JOIN ce2 b
+          ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+p1 AS (SELECT query_id, vec_id, rel AS mmrv FROM cand
+       QUALIFY row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id) = 1),
+sel1 AS (SELECT query_id, CAST(1 AS BIGINT) AS step, vec_id, mmrv
+         FROM p1)""" % m
+    parts = [head]
+    for t in range(2, k + 1):
+        parts.append(""",
+p%d AS (SELECT c.query_id, c.vec_id, c.rel - max(m.s) AS mmrv
+       FROM cand c
+       JOIN sim m ON m.query_id = c.query_id AND m.v1 = c.vec_id
+       JOIN (SELECT query_id, vec_id FROM sel%d) pk
+         ON pk.query_id = m.query_id AND pk.vec_id = m.v2
+       LEFT JOIN (SELECT query_id, vec_id FROM sel%d) ex
+         ON ex.query_id = c.query_id AND ex.vec_id = c.vec_id
+       WHERE ex.vec_id IS NULL
+       GROUP BY c.query_id, c.vec_id, c.rel
+       QUALIFY row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY mmrv DESC, c.vec_id) = 1),
+sel%d AS (SELECT * FROM sel%d
+          UNION ALL
+          SELECT query_id, CAST(%d AS BIGINT), vec_id, mmrv FROM p%d)"""
+                     % (t, t - 1, t - 1, t, t - 1, t, t))
+    parts.append("""
+SELECT query_id, step, vec_id, mmrv AS mmr_score
+FROM sel%d""" % k)
+    return "".join(parts)

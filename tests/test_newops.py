@@ -719,3 +719,144 @@ def test_rrf_fusion_matches_bruteforce(ray_session):
     both = {k for k in scores
             if scores[k] > 1_000_000_000 // 61}  # > best single-list
     assert both, "no candidate appeared in both lists at sf0.001"
+
+
+# ---------- matryoshka rerank ----------
+
+def _rng_emb_ds(n, dim, seed=7):
+    import ray.data as rd
+    rng = np.random.RandomState(seed)
+    mat = rng.randn(n, dim)
+    return mat, rd.from_items([
+        {"vec_id": i, "embedding": [float(x) for x in row]}
+        for i, row in enumerate(mat)])
+
+
+def _cos6(a, b):
+    return float(np.round(
+        np.dot(a / np.linalg.norm(a), b / np.linalg.norm(b)), 6))
+
+
+def test_matryoshka_rerank_matches_bruteforce(ray_session):
+    from skewer_ray.functions.similarity import matryoshka_rerank
+    mat, ds = _rng_emb_ds(30, 8)
+    got = [(r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+           for r in matryoshka_rerank(ds, [0, 1], k=3, prefix_dims=4,
+                                      m=5).take_all()]
+    want = []
+    for q in (0, 1):
+        pre = sorted(
+            ((-_cos6(mat[q, :4], mat[c, :4]), c) for c in range(30)
+             if c not in (0, 1)))
+        cand = [c for _, c in pre[:5]]
+        full = sorted(((-_cos6(mat[q], mat[c]), c) for c in cand))
+        for rank, (ns, c) in enumerate(full[:3], start=1):
+            want.append((q, rank, c, -ns))
+    assert sorted(got) == sorted(want)
+
+
+def test_matryoshka_equals_ann_when_pool_is_everything(ray_session):
+    from skewer_ray.functions.similarity import (brute_force_topk,
+                                                 matryoshka_rerank)
+    _, ds = _rng_emb_ds(25, 6, seed=11)
+    a = sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+               for r in brute_force_topk(ds, [0, 1], k=4).take_all())
+    b = sorted((r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+               for r in matryoshka_rerank(ds, [0, 1], k=4,
+                                          prefix_dims=3,
+                                          m=23).take_all())
+    assert a == b
+
+
+# ---------- MMR diversification ----------
+
+def test_mmr_diversify_matches_bruteforce(ray_session):
+    from skewer_ray.functions.similarity import mmr_diversify
+    mat, ds = _rng_emb_ds(20, 6, seed=3)
+    got = [(r["query_id"], r["step"], r["vec_id"], r["mmr_score"])
+           for r in mmr_diversify(ds, [0], k=3, m=6).to_pylist()]
+    pool = sorted(((-_cos6(mat[0], mat[c]), c) for c in range(1, 20)))[:6]
+    cand = [(c, int(np.rint(-ns * 1e6))) for ns, c in pool]
+    micro = {(a, b): int(np.rint(_cos6(mat[a], mat[b]) * 1e6))
+             for a, _ in cand for b, _ in cand if a != b}
+    want, chosen = [], []
+    for step in range(1, 4):
+        best = None
+        for vid, rel in cand:
+            if vid in chosen:
+                continue
+            score = rel if not chosen else \
+                rel - max(micro[(vid, c)] for c in chosen)
+            if best is None or (score, -vid) > (best[0], -best[1]):
+                best = (score, vid)
+        chosen.append(best[1])
+        want.append((0, step, best[1], best[0]))
+    assert got == want
+
+
+def test_mmr_step1_is_ann_top1_and_ids_distinct(ray_session):
+    from skewer_ray.functions.similarity import (brute_force_topk,
+                                                 mmr_diversify)
+    _, ds = _rng_emb_ds(18, 5, seed=9)
+    top1 = {(r["query_id"], r["vec_id"])
+            for r in brute_force_topk(ds, [0, 1], k=1).take_all()}
+    t = mmr_diversify(ds, [0, 1], k=4, m=6).to_pylist()
+    assert {(r["query_id"], r["vec_id"]) for r in t
+            if r["step"] == 1} == top1
+    for q in (0, 1):
+        ids = [r["vec_id"] for r in t if r["query_id"] == q]
+        assert len(ids) == len(set(ids)) == 4
+
+
+# ---------- feature hashing ----------
+
+def test_feature_hash_batch_bruteforce_and_cancellation():
+    import hashlib
+    from skewer_ray.functions.textstats import feature_hash_batch
+
+    def hb(w):
+        h = hashlib.md5(w.encode()).hexdigest()
+        return int(h[:8], 16) % 64, 1 if int(h[8], 16) % 2 == 0 else -1
+
+    # find two words in the same bucket with opposite signs: their
+    # contributions must cancel and the bucket row must be suppressed
+    seen, pair = {}, None
+    for i in range(10000):
+        w = f"w{i}"
+        b, s = hb(w)
+        if (b, -s) in seen:
+            pair = (seen[(b, -s)], w)
+            break
+        seen.setdefault((b, s), w)
+    assert pair is not None
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([f"{pair[0]} {pair[1]}", "Spark spark", "  "]),
+    })
+    out = feature_hash_batch(batch)
+    rows = {(r["doc_id"], r["bucket"]): r["weight"]
+            for r in out.to_pylist()}
+    assert not any(d == 1 for d, _ in rows)       # exact cancellation
+    b, s = hb("spark")                            # lowercased, counted twice
+    assert rows == {(2, b): 2 * s}                # empty doc 3 → no rows
+
+
+# ---------- alert windows ----------
+
+def test_alert_windows_edge_trigger(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import HOUR_US, alert_windows
+    H = HOUR_US
+    rows = []
+    # user 1: w0 count 2 (fires), w1 count 3 (adjacent hot → no fire),
+    # w5 count 2 after a gap (fires again)
+    rows += [{"user_id": 1, "ts": 0 * H + i} for i in range(2)]
+    rows += [{"user_id": 1, "ts": 1 * H + i} for i in range(3)]
+    rows += [{"user_id": 1, "ts": 5 * H + i} for i in range(2)]
+    # user 2: never reaches the threshold
+    rows += [{"user_id": 2, "ts": 0 * H}, {"user_id": 2, "ts": 1 * H}]
+    got = sorted((r["user_id"], int(r["window_start"].timestamp()
+                                    * 1_000_000), r["n"], r["prev_n"])
+                 for r in alert_windows(
+                     rd.from_items(rows), threshold=2).take_all())
+    assert got == [(1, 0, 2, 0), (1, 5 * H, 2, 0)]
