@@ -12,7 +12,9 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # BPE-ish tokenizer: alpha runs, digit runs, single punctuation marks.
 # Kept RE2-compatible so the DuckDB oracle's regexp_extract_all agrees.
@@ -371,3 +373,85 @@ def feature_hash_batch(batch: pa.Table,
     return pa.table({"doc_id": pa.array(out_d, pa.int64()),
                      "bucket": pa.array(out_b, pa.int64()),
                      "weight": pa.array(out_w, pa.int64())})
+
+
+def zscore_lengths(docs_ds):
+    """Group-wise normalization — per-lang z-score of document length
+    (the feature-scaling pass a curation mix needs before combining
+    per-source signals): moments are exact INT64 partial sums
+    (n, sum, sum-of-squares) folded map-side, so the exchange is
+    3 integers per (lang, block); the final z uses one fixed IEEE
+    expression tree — mu = s/n; v = ss/n - mu*mu; z = round((x - mu)
+    / sqrt(v), 6) — evaluated identically by the SQL mirror, with
+    z = 0 pinned when the group is constant (v = 0). Output
+    (doc_id, lang, n_chars, z). Exact SQL mirror: "zscore_lengths"."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(b["n_chars"], pa.int64())
+        t = pa.table({"lang": b["lang"], "n": pa.array(
+            np.ones(len(b), np.int64)), "s": x,
+            "ss": pc.multiply(x, x)})
+        return t.group_by(["lang"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")])
+
+    parts = docs_ds.select_columns(["lang", "n_chars"]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    mom: dict[str, list[int]] = {}
+    for r in parts:
+        m = mom.setdefault(r["lang"], [0, 0, 0])
+        m[0] += int(r["n_sum"])
+        m[1] += int(r["s_sum"])
+        m[2] += int(r["ss_sum"])
+    broadcast = ray.put(mom)
+
+    def score(b: pa.Table) -> pa.Table:
+        moms = ray.get(broadcast)
+        d = pc.dictionary_encode(b["lang"])
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        x = pc.cast(b["n_chars"], pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        z = np.zeros(len(idx), np.float64)
+        for j, lang in enumerate(d.dictionary.to_pylist()):
+            n, s, ss = moms[lang]
+            mu = s / n
+            v = ss / n - mu * mu
+            if v > 0:
+                m = idx == j
+                z[m] = np.round((x[m] - mu) / np.sqrt(v), 6)
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "lang": b["lang"],
+            "n_chars": pc.cast(b["n_chars"], pa.int64()),
+            "z": pa.array(z, pa.float64()),
+        })
+
+    return docs_ds.select_columns(["doc_id", "lang", "n_chars"]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+REDACT_TERMS = ("customer", "vector")
+_REDACT_RE = re.compile(r"\b(" + "|".join(REDACT_TERMS) + r")\b")
+
+
+def redact_batch(batch: pa.Table) -> pa.Table:
+    """Dictionary-based redaction — the GDPR blocklist scrub (same
+    family as stages/anonymize's host pseudonymization, but over the
+    corpus): whole-word blocklist hits are replaced by <REDACTED>;
+    per-doc hit count plus the md5 of the scrubbed text (never the
+    text itself) ride the output, so the audit table stays narrow.
+    The regex is compiled once at import (per worker process); the op
+    is map-only — the blocklist is part of the plan, no exchange at
+    any scale. Exact SQL mirror: "redact_terms"."""
+    texts = batch["text"].to_pylist()
+    n_hits = [len(_REDACT_RE.findall(t)) for t in texts]
+    scrubbed = [_REDACT_RE.sub("<REDACTED>", t) for t in texts]
+    return pa.table({
+        "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+        "n_hits": pa.array(n_hits, pa.int64()),
+        "scrub_md5": pa.array(
+            [hashlib.md5(s.encode()).hexdigest() for s in scrubbed],
+            pa.string()),
+    })

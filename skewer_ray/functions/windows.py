@@ -759,3 +759,48 @@ def alert_windows(events_ds, window_us: int = HOUR_US,
     partials = events_ds.map_batches(pre, batch_format="pyarrow")
     return grouped_by_bucket(partials, sweep, key="user_id",
                              coalesce=False)
+
+
+RATE_LIMIT_N = 3
+
+
+def rate_limit(events_ds, window_us: int = HOUR_US,
+               limit: int = RATE_LIMIT_N):
+    """Per-key rate limiting — the log-gateway throttle rule: within
+    each (user, tumbling window) only the first ``limit`` events by
+    (ts, event_id) pass; later ones are marked dropped. Every event is
+    emitted with its in-window sequence number and kept flag, so the
+    decision is auditable (the reference's filter hooks mark DROPPED
+    rather than delete).
+
+    Shape at scale: ONE user-bucket exchange of the pruned 3-column
+    projection, then a per-bucket vectorized segmented rank (lexsort +
+    run-base subtraction) — no per-row Python, no global sort. Output
+    (event_id, user_id, window_start, seq, kept)."""
+    from ..stages.buckets import grouped_by_bucket, run_starts
+
+    def sweep(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        win = (ts // window_us) * window_us
+        order = np.lexsort((eid, ts, win, uid))
+        uid, ts, eid, win = uid[order], ts[order], eid[order], win[order]
+        # first row of each (user, window) run → segmented 1-based rank
+        starts = run_starts(uid) | run_starts(win)
+        idx = np.arange(len(uid), dtype=np.int64)
+        base = np.where(starts, idx, 0)
+        seq = idx - np.maximum.accumulate(base) + 1
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "window_start": pa.array(win, pa.int64())
+                              .cast(pa.timestamp("us")),
+            "seq": pa.array(seq, pa.int64()),
+            "kept": pa.array((seq <= limit).astype(np.int64), pa.int64()),
+        })
+
+    pruned = events_ds.map_batches(
+        lambda b: b.select(["event_id", "ts", "user_id"]),
+        batch_format="pyarrow")
+    return grouped_by_bucket(pruned, sweep, key="user_id")

@@ -1353,6 +1353,30 @@ def q_alert_windows(sf_dir: str):
     return alert_windows(_events(sf_dir, ["ts", "user_id"]))
 
 
+def q_rate_limit(sf_dir: str):
+    """Per-(user, window) rate limiting with auditable drop marks
+    (functions/windows.rate_limit): first 3 by (ts, event_id) pass."""
+    from ..functions.windows import rate_limit
+    return rate_limit(_events(sf_dir, ["event_id", "ts", "user_id"]))
+
+
+def q_zscore_lengths(sf_dir: str):
+    """Per-lang z-score normalization of document length from exact
+    INT64 moment partials (functions/textstats.zscore_lengths)."""
+    from ..functions.textstats import zscore_lengths
+    return zscore_lengths(rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"]))
+
+
+def q_redact_terms(sf_dir: str):
+    """Blocklist term redaction audit: per-doc hit counts + scrubbed-
+    text md5, map-only (functions/textstats.redact_batch)."""
+    from ..functions.textstats import redact_batch
+    return _docs(sf_dir).map_batches(redact_batch,
+                                     batch_format="pyarrow")
+
+
 def q_dedup_prefix(sf_dir: str):
     """Exact Jaccard pairs via PPJoin-style prefix filtering — the
     sub-quadratic EXACT near-dup path (functions/dedup.
@@ -1840,6 +1864,9 @@ QUERIES = {
     "mmr_diversify": q_mmr_diversify,
     "feature_hashing": q_feature_hashing,
     "alert_windows": q_alert_windows,
+    "rate_limit": q_rate_limit,
+    "zscore_lengths": q_zscore_lengths,
+    "redact_terms": q_redact_terms,
 }
 
 

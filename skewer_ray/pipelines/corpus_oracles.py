@@ -1760,6 +1760,54 @@ l AS (SELECT user_id, w, n,
 SELECT user_id, make_timestamp(w) AS window_start, n, prev_n
 FROM l WHERE n >= 2 AND prev_n < 2"""
 
+    # per-(user, 1h window) rate limiting: first 3 by (ts, event_id)
+    # keep, later rows marked dropped — mirrors windows.rate_limit
+    q["rate_limit"] = """
+SELECT event_id, user_id,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+         AS window_start,
+       row_number() OVER (PARTITION BY user_id,
+                                       epoch_us(ts) // 3600000000
+                          ORDER BY ts, event_id) AS seq,
+       CAST(CASE WHEN row_number() OVER (
+                        PARTITION BY user_id,
+                                     epoch_us(ts) // 3600000000
+                        ORDER BY ts, event_id) <= 3
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM events"""
+
+    # per-lang z-score of document length from exact INT64 moments;
+    # the float expression tree (mu = s/n; v = ss/n - mu*mu;
+    # z = round((x-mu)/sqrt(v), 6)) matches textstats.zscore_lengths
+    # op for op; constant groups pin z = 0
+    q["zscore_lengths"] = """
+WITH m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(n_chars) AS BIGINT) AS s,
+                  CAST(sum(n_chars * n_chars) AS BIGINT) AS ss
+           FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       CASE WHEN CAST(m.ss AS DOUBLE) / m.n
+                 - (CAST(m.s AS DOUBLE) / m.n)
+                   * (CAST(m.s AS DOUBLE) / m.n) > 0
+            THEN round((CAST(d.n_chars AS DOUBLE)
+                        - CAST(m.s AS DOUBLE) / m.n)
+                       / sqrt(CAST(m.ss AS DOUBLE) / m.n
+                              - (CAST(m.s AS DOUBLE) / m.n)
+                                * (CAST(m.s AS DOUBLE) / m.n)), 6)
+            ELSE 0.0 END AS z
+FROM documents d JOIN m USING (lang)"""
+
+    # blocklist redaction audit: whole-word hits replaced by
+    # <REDACTED>; md5 of the scrubbed text, never the text — mirrors
+    # textstats.redact_batch (same RE2-compatible pattern)
+    q["redact_terms"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\b(customer|vector)\b'))
+            AS BIGINT) AS n_hits,
+       md5(regexp_replace(text, '\b(customer|vector)\b',
+                          '<REDACTED>', 'g')) AS scrub_md5
+FROM documents"""
+
     return q
 
 

@@ -860,3 +860,65 @@ def test_alert_windows_edge_trigger(ray_session):
                  for r in alert_windows(
                      rd.from_items(rows), threshold=2).take_all())
     assert got == [(1, 0, 2, 0), (1, 5 * H, 2, 0)]
+
+
+# ---------- rate limiting ----------
+
+def test_rate_limit_seq_and_tiebreak(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import HOUR_US, rate_limit
+    H = HOUR_US
+    rows = [
+        # user 1, window 0: two events at the SAME ts → event_id breaks
+        {"event_id": 12, "ts": 100, "user_id": 1},
+        {"event_id": 11, "ts": 100, "user_id": 1},
+        {"event_id": 10, "ts": 200, "user_id": 1},
+        {"event_id": 13, "ts": 300, "user_id": 1},  # 4th → dropped
+        # user 1, window 1: counter resets
+        {"event_id": 14, "ts": H + 1, "user_id": 1},
+        # user 2 independent
+        {"event_id": 20, "ts": 100, "user_id": 2},
+    ]
+    got = {r["event_id"]: (r["seq"], r["kept"])
+           for r in rate_limit(rd.from_items(rows), limit=3).take_all()}
+    assert got == {11: (1, 1), 12: (2, 1), 10: (3, 1), 13: (4, 0),
+                   14: (1, 1), 20: (1, 1)}
+
+
+# ---------- per-lang z-score ----------
+
+def test_zscore_lengths_bruteforce_and_constant_group(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.textstats import zscore_lengths
+    rows = [{"doc_id": i, "lang": "en", "n_chars": c}
+            for i, c in enumerate([10, 20, 30, 60])]
+    rows += [{"doc_id": 10 + i, "lang": "fr", "n_chars": 7}
+             for i in range(3)]  # constant group → z pinned to 0
+    got = {r["doc_id"]: r["z"]
+           for r in zscore_lengths(rd.from_items(rows)).take_all()}
+    x = np.array([10, 20, 30, 60], np.float64)
+    n, s, ss = 4, int(x.sum()), int((x * x).sum())
+    mu = s / n
+    v = ss / n - mu * mu
+    want = np.round((x - mu) / np.sqrt(v), 6)
+    for i in range(4):
+        assert got[i] == want[i]
+    assert got[10] == got[11] == got[12] == 0.0
+
+
+# ---------- blocklist redaction ----------
+
+def test_redact_batch_word_boundaries():
+    import hashlib
+    from skewer_ray.functions.textstats import redact_batch
+    batch = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["customer vector customers",  # 3rd no boundary
+                          "no hits here"]),
+    })
+    out = {r["doc_id"]: r for r in redact_batch(batch).to_pylist()}
+    assert out[1]["n_hits"] == 2
+    assert out[1]["scrub_md5"] == hashlib.md5(
+        b"<REDACTED> <REDACTED> customers").hexdigest()
+    assert out[2]["n_hits"] == 0
+    assert out[2]["scrub_md5"] == hashlib.md5(b"no hits here").hexdigest()
