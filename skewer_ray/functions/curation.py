@@ -922,3 +922,61 @@ def epoch_shuffle(docs_ds, n_epochs: int = EPOCHS,
             "shard": pa.array((pos - 1) % n_shards, pa.int64())})
 
     return grouped_by_bucket(rows, number, key=["epoch", "cell"])
+
+
+WINSOR_LO = 0.1
+WINSOR_HI = 0.9
+
+
+def winsorize_lengths(docs_ds, lo: float = WINSOR_LO,
+                      hi: float = WINSOR_HI):
+    """Per-lang winsorization of document length — percentile-based
+    outlier clipping before length-sensitive mixing: n_chars is
+    clipped into [p10, p90] of its language group. The group
+    quantiles come from bounded (lang, n_chars) count histograms
+    (partial rows combine map-side; the driver merge touches only the
+    value domain, never the docs) and use the ONE shared
+    ``_hist_quantile`` selection rule (= DuckDB quantile_disc), then
+    broadcast for a map-only clip pass. Output (doc_id, lang,
+    n_chars, clipped). Exact SQL mirror: "winsorize_lengths"."""
+    import ray
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b["lang"],
+                      "v": pc.cast(b["n_chars"], pa.int64()),
+                      "n": pa.array(np.ones(len(b), np.int64))})
+        return t.group_by(["lang", "v"]).aggregate([("n", "sum")])
+
+    acc: dict[str, dict[int, int]] = {}
+    for b in docs_ds.select_columns(["lang", "n_chars"]) \
+                    .map_batches(hist, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            d = acc.setdefault(r["lang"], {})
+            d[r["v"]] = d.get(r["v"], 0) + r["n_sum"]
+    bounds = {lang: (_hist_quantile(d, lo), _hist_quantile(d, hi))
+              for lang, d in acc.items()}
+    broadcast = ray.put(bounds)
+
+    def clip(b: pa.Table) -> pa.Table:
+        bnds = ray.get(broadcast)
+        d = pc.dictionary_encode(b["lang"])
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        x = pc.cast(b["n_chars"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        out = x.copy()
+        for j, lang in enumerate(d.dictionary.to_pylist()):
+            lo_v, hi_v = bnds[lang]
+            m = idx == j
+            out[m] = np.clip(x[m], lo_v, hi_v)
+        return pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "lang": b["lang"],
+            "n_chars": pa.array(x, pa.int64()),
+            "clipped": pa.array(out, pa.int64()),
+        })
+
+    return docs_ds.select_columns(["doc_id", "lang", "n_chars"]) \
+        .map_batches(clip, batch_format="pyarrow")

@@ -804,3 +804,64 @@ def rate_limit(events_ds, window_us: int = HOUR_US,
         lambda b: b.select(["event_id", "ts", "user_id"]),
         batch_format="pyarrow")
     return grouped_by_bucket(pruned, sweep, key="user_id")
+
+
+CUSUM_K = 2   # reference value: expected per-window count
+CUSUM_H = 5   # decision threshold
+
+
+def cusum_changepoints(events_ds, window_us: int = HOUR_US,
+                       k: int = CUSUM_K, h: int = CUSUM_H):
+    """One-sided CUSUM change detection (Page 1954) over per-type
+    tumbling-window counts — the drift/regime-shift monitor: S_t =
+    max(0, S_{t-1} + (n_t - k)) per event_type over its EXISTING
+    windows in time order, alarm when S_t >= h. Exact integers
+    throughout.
+
+    The recurrence has the closed form S_t = P_t - min(0, min_{j<=t}
+    P_j) with P the prefix sum of (n - k), so both engines compute it
+    without a sequential fold: SQL as two window functions, here as a
+    per-segment cumsum + running min. Shape at scale: map-side combine
+    to (type, window) partials, ONE type-bucket exchange of partial
+    rows, vectorized per-type sweep. Output (event_type, window_start,
+    n, cusum, alarm)."""
+    from ..stages.buckets import grouped_by_bucket, run_starts
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64())
+        win = pc.multiply(pc.divide(ts, window_us), window_us)
+        t = pa.table({"event_type": batch["event_type"], "w": win,
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        return t.group_by(["event_type", "w"]).aggregate([("n", "sum")]) \
+                .rename_columns(["event_type", "w", "n"])
+
+    def sweep(tbl: pa.Table) -> pa.Table:
+        full = tbl.group_by(["event_type", "w"]).aggregate([("n", "sum")])
+        et = np.asarray(full["event_type"].to_pylist(), dtype=object)
+        w = full["w"].to_numpy(zero_copy_only=False)
+        n = full["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((w, et))
+        et, w, n = et[order], w[order], n[order]
+        y = n - k
+        cs = np.cumsum(y)
+        starts = run_starts(et)
+        start_idx = np.flatnonzero(starts)
+        seg_len = np.diff(np.append(start_idx, len(y)))
+        base = np.repeat(cs[start_idx] - y[start_idx], seg_len)
+        pf = cs - base
+        runmin = np.empty_like(pf)
+        for s0, ln in zip(start_idx, seg_len):  # one pass per TYPE (bounded)
+            runmin[s0:s0 + ln] = np.minimum.accumulate(pf[s0:s0 + ln])
+        cusum = pf - np.minimum(0, runmin)
+        return pa.table({
+            "event_type": pa.array(list(et), pa.string()),
+            "window_start": pa.array(w, pa.int64())
+                              .cast(pa.timestamp("us")),
+            "n": pa.array(n, pa.int64()),
+            "cusum": pa.array(cusum, pa.int64()),
+            "alarm": pa.array((cusum >= h).astype(np.int64), pa.int64()),
+        })
+
+    partials = events_ds.map_batches(pre, batch_format="pyarrow")
+    return grouped_by_bucket(partials, sweep, key="event_type",
+                             coalesce=False)

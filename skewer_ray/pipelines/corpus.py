@@ -1377,6 +1377,23 @@ def q_redact_terms(sf_dir: str):
                                      batch_format="pyarrow")
 
 
+def q_cusum_changepoints(sf_dir: str):
+    """Per-type CUSUM regime-shift detection over tumbling-window
+    counts (functions/windows.cusum_changepoints), closed-form
+    prefix-sum/running-min — no sequential fold on either engine."""
+    from ..functions.windows import cusum_changepoints
+    return cusum_changepoints(_events(sf_dir, ["ts", "event_type"]))
+
+
+def q_winsorize_lengths(sf_dir: str):
+    """Per-lang p10/p90 winsorization of document length from bounded
+    value-domain histograms (functions/curation.winsorize_lengths)."""
+    from ..functions.curation import winsorize_lengths
+    return winsorize_lengths(rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"]))
+
+
 def q_dedup_prefix(sf_dir: str):
     """Exact Jaccard pairs via PPJoin-style prefix filtering — the
     sub-quadratic EXACT near-dup path (functions/dedup.
@@ -1867,6 +1884,8 @@ QUERIES = {
     "rate_limit": q_rate_limit,
     "zscore_lengths": q_zscore_lengths,
     "redact_terms": q_redact_terms,
+    "cusum_changepoints": q_cusum_changepoints,
+    "winsorize_lengths": q_winsorize_lengths,
 }
 
 

@@ -1808,6 +1808,40 @@ SELECT doc_id,
                           '<REDACTED>', 'g')) AS scrub_md5
 FROM documents"""
 
+    # one-sided CUSUM over per-type tumbling counts via the closed
+    # form S_t = P_t - least(0, running-min P) — mirrors
+    # windows.cusum_changepoints (k=2, h=5, existing windows only)
+    q["cusum_changepoints"] = """
+WITH c AS (SELECT event_type,
+                  (epoch_us(ts) // 3600000000) * 3600000000 AS w,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+p AS (SELECT event_type, w, n,
+             sum(n - 2) OVER (PARTITION BY event_type ORDER BY w)
+               AS pf
+      FROM c),
+s AS (SELECT event_type, w, n,
+             pf - least(0, min(pf) OVER (PARTITION BY event_type
+                                         ORDER BY w)) AS cusum
+      FROM p)
+SELECT event_type, make_timestamp(w) AS window_start, n,
+       CAST(cusum AS BIGINT) AS cusum,
+       CAST(CASE WHEN cusum >= 5 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+FROM s"""
+
+    # per-lang p10/p90 winsorization of n_chars; quantile_disc = the
+    # engine's _hist_quantile selection rule — mirrors
+    # curation.winsorize_lengths
+    q["winsorize_lengths"] = """
+WITH qs AS (SELECT lang,
+                   CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS lo,
+                   CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS hi
+            FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+       CAST(least(greatest(d.n_chars, qs.lo), qs.hi) AS BIGINT)
+         AS clipped
+FROM documents d JOIN qs USING (lang)"""
+
     return q
 
 

@@ -922,3 +922,54 @@ def test_redact_batch_word_boundaries():
         b"<REDACTED> <REDACTED> customers").hexdigest()
     assert out[2]["n_hits"] == 0
     assert out[2]["scrub_md5"] == hashlib.md5(b"no hits here").hexdigest()
+
+
+# ---------- CUSUM change detection ----------
+
+def test_cusum_matches_sequential_fold(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import HOUR_US, cusum_changepoints
+    H = HOUR_US
+    # type 'a': counts 3,1,0(absent),5 in windows 0,1,3,4 — mix of
+    # rises, falls and a reset-to-zero; type 'b' independent
+    spec = {("a", 0): 3, ("a", 1): 1, ("a", 3): 1, ("a", 4): 5,
+            ("b", 0): 1, ("b", 2): 4}
+    rows = [{"event_type": t, "ts": w * H + i}
+            for (t, w), n in spec.items() for i in range(n)]
+    got = {(r["event_type"],
+            int(r["window_start"].timestamp() * 1_000_000) // H):
+           (r["n"], r["cusum"], r["alarm"])
+           for r in cusum_changepoints(
+               rd.from_items(rows), k=2, h=5).take_all()}
+    want = {}
+    for t in ("a", "b"):
+        s = 0
+        for w in sorted(w for (tt, w) in spec if tt == t):
+            n = spec[(t, w)]
+            s = max(0, s + n - 2)
+            want[(t, w)] = (n, s, 1 if s >= 5 else 0)
+    assert got == want
+
+
+# ---------- winsorization ----------
+
+def test_winsorize_lengths_matches_quantile_disc(ray_session):
+    import duckdb
+    import ray.data as rd
+    from skewer_ray.functions.curation import winsorize_lengths
+    rng = np.random.RandomState(5)
+    vals = rng.randint(1, 200, size=60)
+    langs = ["en" if i % 3 else "fr" for i in range(60)]
+    rows = [{"doc_id": i, "lang": langs[i], "n_chars": int(vals[i])}
+            for i in range(60)]
+    got = {r["doc_id"]: r["clipped"]
+           for r in winsorize_lengths(rd.from_items(rows)).take_all()}
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(rows))
+    want = dict(con.sql("""
+        WITH qs AS (SELECT lang, quantile_disc(n_chars, 0.1) lo,
+                           quantile_disc(n_chars, 0.9) hi
+                    FROM docs GROUP BY lang)
+        SELECT doc_id, least(greatest(n_chars, lo), hi)
+        FROM docs JOIN qs USING (lang)""").fetchall())
+    assert got == {k: int(v) for k, v in want.items()}
