@@ -892,3 +892,154 @@ def prefix_filter_pairs(docs_ds, threshold: float = 0.5):
         "doc_b": pa.array([k[1] for k in ks], pa.int64()),
         "jaccard": pa.array([seen[k] for k in ks], pa.float64()),
     })
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Exact unit-cost edit distance, vectorized over the inner row:
+    substitution/deletion from the previous row, then the sequential
+    insertion dependency resolved by the cummin identity
+    cur[j] = j + min_{k<=j}(cur0[k] - k). Bit-identical to DuckDB's
+    ``levenshtein`` (fuzz-checked 300 random pairs in tests)."""
+    la, lb = len(a), len(b)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    bb = np.frombuffer(b.encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.int64)
+    prev = np.arange(lb + 1, dtype=np.int64)
+    ar = np.arange(lb + 1, dtype=np.int64)
+    for i in range(1, la + 1):
+        ca = ord(a[i - 1])
+        cur = np.empty(lb + 1, np.int64)
+        cur[0] = i
+        cur[1:] = np.minimum(prev[1:] + 1, prev[:-1] + (bb != ca))
+        cur = ar + np.minimum.accumulate(cur - ar)
+        prev = cur
+    return int(prev[-1])
+
+
+EDIT_FRAC = 0.2
+
+
+def _doc_band_text_rows(batch: pa.Table) -> pa.Table:
+    """One row per (band, band_key, doc_id) carrying the doc's
+    whitespace-NORMALIZED text (the levenshtein verify payload) and
+    the earlier-band digests for exactly-once pair emission — the
+    _doc_shingle_rows layout with the payload swapped from shingle
+    hashes to the normalized string (edit distance needs the full
+    sequence; there is no sketchable substitute)."""
+    from .textstats import norm_words
+    ids = pc.cast(batch["doc_id"], pa.int64()).to_pylist()
+    texts = batch["text"].to_pylist()
+    doc_sh = [shingles_of(t) for t in texts]
+    hcache: dict[str, list[str]] = {}
+    for sh in doc_sh:
+        for s in sh:
+            if s not in hcache:
+                b = s.encode()
+                hcache[s] = [hashlib.md5(f"{i}:".encode() + b).hexdigest()
+                             for i in range(N_HASHES)]
+    o_band, o_key, o_id, o_txt, o_keys = [], [], [], [], []
+    for d, t, sh in zip(ids, texts, doc_sh):
+        if not sh:
+            continue
+        rows = [hcache[s] for s in sh]
+        sigs = [min(r[i] for r in rows) for i in range(N_HASHES)]
+        keys = band_keys(sigs)
+        keys_raw = [bytes.fromhex(k) for k in keys]
+        norm = " ".join(norm_words(t))
+        for b, k in enumerate(keys):
+            o_band.append(b)
+            o_key.append(k)
+            o_id.append(d)
+            o_txt.append(norm)
+            o_keys.append(b"".join(keys_raw[:b]))
+    return pa.table({
+        "band": pa.array(o_band, pa.int32()),
+        "band_key": pa.array(o_key, pa.string()),
+        "doc_id": pa.array(o_id, pa.int64()),
+        "norm": pa.array(o_txt, pa.string()),
+        "keys": pa.array(o_keys, pa.binary()),
+    })
+
+
+def edit_distance_pairs(docs_ds, frac: float = EDIT_FRAC,
+                        n_buckets: int | None = None):
+    """Edit-distance near-duplicate pairs — the dedup modality for
+    SMALL local corruptions (typos, OCR noise, single-token swaps)
+    that set-based Jaccard treats the same as big rewrites: candidates
+    are the MinHash band collisions (identical banding to
+    minhash_lsh_pairs, so the candidate set is sub-quadratic and the
+    blocking rule is part of the operator's DEFINITION), verified by
+    exact levenshtein over the whitespace-normalized text; a pair
+    qualifies when dist <= floor(frac * max(len_a, len_b)). Emitted
+    exactly once from its first colliding band. Output
+    (doc_a, doc_b, edit_dist). Exact SQL mirror: "dedup_edit"
+    (DuckDB ``levenshtein`` — the engine kernel is fuzz-matched to
+    it). Scale shape: ONE (band, band_key)-bucket exchange; the
+    payload is the normalized text (~doc-size × N_BANDS), so pass
+    n_buckets up per minhash_lsh_pairs' sizing note at large SF."""
+    from ..stages.buckets import N_BUCKETS, grouped_by_bucket, run_starts
+
+    rows = docs_ds.map_batches(_doc_band_text_rows,
+                               batch_format="pyarrow")
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "edit_dist": pa.array([], pa.int64())})
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return empty
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("band", "ascending"), ("band_key", "ascending"),
+            ("doc_id", "ascending")])
+        t = batch.take(idx)
+        bands = t["band"].to_numpy(zero_copy_only=False)
+        kd = pc.dictionary_encode(t["band_key"].combine_chunks())
+        if isinstance(kd, pa.ChunkedArray):
+            kd = kd.combine_chunks()
+        kcodes = kd.indices.to_numpy(zero_copy_only=False)
+        starts = run_starts(bands) | run_starts(kcodes)
+        run_id = np.cumsum(starts) - 1
+        counts = np.bincount(run_id)
+        multi = counts[run_id] >= 2
+        if not multi.any():
+            return empty
+        rows_idx = np.nonzero(multi)[0]
+        sub = t.take(pa.array(rows_idx, pa.int64()))
+        m = len(sub)
+        sub_bands = bands[rows_idx]
+        sub_runs = run_id[rows_idx]
+        ids = sub["doc_id"].to_numpy(zero_copy_only=False)
+        norms = sub["norm"].to_pylist()
+        keys_bin = sub["keys"].to_pylist()
+        a_out, b_out, d_out = [], [], []
+        r_starts = np.nonzero(run_starts(sub_runs))[0]
+        r_ends = np.append(r_starts[1:], m)
+        for lo, hi in zip(r_starts, r_ends):
+            b = int(sub_bands[lo])
+            digs = [tuple(keys_bin[i][16 * bb:16 * bb + 16]
+                          for bb in range(b)) for i in range(lo, hi)]
+            for x in range(lo, hi):
+                dx = digs[x - lo]
+                tx = norms[x]
+                for y in range(x + 1, hi):
+                    if any(a == c for a, c in zip(dx, digs[y - lo])):
+                        continue
+                    ty = norms[y]
+                    dmax = int(frac * max(len(tx), len(ty)))
+                    dist = _levenshtein(tx, ty)
+                    if dist <= dmax:
+                        a_out.append(int(ids[x]))
+                        b_out.append(int(ids[y]))
+                        d_out.append(dist)
+        return pa.table({"doc_a": pa.array(a_out, pa.int64()),
+                         "doc_b": pa.array(b_out, pa.int64()),
+                         "edit_dist": pa.array(d_out, pa.int64())})
+
+    return grouped_by_bucket(rows, bucket_pairs,
+                             key=["band", "band_key"],
+                             n_buckets=n_buckets or N_BUCKETS)

@@ -260,3 +260,60 @@ def profile_table(ds, int_cols: list[str], str_cols: list[str],
         "min_repr": pa.array([r[4] for r in rows], pa.string()),
         "max_repr": pa.array([r[5] for r in rows], pa.string()),
     })
+
+
+HLL_P = 6  # 2^6 = 64 registers (alpha_64 = 0.709, Flajolet et al. 2007)
+_HLL_REM_BITS = 60 - HLL_P          # md5[:15 hex] = 60-bit hash
+_HLL_REM_MASK = (1 << _HLL_REM_BITS) - 1
+_HLL_SCALE = 1 << (_HLL_REM_BITS + 1)   # 2^55: exact-int 2^-M scaling
+
+
+def hll_distinct_terms(docs_ds, p: int = HLL_P):
+    """HyperLogLog distinct-word estimate (Flajolet et al. 2007) —
+    the O(m)-state cousin of KMV: each worker keeps only 64 int
+    registers (max leading-zero rank per register over md5-hashed
+    words), register vectors max-merge associatively, and the driver
+    folds m integers per block. Every float in the estimator is
+    derived from EXACT integers (the 2^-M sum is computed as the int64
+    sum of 2^(55-M), order-independent), so the DuckDB mirror is
+    bit-identical including the small-range linear-counting branch.
+    One row: (m, hll_estimate, zero_registers). Exact SQL mirror:
+    "distinct_hll"."""
+    import math
+
+    m = 1 << p
+
+    def local(batch: pa.Table) -> pa.Table:
+        regs = np.zeros(m, np.int64)
+        done: set[str] = set()
+        for t in batch["text"].to_pylist():
+            for w in set(norm_words(t)):
+                if w in done:
+                    continue
+                done.add(w)
+                h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+                j = h >> _HLL_REM_BITS
+                rem = h & _HLL_REM_MASK
+                rho = (_HLL_REM_BITS + 1 - rem.bit_length()) if rem \
+                    else _HLL_REM_BITS + 1
+                if rho > regs[j]:
+                    regs[j] = rho
+        return pa.table({"j": pa.array(np.arange(m), pa.int64()),
+                         "M": pa.array(regs, pa.int64())})
+
+    acc = np.zeros(m, np.int64)
+    for b in docs_ds.map_batches(local, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+        jj = b["j"].to_numpy(zero_copy_only=False)
+        mm = b["M"].to_numpy(zero_copy_only=False)
+        np.maximum.at(acc, jj, mm)
+    s = sum(1 << (_HLL_REM_BITS + 1 - int(v)) for v in acc)
+    v = int(np.count_nonzero(acc == 0))
+    e = 0.709 * m * m * float(_HLL_SCALE) / s
+    if e <= 2.5 * m and v > 0:
+        est = round(m * math.log(m / v), 6)
+    else:
+        est = round(e, 6)
+    return pa.table({"m": pa.array([m], pa.int64()),
+                     "hll_estimate": pa.array([est], pa.float64()),
+                     "zero_registers": pa.array([v], pa.int64())})

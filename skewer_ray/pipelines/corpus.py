@@ -1394,6 +1394,22 @@ def q_winsorize_lengths(sf_dir: str):
         columns=["doc_id", "lang", "n_chars"]))
 
 
+def q_distinct_hll(sf_dir: str):
+    """HyperLogLog distinct-word estimate — 64 int registers per
+    worker, associative max-merge, exact-integer estimator floats
+    (functions/sketches.hll_distinct_terms)."""
+    from ..functions.sketches import hll_distinct_terms
+    return hll_distinct_terms(_docs(sf_dir))
+
+
+def q_dedup_edit(sf_dir: str):
+    """Edit-distance near-dup pairs: MinHash-band candidates verified
+    by exact levenshtein over the normalized text
+    (functions/dedup.edit_distance_pairs)."""
+    from ..functions.dedup import edit_distance_pairs
+    return edit_distance_pairs(_docs(sf_dir))
+
+
 def q_dedup_prefix(sf_dir: str):
     """Exact Jaccard pairs via PPJoin-style prefix filtering — the
     sub-quadratic EXACT near-dup path (functions/dedup.
@@ -1886,6 +1902,8 @@ QUERIES = {
     "redact_terms": q_redact_terms,
     "cusum_changepoints": q_cusum_changepoints,
     "winsorize_lengths": q_winsorize_lengths,
+    "dedup_edit": q_dedup_edit,
+    "distinct_hll": q_distinct_hll,
 }
 
 

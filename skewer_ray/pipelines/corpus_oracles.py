@@ -1842,6 +1842,50 @@ SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
          AS clipped
 FROM documents d JOIN qs USING (lang)"""
 
+    # edit-distance near-dup pairs: the SAME MinHash band candidates
+    # as dedup_minhash (blocking is part of the definition), verified
+    # by levenshtein over the normalized text; dist <= floor(0.2 *
+    # max(len)) — mirrors dedup.edit_distance_pairs (whose kernel is
+    # fuzz-matched to DuckDB's levenshtein)
+    q["dedup_edit"] = minhash_pairs + """,
+nt AS (SELECT doc_id, array_to_string(words, ' ') AS t FROM w)
+SELECT c.a AS doc_a, c.b AS doc_b,
+       CAST(levenshtein(x.t, y.t) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN nt x ON x.doc_id = c.a
+JOIN nt y ON y.doc_id = c.b
+WHERE levenshtein(x.t, y.t)
+      <= floor(0.2 * greatest(length(x.t), length(y.t)))"""
+
+    # HyperLogLog distinct words, p=6 (64 registers) over the 60-bit
+    # md5[:15] hash; the 2^-M sum is an EXACT int64 sum of 2^(55-M)
+    # so the double estimate is order-independent — mirrors
+    # sketches.hll_distinct_terms including the linear-counting branch
+    q["distinct_hll"] = _W + """,
+tok AS (SELECT DISTINCT t FROM (SELECT unnest(words) AS t FROM w)),
+hh AS (SELECT CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+       FROM tok),
+rr AS (SELECT h >> 54 AS j,
+              CASE WHEN (h & 18014398509481983) > 0
+                   THEN 55 - length(bin(h & 18014398509481983))
+                   ELSE 55 END AS rho
+       FROM hh),
+regs AS (SELECT r.range AS j, coalesce(max(rr.rho), 0) AS M
+         FROM range(64) r LEFT JOIN rr ON rr.j = r.range GROUP BY 1),
+agg AS (SELECT CAST(sum(1::BIGINT << (55 - M)) AS BIGINT) AS s,
+               CAST(sum(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS v
+        FROM regs),
+est AS (SELECT CAST(0.709 AS DOUBLE) * 64 * 64
+               * 36028797018963968.0 / s AS e, v
+        FROM agg)
+SELECT CAST(64 AS BIGINT) AS m,
+       CASE WHEN e <= 160.0 AND v > 0
+            THEN round(64 * ln(64.0 / v), 6)
+            ELSE round(e, 6) END AS hll_estimate,
+       v AS zero_registers
+FROM est"""
+
     return q
 
 

@@ -973,3 +973,88 @@ def test_winsorize_lengths_matches_quantile_disc(ray_session):
         SELECT doc_id, least(greatest(n_chars, lo), hi)
         FROM docs JOIN qs USING (lang)""").fetchall())
     assert got == {k: int(v) for k, v in want.items()}
+
+
+# ---------- edit-distance near-dup ----------
+
+def test_levenshtein_fuzz_vs_duckdb():
+    import duckdb
+    import random
+    import string
+    from skewer_ray.functions.dedup import _levenshtein
+    con = duckdb.connect()
+    random.seed(42)
+    for _ in range(200):
+        a = "".join(random.choices(string.ascii_lowercase + " ",
+                                   k=random.randint(0, 30)))
+        b = "".join(random.choices(string.ascii_lowercase + " ",
+                                   k=random.randint(0, 30)))
+        want = con.sql("SELECT levenshtein(?, ?)",
+                       params=[a, b]).fetchone()[0]
+        assert _levenshtein(a, b) == want, (a, b)
+
+
+def test_edit_distance_pairs_finds_typo_dup(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.dedup import edit_distance_pairs
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again until the scan merge join finishes cleanly")
+    typo = base.replace("cleanly", "clenly")  # one deleted char
+    other = "completely different words everywhere nothing shared here"
+    ds = rd.from_items([{"doc_id": 1, "text": base},
+                        {"doc_id": 2, "text": typo},
+                        {"doc_id": 3, "text": other}])
+    got = [(r["doc_a"], r["doc_b"], r["edit_dist"])
+           for r in edit_distance_pairs(ds).take_all()]
+    assert got == [(1, 2, 1)]
+
+
+def test_edit_distance_pairs_emitted_once_despite_multiband(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.dedup import edit_distance_pairs
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ds = rd.from_items([{"doc_id": 10, "text": t},
+                        {"doc_id": 11, "text": t}])  # identical: all
+    got = [(r["doc_a"], r["doc_b"], r["edit_dist"])  # 4 bands collide
+           for r in edit_distance_pairs(ds).take_all()]
+    assert got == [(10, 11, 0)]
+
+
+# ---------- HyperLogLog ----------
+
+def test_hll_exact_integer_registers(ray_session):
+    import hashlib
+    import math
+    import ray.data as rd
+    from skewer_ray.functions.sketches import hll_distinct_terms
+    words = [f"word{i}" for i in range(300)]
+    docs = [{"doc_id": i, "text": " ".join(words[i * 30:(i + 1) * 30])}
+            for i in range(10)]
+    out = hll_distinct_terms(rd.from_items(docs)).to_pylist()[0]
+    regs = [0] * 64
+    for w in set(words):
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        j, rem = h >> 54, h & ((1 << 54) - 1)
+        rho = 55 - rem.bit_length() if rem else 55
+        regs[j] = max(regs[j], rho)
+    s = sum(1 << (55 - v) for v in regs)
+    v = regs.count(0)
+    e = 0.709 * 64 * 64 * float(1 << 55) / s
+    want = round(64 * math.log(64 / v), 6) if (e <= 160.0 and v > 0) \
+        else round(e, 6)
+    assert out["hll_estimate"] == want
+    assert out["zero_registers"] == v
+    # the estimate should be in the right ballpark of the true 300
+    assert 150 <= out["hll_estimate"] <= 600
+
+
+def test_hll_block_merge_associative(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.sketches import hll_distinct_terms
+    docs = [{"doc_id": i, "text": f"tok{i} tok{i+1} shared common"}
+            for i in range(50)]
+    one = hll_distinct_terms(
+        rd.from_items(docs, override_num_blocks=1)).to_pylist()[0]
+    many = hll_distinct_terms(
+        rd.from_items(docs, override_num_blocks=10)).to_pylist()[0]
+    assert one == many
