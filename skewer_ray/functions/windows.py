@@ -865,3 +865,129 @@ def cusum_changepoints(events_ds, window_us: int = HOUR_US,
     partials = events_ds.map_batches(pre, batch_format="pyarrow")
     return grouped_by_bucket(partials, sweep, key="event_type",
                              coalesce=False)
+
+
+ATTR_LOOKBACK_US = 6 * 3_600_000_000
+
+
+def attribution_linear(events_ds, lookback_us: int = ATTR_LOOKBACK_US):
+    """Linear multi-touch attribution — each purchase splits exactly
+    1,000,000 ppm of credit equally across the SAME user's clicks in
+    the lookback window (c.ts <= p.ts < c.ts + lookback); the integer
+    remainder goes to the EARLIEST click (ties by event_id), so credit
+    is conserved exactly per purchase and the fold is order-exact.
+    Output per credited click: (click_event, user_id, credit_ppm).
+
+    Shape at scale: ONE user-bucket exchange of the pruned
+    click/purchase projection; per user the window sums are a
+    difference-array trick (np.add.at on interval endpoints + one
+    cumsum), so a user's cost is O((clicks + purchases) log clicks),
+    never O(clicks x purchases). Whale-user caveat as
+    asof_join_events. Exact SQL mirror: "attribution_linear"."""
+    from ..stages.buckets import grouped_by_bucket, run_starts
+
+    def pre(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array(["click", "purchase"]))
+        t = batch.filter(m)
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": pc.cast(t["ts"], pa.int64()),
+            "is_p": pc.cast(pc.equal(t["event_type"], "purchase"),
+                            pa.int8()),
+        })
+
+    def sweep(tbl: pa.Table) -> pa.Table:
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+        ts = tbl["ts"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        isp = tbl["is_p"].to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, isp = uid[order], ts[order], eid[order], isp[order]
+        seg = np.flatnonzero(run_starts(uid))
+        seg = np.append(seg, len(uid))
+        o_ce, o_u, o_cr = [], [], []
+        for s0, s1 in zip(seg[:-1], seg[1:]):
+            m_c = ~isp[s0:s1]
+            c_ts, c_eid = ts[s0:s1][m_c], eid[s0:s1][m_c]
+            p_ts = ts[s0:s1][~m_c]
+            if not len(c_ts) or not len(p_ts):
+                continue
+            lo = np.searchsorted(c_ts, p_ts - lookback_us, side="right")
+            hi = np.searchsorted(c_ts, p_ts, side="right")
+            n = hi - lo
+            ok = n > 0
+            lo, hi, n = lo[ok], hi[ok], n[ok]
+            base = 1_000_000 // n
+            rem = 1_000_000 - base * n
+            diff = np.zeros(len(c_ts) + 1, np.int64)
+            np.add.at(diff, lo, base)
+            np.add.at(diff, hi, -base)
+            credit = np.cumsum(diff[:-1])
+            np.add.at(credit, lo, rem)
+            nz = credit > 0
+            o_ce.extend(int(x) for x in c_eid[nz])
+            o_u.extend([int(uid[s0])] * int(nz.sum()))
+            o_cr.extend(int(x) for x in credit[nz])
+        return pa.table({
+            "click_event": pa.array(o_ce, pa.int64()),
+            "user_id": pa.array(o_u, pa.int64()),
+            "credit_ppm": pa.array(o_cr, pa.int64()),
+        })
+
+    rows = events_ds.map_batches(pre, batch_format="pyarrow")
+    return grouped_by_bucket(rows, sweep, key="user_id")
+
+
+PSI_DAY_US = 86_400_000_000
+
+
+def psi_drift(events_ds, day_us: int = PSI_DAY_US):
+    """Population Stability Index per day — the distribution-drift
+    monitor: PSI_d = sum over event types of (p - q) * ln(p / q) with
+    Laplace-smoothed shares p = (c_day + 1) / (n_day + k) vs the
+    whole-corpus q. Each (day, type) term is rounded to an int64
+    MICRO-unit before summing, so the per-day sum is order-independent
+    and the SQL mirror is bit-identical. Counts come from one
+    map-side-combine groupby over a bounded (days x types) domain;
+    the fold touches only that grid. Output (day, psi_micro). Exact
+    SQL mirror: "psi_drift"."""
+    import math
+
+    def pre(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64())
+        d = pc.multiply(pc.divide(ts, day_us), day_us)
+        t = pa.table({"d": d, "et": batch["event_type"],
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        return t.group_by(["d", "et"]).aggregate([("n", "sum")])
+
+    counts: dict[tuple[int, str], int] = {}
+    for b in events_ds.select_columns(["ts", "event_type"]) \
+                      .map_batches(pre, batch_format="pyarrow") \
+                      .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            key = (r["d"], r["et"])
+            counts[key] = counts.get(key, 0) + r["n_sum"]
+    types = sorted({et for _, et in counts})
+    k = len(types)
+    overall = {et: 0 for et in types}
+    day_n: dict[int, int] = {}
+    for (d, et), c in counts.items():
+        overall[et] += c
+        day_n[d] = day_n.get(d, 0) + c
+    nn = sum(overall.values())
+    days, psis = [], []
+    for d in sorted(day_n):
+        nd = day_n[d]
+        psi = 0
+        for et in types:
+            p = (counts.get((d, et), 0) + 1) / (nd + k)
+            q = (overall[et] + 1) / (nn + k)
+            psi += int(np.rint((p - q) * math.log(p / q) * 1_000_000))
+        days.append(d)
+        psis.append(psi)
+    return pa.table({
+        "day": pa.array(days, pa.int64()).cast(pa.timestamp("us")),
+        "psi_micro": pa.array(psis, pa.int64()),
+    })

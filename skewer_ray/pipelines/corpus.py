@@ -1394,6 +1394,21 @@ def q_winsorize_lengths(sf_dir: str):
         columns=["doc_id", "lang", "n_chars"]))
 
 
+def q_attribution_linear(sf_dir: str):
+    """Linear multi-touch attribution: exact-ppm credit split across
+    lookback-window clicks (functions/windows.attribution_linear)."""
+    from ..functions.windows import attribution_linear
+    return attribution_linear(
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
+
+
+def q_psi_drift(sf_dir: str):
+    """Per-day PSI distribution-drift monitor over event types in
+    exact micro-units (functions/windows.psi_drift)."""
+    from ..functions.windows import psi_drift
+    return psi_drift(_events(sf_dir, ["ts", "event_type"]))
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-word estimate — 64 int registers per
     worker, associative max-merge, exact-integer estimator floats
@@ -1904,6 +1919,8 @@ QUERIES = {
     "winsorize_lengths": q_winsorize_lengths,
     "dedup_edit": q_dedup_edit,
     "distinct_hll": q_distinct_hll,
+    "attribution_linear": q_attribution_linear,
+    "psi_drift": q_psi_drift,
 }
 
 

@@ -1886,6 +1886,56 @@ SELECT CAST(64 AS BIGINT) AS m,
        v AS zero_registers
 FROM est"""
 
+    # linear multi-touch attribution: each purchase splits 1,000,000
+    # ppm across same-user clicks in the 6h lookback; remainder to the
+    # earliest click (ties by event_id) — mirrors
+    # windows.attribution_linear (credit conserved per purchase)
+    q["attribution_linear"] = """
+WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase'),
+j AS (SELECT c.event_id AS ce, c.user_id,
+             count(*) OVER (PARTITION BY p.event_id) AS n,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.us, c.event_id) AS rn
+      FROM p JOIN c ON c.user_id = p.user_id AND c.us <= p.us
+                    AND c.us > p.us - 21600000000),
+cr AS (SELECT ce, user_id,
+              1000000 // n
+              + CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END AS credit
+       FROM j)
+SELECT ce AS click_event, user_id,
+       CAST(sum(credit) AS BIGINT) AS credit_ppm
+FROM cr GROUP BY 1, 2"""
+
+    # per-day Population Stability Index over the event-type
+    # distribution, Laplace-smoothed, each (day, type) term rounded to
+    # int64 micro-units BEFORE the sum (order-independent) — mirrors
+    # windows.psi_drift
+    q["psi_drift"] = """
+WITH t AS (SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS d,
+                  event_type AS et FROM events),
+kk AS (SELECT CAST(count(DISTINCT et) AS BIGINT) AS k FROM t),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM t),
+q2 AS (SELECT et, CAST(count(*) AS BIGINT) AS cq FROM t GROUP BY et),
+dn AS (SELECT d, CAST(count(*) AS BIGINT) AS nd FROM t GROUP BY d),
+dc AS (SELECT d, et, CAST(count(*) AS BIGINT) AS cd
+       FROM t GROUP BY d, et),
+grid AS (SELECT dn.d, q2.et, dn.nd, q2.cq, coalesce(dc.cd, 0) AS cd
+         FROM dn CROSS JOIN q2
+         LEFT JOIN dc ON dc.d = dn.d AND dc.et = q2.et),
+terms AS (SELECT d,
+            CAST(round(((CAST(cd + 1 AS DOUBLE) / (nd + kk.k))
+                        - (CAST(cq + 1 AS DOUBLE) / (tot.nn + kk.k)))
+                       * ln((CAST(cd + 1 AS DOUBLE) / (nd + kk.k))
+                            / (CAST(cq + 1 AS DOUBLE)
+                               / (tot.nn + kk.k)))
+                       * 1000000) AS BIGINT) AS tm
+          FROM grid, kk, tot)
+SELECT make_timestamp(d) AS day, CAST(sum(tm) AS BIGINT) AS psi_micro
+FROM terms GROUP BY 1"""
+
     return q
 
 

@@ -1058,3 +1058,70 @@ def test_hll_block_merge_associative(ray_session):
     many = hll_distinct_terms(
         rd.from_items(docs, override_num_blocks=10)).to_pylist()[0]
     assert one == many
+
+
+# ---------- linear attribution ----------
+
+def test_attribution_linear_conservation_and_edges(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import attribution_linear
+    L = 6 * 3_600_000_000
+    rows = [
+        # user 1: 3 clicks, one purchase covering clicks at ts 10, 20
+        # (click at p.ts - L exactly is EXCLUDED by the > bound)
+        {"event_id": 1, "ts": 1000 - L, "user_id": 1,
+         "event_type": "click"},
+        {"event_id": 2, "ts": 10, "user_id": 1, "event_type": "click"},
+        {"event_id": 3, "ts": 20, "user_id": 1, "event_type": "click"},
+        {"event_id": 4, "ts": 1000, "user_id": 1,
+         "event_type": "purchase"},
+        # user 2: purchase with no clicks → no credit rows
+        {"event_id": 5, "ts": 50, "user_id": 2,
+         "event_type": "purchase"},
+        # noise types are ignored
+        {"event_id": 6, "ts": 15, "user_id": 1, "event_type": "view"},
+    ]
+    got = {r["click_event"]: r["credit_ppm"]
+           for r in attribution_linear(rd.from_items(rows)).take_all()}
+    # 1,000,000 over 2 clicks: 500,000 each, no remainder; click 1 is
+    # outside the window (ts == p.ts - L)
+    assert got == {2: 500_000, 3: 500_000}
+
+
+def test_attribution_linear_remainder_to_earliest(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import attribution_linear
+    rows = [{"event_id": i, "ts": i * 100, "user_id": 7,
+             "event_type": "click"} for i in (1, 2, 3)]
+    rows.append({"event_id": 9, "ts": 1000, "user_id": 7,
+                 "event_type": "purchase"})
+    got = {r["click_event"]: r["credit_ppm"]
+           for r in attribution_linear(rd.from_items(rows)).take_all()}
+    # 1,000,000 // 3 = 333,333 each; remainder 1 to the earliest click
+    assert got == {1: 333_334, 2: 333_333, 3: 333_333}
+    assert sum(got.values()) == 1_000_000
+
+
+# ---------- PSI drift ----------
+
+def test_psi_drift_identical_days_score_equal_and_small(ray_session):
+    import math
+    import ray.data as rd
+    from skewer_ray.functions.windows import psi_drift
+    D = 86_400_000_000
+    rows = []
+    for day in range(2):                      # identical distribution
+        for i in range(8):
+            rows.append({"ts": day * D + i,
+                         "event_type": "a" if i < 4 else "b"})
+    got = sorted((int(r["day"].timestamp() * 1_000_000) // D,
+                  r["psi_micro"])
+                 for r in psi_drift(rd.from_items(rows)).to_pylist())
+    # both days share the corpus distribution → identical PSI, and the
+    # only deviation is the Laplace smoothing noise
+    assert got[0][1] == got[1][1]
+    k, nd, nn = 2, 8, 16
+    psi = sum(int(np.rint((p - q) * math.log(p / q) * 1_000_000))
+              for c, cq in ((4, 8), (4, 8))
+              for p, q in [((c + 1) / (nd + k), (cq + 1) / (nn + k))])
+    assert got[0][1] == psi
