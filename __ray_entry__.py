@@ -125,6 +125,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_multiline": q.q_merge_multiline,
         # role-transition bigrams (LAG OVER conv/turn shape)
         "role_transitions": q.q_role_transitions,
+        # Markov anomaly scoring per conversation (smoothed loglik)
+        "conv_loglik": q.q_conv_loglik,
+        # length-3 tool-subsequence pattern mining (PrefixSpan-lite)
+        "frequent_sequences": q.q_frequent_sequences,
         # context-window truncation (suffix token budget per conv)
         "trim_context": q.q_trim_context,
         # per-role-transition response-time stats (LAG(ts) OVER shape)

@@ -530,4 +530,45 @@ SELECT e.tool AS node,
 FROM e JOIN deg USING (conv_id)
 GROUP BY 1 ORDER BY 1"""
 
+    # Markov anomaly score per conversation: Laplace-smoothed global
+    # role-transition log-probs, each term rounded to int64 micro-units
+    # BEFORE the per-conv sum (order-independent) — mirrors
+    # queries.q_conv_loglik
+    q["conv_loglik"] = f"""
+WITH b AS (
+  SELECT conv_id,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS f,
+         role AS t
+  FROM read_parquet('{_tpath(sf_name)}')),
+tr AS (SELECT conv_id, f, t FROM b WHERE f IS NOT NULL),
+g AS (SELECT f, t, CAST(count(*) AS BIGINT) AS c FROM tr GROUP BY 1, 2),
+fz AS (SELECT f, CAST(sum(c) AS BIGINT) AS cf FROM g GROUP BY 1),
+nr AS (SELECT CAST(count(DISTINCT role) AS BIGINT) AS r
+       FROM read_parquet('{_tpath(sf_name)}')),
+term AS (SELECT g.f, g.t,
+                CAST(round(ln(CAST(g.c + 1 AS DOUBLE)
+                              / CAST(fz.cf + nr.r AS DOUBLE))
+                           * 1000000) AS BIGINT) AS lm
+         FROM g JOIN fz USING (f), nr)
+SELECT tr.conv_id, CAST(count(*) AS BIGINT) AS n_trans,
+       CAST(sum(term.lm) AS BIGINT) AS loglik_micro
+FROM tr JOIN term ON tr.f = term.f AND tr.t = term.t
+GROUP BY 1"""
+
+    # length-3 tool-subsequence counts (non-tool turns skipped, order by
+    # turn_idx within conv) — mirrors queries.q_frequent_sequences
+    q["frequent_sequences"] = f"""
+WITH s AS (
+  SELECT conv_id, tool,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY turn_idx) AS rn
+  FROM read_parquet('{_tpath(sf_name)}')
+  WHERE tool IS NOT NULL AND tool <> ''),
+l AS (SELECT conv_id, tool AS t1,
+             lead(tool, 1) OVER (PARTITION BY conv_id ORDER BY rn) AS t2,
+             lead(tool, 2) OVER (PARTITION BY conv_id ORDER BY rn) AS t3
+      FROM s)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM l WHERE t3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
     return q

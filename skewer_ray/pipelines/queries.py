@@ -964,3 +964,133 @@ def q_routed_rows_kafka(sf_dir: str):
                        pc.equal(batch["status"], "passing"))
         return batch.filter(mask).select(["uid", "topic", "partition_key"])
     return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def q_conv_loglik(sf_dir: str):
+    """Markov anomaly scoring per conversation: the sum over the conv's
+    role transitions of round(ln P(to|from) * 1e6), P = Laplace-smoothed
+    GLOBAL transition probability (c+1)/(c_from+R), R = distinct roles.
+    The shape skewer lacks but an anomalous-session detector needs on
+    top of the role_transitions bigram model.
+
+    Scale: pass 1 reuses the role_transitions global counts (bounded
+    R^2 domain, merged map-side) plus a tiny distinct-role aggregate;
+    pass 2 is ONE conv-keyed bucket exchange that scores every
+    conversation against the broadcast term matrix (<= R^2 int64
+    entries shipped once in the task closure). Term-wise int64 rounding
+    makes each conv's sum order-independent — exact equality with the
+    DuckDB oracle, no float accumulation across rows."""
+    import math
+
+    from ..stages.buckets import grouped_by_bucket
+
+    # pass 1: global bigram counts + distinct roles (both tiny)
+    g = q_role_transitions(sf_dir)
+    counts = {(a, b): n for a, b, n in
+              zip(g["from_role"].to_pylist(), g["to_role"].to_pylist(),
+                  g["n"].to_pylist())}
+    roles_ds = read_transcripts(sf_dir).map_batches(
+        lambda b: pa.table({"role": pc.unique(b["role"])}),
+        batch_format="pyarrow")
+    all_roles = sorted({r["role"] for r in roles_ds.take_all()})
+    r_n = len(all_roles)
+    from_tot: dict[str, int] = {}
+    for (a, _b), n in counts.items():
+        from_tot[a] = from_tot.get(a, 0) + n
+    idx = {r: i for i, r in enumerate(all_roles)}
+    term = np.zeros((r_n, r_n), dtype=np.int64)
+    seen = np.zeros((r_n, r_n), dtype=bool)
+    for (a, b), c in counts.items():
+        term[idx[a], idx[b]] = int(np.rint(
+            math.log((c + 1) / float(from_tot[a] + r_n)) * 1_000_000))
+        seen[idx[a], idx[b]] = True
+    roles_arr = np.asarray(all_roles, dtype=object)
+
+    # pass 2: score each conversation (conv-keyed bucket exchange)
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        roles = np.asarray(batch["role"].to_pylist(), dtype=object)
+        order = np.lexsort((turn, conv))
+        conv_s, roles_s = conv[order], roles[order]
+        same = conv_s[1:] == conv_s[:-1]
+        f, t = roles_s[:-1][same], roles_s[1:][same]
+        cs = conv_s[1:][same]
+        fi = np.searchsorted(roles_arr, f)
+        ti = np.searchsorted(roles_arr, t)
+        lm = term[fi, ti]
+        df = pd.DataFrame({"conv_id": cs, "lm": lm})
+        gg = df.groupby("conv_id", sort=True)["lm"].agg(["count", "sum"])
+        return pa.table({
+            "conv_id": pa.array(gg.index.to_numpy(dtype=object),
+                                pa.string()),
+            "n_trans": pa.array(gg["count"].to_numpy(np.int64)),
+            "loglik_micro": pa.array(gg["sum"].to_numpy(np.int64)),
+        })
+
+    proj = read_transcripts(sf_dir).map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role"]),
+        batch_format="pyarrow")
+    return grouped_by_bucket(proj, per_bucket)
+
+
+def q_frequent_sequences(sf_dir: str):
+    """Sequential-pattern mining: counts of every length-3 TOOL
+    subsequence (consecutive tool turns within a conversation, ordered
+    by turn_idx, non-tool turns skipped) — the PrefixSpan-lite workload
+    a tool-usage analytics pipeline runs over agent transcripts.
+
+    Scale: ONE conv-keyed bucket exchange on a 3-column projection;
+    the trigram domain is bounded (|tools|^3) so per-bucket Counter
+    cells merge map-side and the driver folds only the tiny summary."""
+    from collections import Counter
+
+    from ..stages.buckets import grouped_by_bucket
+    ds = read_transcripts(sf_dir)
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(batch["tool"].combine_chunks().is_valid(),
+                       pc.not_equal(batch["tool"], ""))
+        b = batch.filter(mask)
+        conv = np.asarray(b["conv_id"].to_pylist(), dtype=object)
+        turn = b["turn_idx"].to_numpy(zero_copy_only=False)
+        tools = np.asarray(b["tool"].to_pylist(), dtype=object)
+        order = np.lexsort((turn, conv))
+        conv_s, tools_s = conv[order], tools[order]
+        if len(conv_s) < 3:
+            same3 = np.zeros(0, dtype=bool)
+        else:
+            same3 = ((conv_s[:-2] == conv_s[1:-1])
+                     & (conv_s[1:-1] == conv_s[2:]))
+        c = Counter(zip(tools_s[:-2][same3], tools_s[1:-1][same3],
+                        tools_s[2:][same3]))
+        ks = sorted(c)
+        return pa.table({
+            "t1": pa.array([k[0] for k in ks], pa.string()),
+            "t2": pa.array([k[1] for k in ks], pa.string()),
+            "t3": pa.array([k[2] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64()),
+        })
+
+    cells = grouped_by_bucket(
+        ds.map_batches(lambda b: b.select(["conv_id", "turn_idx",
+                                           "tool"]),
+                       batch_format="pyarrow"), per_bucket)
+
+    def partial(b: pa.Table) -> pa.Table:
+        return b.group_by(["t1", "t2", "t3"]).aggregate([("n", "sum")])
+
+    acc: dict[tuple, int] = {}
+    for b in cells.map_batches(partial, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            k = (r["t1"], r["t2"], r["t3"])
+            acc[k] = acc.get(k, 0) + r["n_sum"]
+    ks = sorted(acc)
+    return pa.table({
+        "t1": pa.array([k[0] for k in ks], pa.string()),
+        "t2": pa.array([k[1] for k in ks], pa.string()),
+        "t3": pa.array([k[2] for k in ks], pa.string()),
+        "n": pa.array([acc[k] for k in ks], pa.int64()),
+    })

@@ -907,3 +907,52 @@ def test_merge_topk_distributed_path_parity(ray_session, monkeypatch):
     monkeypatch.setattr(sim, "MERGE_DRIVER_MAX_ROWS", 0)
     slow = rows(q_ann_topk(SF))
     assert fast == slow and len(fast) > 0
+
+
+def test_conv_loglik_vs_pandas(ray_session):
+    """Markov loglik per conv matches a direct pandas recomputation of
+    the Laplace-smoothed global model with term-wise µ-rounding."""
+    import math
+
+    import pyarrow.parquet as pq
+    from skewer_ray.gen import ensure_transcripts
+    from skewer_ray.pipelines.queries import q_conv_loglik
+    path = ensure_transcripts(SF)
+    df = pq.ParquetDataset(path).read(
+        columns=["conv_id", "turn_idx", "role"]).to_pandas()
+    df = df.sort_values(["conv_id", "turn_idx"])
+    prev = df.groupby("conv_id")["role"].shift(1)
+    tr = df[prev.notna()].assign(f=prev[prev.notna()])
+    g = tr.groupby(["f", "role"]).size()
+    from_tot = tr.groupby("f").size()
+    r_n = df["role"].nunique()
+    term = {(f, t): int(np.rint(
+        math.log((c + 1) / float(from_tot[f] + r_n)) * 1_000_000))
+        for (f, t), c in g.items()}
+    tr = tr.assign(lm=[term[(f, t)]
+                       for f, t in zip(tr["f"], tr["role"])])
+    want = tr.groupby("conv_id")["lm"].agg(["count", "sum"])
+    got = {r["conv_id"]: (r["n_trans"], r["loglik_micro"])
+           for r in q_conv_loglik(SF).take_all()}
+    assert got == {c: (int(r["count"]), int(r["sum"]))
+                   for c, r in want.iterrows()} and got
+
+
+def test_frequent_sequences_vs_pandas(ray_session):
+    """Tool trigram counts match a direct pandas shift-based recount."""
+    import pyarrow.parquet as pq
+    from skewer_ray.gen import ensure_transcripts
+    from skewer_ray.pipelines.queries import q_frequent_sequences
+    path = ensure_transcripts(SF)
+    df = pq.ParquetDataset(path).read(
+        columns=["conv_id", "turn_idx", "tool"]).to_pandas()
+    df = df[df["tool"].notna() & (df["tool"] != "")]
+    df = df.sort_values(["conv_id", "turn_idx"])
+    t2 = df.groupby("conv_id")["tool"].shift(-1)
+    t3 = df.groupby("conv_id")["tool"].shift(-2)
+    m = t3.notna()
+    expect = (df[m].assign(t2=t2[m], t3=t3[m])
+              .groupby(["tool", "t2", "t3"]).size().to_dict())
+    got = {(r["t1"], r["t2"], r["t3"]): r["n"]
+           for r in q_frequent_sequences(SF).to_pylist()}
+    assert got == expect and got
