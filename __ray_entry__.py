@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_loglik": q.q_conv_loglik,
         # length-3 tool-subsequence pattern mining (PrefixSpan-lite)
         "frequent_sequences": q.q_frequent_sequences,
+        # two-sample KS drift statistic over role text lengths
+        "ks_lengths": q.q_ks_lengths,
         # context-window truncation (suffix token budget per conv)
         "trim_context": q.q_trim_context,
         # per-role-transition response-time stats (LAG(ts) OVER shape)

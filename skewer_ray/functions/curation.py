@@ -980,3 +980,68 @@ def winsorize_lengths(docs_ds, lo: float = WINSOR_LO,
 
     return docs_ds.select_columns(["doc_id", "lang", "n_chars"]) \
         .map_batches(clip, batch_format="pyarrow")
+
+
+def mad_outliers(docs_ds, k: int = 2):
+    """Robust outlier detection: flag documents whose length deviates
+    from the language median by more than ``k`` (default 2) MADs (median absolute
+    deviation) — the classic heavy-tail-safe filter a length-based
+    quality gate wants instead of mean/stddev.
+
+    Scale: the SAME bounded (lang, n_chars) count histogram as
+    winsorize_lengths (map-side combine; driver merge touches only the
+    value domain). Both the median and the MAD come from that one
+    histogram — the deviation histogram is folded from (value, count)
+    cells, never from rows — then (med, mad) broadcast for a map-only
+    flag pass. Selection rule = the shared ``_hist_quantile``
+    (quantile_disc). Output: the outlier rows (doc_id, lang, n_chars,
+    dev). Exact SQL mirror: "mad_outliers"."""
+    import ray
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b["lang"],
+                      "v": pc.cast(b["n_chars"], pa.int64()),
+                      "n": pa.array(np.ones(len(b), np.int64))})
+        return t.group_by(["lang", "v"]).aggregate([("n", "sum")])
+
+    acc: dict[str, dict[int, int]] = {}
+    for b in docs_ds.select_columns(["lang", "n_chars"]) \
+                    .map_batches(hist, batch_format="pyarrow") \
+                    .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            d = acc.setdefault(r["lang"], {})
+            d[r["v"]] = d.get(r["v"], 0) + r["n_sum"]
+    params: dict[str, tuple[int, int]] = {}
+    for lang, d in acc.items():
+        med = _hist_quantile(d, 0.5)
+        dev_hist: dict[int, int] = {}
+        for v, n in d.items():
+            dv = abs(v - med)
+            dev_hist[dv] = dev_hist.get(dv, 0) + n
+        params[lang] = (med, _hist_quantile(dev_hist, 0.5))
+    broadcast = ray.put(params)
+
+    def flag(b: pa.Table) -> pa.Table:
+        prm = ray.get(broadcast)
+        d = pc.dictionary_encode(b["lang"])
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        x = pc.cast(b["n_chars"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        meds = np.zeros(len(prm), np.int64)
+        mads = np.zeros(len(prm), np.int64)
+        for j, lang in enumerate(d.dictionary.to_pylist()):
+            meds[j], mads[j] = prm[lang]
+        dev = np.abs(x - meds[idx])
+        m = dev > k * mads[idx]
+        t = pa.table({
+            "doc_id": pc.cast(b["doc_id"], pa.int64()),
+            "lang": b["lang"],
+            "n_chars": pa.array(x, pa.int64()),
+            "dev": pa.array(dev, pa.int64()),
+        })
+        return t.filter(pa.array(m))
+
+    return docs_ds.select_columns(["doc_id", "lang", "n_chars"]) \
+        .map_batches(flag, batch_format="pyarrow")

@@ -1409,6 +1409,16 @@ def q_psi_drift(sf_dir: str):
     return psi_drift(_events(sf_dir, ["ts", "event_type"]))
 
 
+
+def q_mad_outliers(sf_dir: str):
+    """k=2 MAD robust length outliers per language from the bounded
+    (lang, n_chars) histogram (functions/curation.mad_outliers)."""
+    from ..functions.curation import mad_outliers
+    return mad_outliers(rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"]))
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-word estimate — 64 int registers per
     worker, associative max-merge, exact-integer estimator floats
@@ -1921,6 +1931,7 @@ QUERIES = {
     "distinct_hll": q_distinct_hll,
     "attribution_linear": q_attribution_linear,
     "psi_drift": q_psi_drift,
+    "mad_outliers": q_mad_outliers,
 }
 
 

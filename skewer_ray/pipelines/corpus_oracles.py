@@ -1842,6 +1842,21 @@ SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
          AS clipped
 FROM documents d JOIN qs USING (lang)"""
 
+    # k=2 MAD robust length outliers per language (median and MAD both
+    # quantile_disc ≡ the shared _hist_quantile rule) — mirrors
+    # curation.mad_outliers
+    q["mad_outliers"] = """
+WITH m AS (SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT)
+                    AS med
+           FROM documents GROUP BY lang),
+d AS (SELECT doc_id, dd.lang, CAST(dd.n_chars AS BIGINT) AS n_chars,
+             CAST(abs(dd.n_chars - m.med) AS BIGINT) AS dev
+      FROM documents dd JOIN m USING (lang)),
+md AS (SELECT lang, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+       FROM d GROUP BY lang)
+SELECT doc_id, d.lang, n_chars, dev
+FROM d JOIN md USING (lang) WHERE dev > 2 * md.mad"""
+
     # edit-distance near-dup pairs: the SAME MinHash band candidates
     # as dedup_minhash (blocking is part of the definition), verified
     # by levenshtein over the normalized text; dist <= floor(0.2 *

@@ -571,4 +571,31 @@ l AS (SELECT conv_id, tool AS t1,
 SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
 FROM l WHERE t3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
+    # two-sample KS statistic between user/assistant text lengths:
+    # exact int64 numerator over the bounded length-value domain and a
+    # float-free half-up micro ratio — mirrors queries.q_ks_lengths
+    q["ks_lengths"] = f"""
+WITH t AS (
+  SELECT role, length(text) AS v
+  FROM read_parquet('{_tpath(sf_name)}')
+  WHERE role IN ('user', 'assistant')),
+n AS (SELECT CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n2 FROM t),
+h AS (SELECT v,
+             CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c2
+      FROM t GROUP BY v),
+c AS (SELECT sum(c1) OVER (ORDER BY v) AS f1,
+             sum(c2) OVER (ORDER BY v) AS f2 FROM h),
+d AS (SELECT CAST(max(abs(f1 * n.n2 - f2 * n.n1)) AS BIGINT) AS d_num
+      FROM c, n GROUP BY n.n1, n.n2)
+SELECT n.n1, n.n2, d.d_num,
+       CAST((d.d_num * 2000000 + n.n1 * n.n2)
+            // (2 * n.n1 * n.n2) AS BIGINT) AS d_micro
+FROM d, n"""
+
     return q

@@ -1094,3 +1094,54 @@ def q_frequent_sequences(sf_dir: str):
         "t3": pa.array([k[2] for k in ks], pa.string()),
         "n": pa.array([acc[k] for k in ks], pa.int64()),
     })
+
+
+def q_ks_lengths(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov statistic between the USER and
+    ASSISTANT text-length distributions — the drift/2-sample test a
+    data-quality monitor runs between segments. Reported exactly: the
+    integer numerator D_num = max_v |F_user(v)·n_a − F_asst(v)·n_u|
+    plus its micro-rounded ratio (D_num / (n_u·n_a)).
+
+    Scale: bounded (role, length) count histograms combine map-side;
+    the driver folds only the value domain (distinct lengths), never
+    rows. The int64 numerator is exact up to ~3·10⁹ rows per side
+    (n_u·n_a < 2⁶³); past that the micro ratio is the scale-stable
+    form. Exact SQL mirror: "ks_lengths"."""
+    ds = read_transcripts(sf_dir)
+
+    def hist(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b["role"],
+                        value_set=pa.array(["user", "assistant"]))
+        t = b.filter(mask)
+        return pa.table({
+            "role": t["role"],
+            "v": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            "n": pa.array(np.ones(len(t), np.int64)),
+        }).group_by(["role", "v"]).aggregate([("n", "sum")])
+
+    acc: dict[tuple[str, int], int] = {}
+    for b in ds.map_batches(
+            lambda t: t.select(["role", "text"]),
+            batch_format="pyarrow") \
+            .map_batches(hist, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            k = (r["role"], r["v"])
+            acc[k] = acc.get(k, 0) + r["n_sum"]
+    vals = sorted({v for (_r, v) in acc})
+    c1 = np.array([acc.get(("user", v), 0) for v in vals], np.int64)
+    c2 = np.array([acc.get(("assistant", v), 0) for v in vals],
+                  np.int64)
+    f1, f2 = np.cumsum(c1), np.cumsum(c2)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    d_num = int(np.abs(f1 * n2 - f2 * n1).max()) if vals else 0
+    # half-up integer rounding — float-free, same expression as the SQL
+    d_micro = (d_num * 2_000_000 + n1 * n2) // (2 * n1 * n2) \
+        if n1 and n2 else 0
+    return pa.table({
+        "n1": pa.array([n1], pa.int64()),
+        "n2": pa.array([n2], pa.int64()),
+        "d_num": pa.array([d_num], pa.int64()),
+        "d_micro": pa.array([d_micro], pa.int64()),
+    })

@@ -956,3 +956,41 @@ def test_frequent_sequences_vs_pandas(ray_session):
     got = {(r["t1"], r["t2"], r["t3"]): r["n"]
            for r in q_frequent_sequences(SF).to_pylist()}
     assert got == expect and got
+
+
+def test_ks_lengths_vs_pandas(ray_session):
+    """KS statistic matches a direct pandas/numpy ECDF recomputation."""
+    import pyarrow.parquet as pq
+    from skewer_ray.gen import ensure_transcripts
+    from skewer_ray.pipelines.queries import q_ks_lengths
+    path = ensure_transcripts(SF)
+    df = pq.ParquetDataset(path).read(
+        columns=["role", "text"]).to_pandas()
+    df = df[df["role"].isin(["user", "assistant"])]
+    df["v"] = df["text"].str.len()
+    vals = np.sort(df["v"].unique())
+    u = df[df["role"] == "user"]["v"].to_numpy()
+    a = df[df["role"] == "assistant"]["v"].to_numpy()
+    f1 = np.searchsorted(np.sort(u), vals, side="right")
+    f2 = np.searchsorted(np.sort(a), vals, side="right")
+    n1, n2 = len(u), len(a)
+    d_num = int(np.abs(f1.astype(np.int64) * n2
+                       - f2.astype(np.int64) * n1).max())
+    got = q_ks_lengths(SF).to_pylist()[0]
+    assert got["n1"] == n1 and got["n2"] == n2
+    assert got["d_num"] == d_num
+    assert got["d_micro"] == (d_num * 2_000_000 + n1 * n2) \
+        // (2 * n1 * n2)
+
+
+def test_mad_outliers_hand_case(ray_session):
+    """Tiny hand case: median 10, MAD 1 → only dev > 2 flagged."""
+    import ray.data as rd
+    from skewer_ray.functions.curation import mad_outliers
+    rows = ([{"doc_id": i, "lang": "en", "n_chars": v}
+             for i, v in enumerate([9, 10, 10, 10, 11, 12, 13, 50])])
+    got = {r["doc_id"]: r["dev"]
+           for r in mad_outliers(rd.from_items(rows)).take_all()}
+    # med = 10 (idx ceil(.5*8)-1 = 3), devs [1,0,0,0,1,2,3,40],
+    # mad = 1 → flag dev > 2: docs 6 (dev 3) and 7 (dev 40)
+    assert got == {6: 3, 7: 40}
