@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_sequences": q.q_frequent_sequences,
         # two-sample KS drift statistic over role text lengths
         "ks_lengths": q.q_ks_lengths,
+        # tool co-occurrence graph triangles (p75-gated edges)
+        "triangle_count": q.q_triangle_count,
         # context-window truncation (suffix token budget per conv)
         "trim_context": q.q_trim_context,
         # per-role-transition response-time stats (LAG(ts) OVER shape)

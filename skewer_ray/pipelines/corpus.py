@@ -1419,6 +1419,50 @@ def q_mad_outliers(sf_dir: str):
         columns=["doc_id", "lang", "n_chars"]))
 
 
+
+def q_chi2_lang_source(sf_dir: str):
+    """Chi-square independence test between lang and source: per-cell
+    observed counts plus the (o−e)²/e term in micro-units, e = row·col/n
+    in one shared IEEE expression — the categorical-drift diagnostic a
+    corpus monitor runs between ingest snapshots.
+
+    Scale: the (lang, source) contingency domain is bounded, so count
+    partials combine map-side and the driver folds only the tiny grid.
+    Exact SQL mirror: "chi2_lang_source"."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+
+    def cnt(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b["lang"], "source": b["source"],
+                      "n": pa.array(np.ones(len(b), np.int64))})
+        return t.group_by(["lang", "source"]).aggregate([("n", "sum")])
+
+    acc: dict[tuple[str, str], int] = {}
+    for b in ds.map_batches(cnt, batch_format="pyarrow") \
+               .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            k = (r["lang"], r["source"])
+            acc[k] = acc.get(k, 0) + r["n_sum"]
+    rows = {}
+    cols = {}
+    for (l, src), o in acc.items():
+        rows[l] = rows.get(l, 0) + o
+        cols[src] = cols.get(src, 0) + o
+    n = sum(acc.values())
+    ks = sorted(acc)
+    terms = []
+    for l, src in ks:
+        o = acc[(l, src)]
+        e = (rows[l] * cols[src]) / n
+        terms.append(int(np.rint((o - e) * (o - e) / e * 1_000_000)))
+    return pa.table({
+        "lang": pa.array([k[0] for k in ks], pa.string()),
+        "source": pa.array([k[1] for k in ks], pa.string()),
+        "o": pa.array([acc[k] for k in ks], pa.int64()),
+        "term_micro": pa.array(terms, pa.int64()),
+    })
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-word estimate — 64 int registers per
     worker, associative max-merge, exact-integer estimator floats
@@ -1932,6 +1976,7 @@ QUERIES = {
     "attribution_linear": q_attribution_linear,
     "psi_drift": q_psi_drift,
     "mad_outliers": q_mad_outliers,
+    "chi2_lang_source": q_chi2_lang_source,
 }
 
 

@@ -1857,6 +1857,22 @@ md AS (SELECT lang, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
 SELECT doc_id, d.lang, n_chars, dev
 FROM d JOIN md USING (lang) WHERE dev > 2 * md.mad"""
 
+    # chi-square independence grid lang × source: per-cell (o-e)^2/e in
+    # micro-units, e = row*col/n in DOUBLE — mirrors
+    # corpus.q_chi2_lang_source
+    q["chi2_lang_source"] = """
+WITH o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rl FROM o GROUP BY 1),
+c AS (SELECT source, CAST(sum(o) AS BIGINT) AS cs FROM o GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM o)
+SELECT o.lang, o.source, o.o,
+       CAST(round((o.o - CAST(r.rl * c.cs AS DOUBLE) / n.nn)
+                  * (o.o - CAST(r.rl * c.cs AS DOUBLE) / n.nn)
+                  / (CAST(r.rl * c.cs AS DOUBLE) / n.nn)
+                  * 1000000) AS BIGINT) AS term_micro
+FROM o JOIN r USING (lang) JOIN c USING (source), n"""
+
     # edit-distance near-dup pairs: the SAME MinHash band candidates
     # as dedup_minhash (blocking is part of the definition), verified
     # by levenshtein over the normalized text; dist <= floor(0.2 *

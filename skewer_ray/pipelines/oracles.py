@@ -598,4 +598,22 @@ SELECT n.n1, n.n2, d.d_num,
             // (2 * n.n1 * n.n2) AS BIGINT) AS d_micro
 FROM d, n"""
 
+    # triangles in the tool co-occurrence graph, edges gated at the
+    # p75 of edge weights (quantile_disc ≡ _hist_quantile) — mirrors
+    # queries.q_triangle_count
+    q["triangle_count"] = f"""
+WITH e AS (
+  SELECT DISTINCT conv_id, tool
+  FROM read_parquet('{_tpath(sf_name)}')
+  WHERE tool IS NOT NULL AND tool <> ''),
+p AS (SELECT a.tool AS ta, b.tool AS tb, CAST(count(*) AS BIGINT) AS n
+      FROM e a JOIN e b ON a.conv_id = b.conv_id AND a.tool < b.tool
+      GROUP BY 1, 2),
+thr AS (SELECT quantile_disc(n, 0.75) AS t FROM p),
+g AS (SELECT ta, tb FROM p, thr WHERE n >= thr.t)
+SELECT x.ta AS t1, x.tb AS t2, y.tb AS t3
+FROM g x JOIN g y ON y.ta = x.tb
+JOIN g z ON z.ta = x.ta AND z.tb = y.tb
+ORDER BY 1, 2, 3"""
+
     return q

@@ -1145,3 +1145,42 @@ def q_ks_lengths(sf_dir: str):
         "d_num": pa.array([d_num], pa.int64()),
         "d_micro": pa.array([d_micro], pa.int64()),
     })
+
+
+def q_triangle_count(sf_dir: str):
+    """Graph triangles over the tool co-occurrence graph: tools are
+    nodes, an edge joins two tools whose co-occurrence count (distinct
+    convs containing both) reaches the p75 of all edge weights — the
+    community/motif primitive on top of the tool_cooccurrence
+    market-basket table. Output: every triangle (t1 < t2 < t3).
+
+    Scale: the edge domain is bounded (|tools|² pairs) so the pair
+    counts merge map-side exactly like tool_cooccurrence; the p75
+    threshold uses the shared ``_hist_quantile`` rule (≡ DuckDB
+    quantile_disc) over edge WEIGHTS (≤ |tools|² values), and the
+    triangle enumeration runs on the ≤ |tools|² surviving edges —
+    never on rows. The relative threshold makes the op
+    scale-invariant. Exact SQL mirror: "triangle_count"."""
+    from ..functions.curation import _hist_quantile
+
+    pairs = q_tool_cooccurrence(sf_dir)
+    ta = pairs["tool_a"].to_pylist()
+    tb = pairs["tool_b"].to_pylist()
+    ns = pairs["n"].to_pylist()
+    whist: dict[int, int] = {}
+    for n in ns:
+        whist[n] = whist.get(n, 0) + 1
+    thr = _hist_quantile(whist, 0.75)
+    edges = {(a, b) for a, b, n in zip(ta, tb, ns) if n >= thr}
+    nbrs: dict[str, set] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+    tris = sorted(
+        (a, b, c)
+        for a, b in edges
+        for c in nbrs.get(b, ()) if (a, c) in edges)
+    return pa.table({
+        "t1": pa.array([t[0] for t in tris], pa.string()),
+        "t2": pa.array([t[1] for t in tris], pa.string()),
+        "t3": pa.array([t[2] for t in tris], pa.string()),
+    })

@@ -994,3 +994,53 @@ def test_mad_outliers_hand_case(ray_session):
     # med = 10 (idx ceil(.5*8)-1 = 3), devs [1,0,0,0,1,2,3,40],
     # mad = 1 → flag dev > 2: docs 6 (dev 3) and 7 (dev 40)
     assert got == {6: 3, 7: 40}
+
+
+def test_triangle_count_vs_bruteforce(ray_session):
+    """Triangles match a brute-force recompute of the p75-gated
+    co-occurrence graph."""
+    from itertools import combinations
+
+    import pyarrow.parquet as pq
+    from skewer_ray.functions.curation import _hist_quantile
+    from skewer_ray.gen import ensure_transcripts
+    from skewer_ray.pipelines.queries import q_triangle_count
+    path = ensure_transcripts(SF)
+    df = pq.ParquetDataset(path).read(
+        columns=["conv_id", "tool"]).to_pandas()
+    df = df[df["tool"] != ""].drop_duplicates()
+    pairs: dict[tuple, int] = {}
+    for _c, g in df.groupby("conv_id"):
+        for a, b in combinations(sorted(set(g["tool"])), 2):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    wh: dict[int, int] = {}
+    for n in pairs.values():
+        wh[n] = wh.get(n, 0) + 1
+    thr = _hist_quantile(wh, 0.75)
+    edges = {k for k, n in pairs.items() if n >= thr}
+    tools = sorted({t for e in edges for t in e})
+    want = {(a, b, c) for a, b, c in combinations(tools, 3)
+            if (a, b) in edges and (b, c) in edges and (a, c) in edges}
+    got = {(r["t1"], r["t2"], r["t3"])
+           for r in q_triangle_count(SF).to_pylist()}
+    assert got == want and got
+
+
+def test_chi2_lang_source_terms(ray_session):
+    """Per-cell chi2 terms match a pandas crosstab recompute, and the
+    observed counts sum to the corpus size."""
+    import pyarrow.parquet as pq
+    from skewer_ray.pipelines.corpus import q_chi2_lang_source
+    df = pq.read_table(f"{SF}/documents.parquet",
+                       columns=["lang", "source"]).to_pandas()
+    ct = df.groupby(["lang", "source"]).size()
+    rows = ct.groupby(level=0).sum()
+    cols = ct.groupby(level=1).sum()
+    n = int(ct.sum())
+    got = {(r["lang"], r["source"]): (r["o"], r["term_micro"])
+           for r in q_chi2_lang_source(SF).to_pylist()}
+    for (l, s), o in ct.items():
+        e = (int(rows[l]) * int(cols[s])) / n
+        want = int(np.rint((o - e) * (o - e) / e * 1_000_000))
+        assert got[(l, s)] == (o, want)
+    assert sum(o for o, _t in got.values()) == n
