@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_lengths": q.q_ks_lengths,
         # tool co-occurrence graph triangles (p75-gated edges)
         "triangle_count": q.q_triangle_count,
+        # per-conv tool-usage Shannon entropy (diversity score)
+        "tool_entropy": q.q_tool_entropy,
         # context-window truncation (suffix token budget per conv)
         "trim_context": q.q_trim_context,
         # per-role-transition response-time stats (LAG(ts) OVER shape)

@@ -991,3 +991,57 @@ def psi_drift(events_ds, day_us: int = PSI_DAY_US):
         "day": pa.array(days, pa.int64()).cast(pa.timestamp("us")),
         "psi_micro": pa.array(psis, pa.int64()),
     })
+
+
+def wilson_ctr(events_ds, z: float = 1.96):
+    """Wilson score lower bound of each user's click share
+    s / (clicks + views) — the rank-safe CTR estimate (small-sample
+    shrinkage) a feedback-ranking pipeline uses instead of the raw
+    ratio. Output per user: (user_id, n, s, wilson_lb), wilson_lb
+    rounded to 6 dp.
+
+    Scale: map-side (user, is_click) count partials collapse the
+    exchange to ≤ 1 row per (user, block) before ONE user-bucket
+    exchange; the bound is a single shared IEEE expression (identical
+    operation order in the SQL mirror "wilson_ctr"), so equality is
+    exact, not approximate."""
+    from ..stages.buckets import grouped_by_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["event_type"],
+                     value_set=pa.array(["click", "view"]))
+        t = batch.filter(m)
+        tt = pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "s": pc.cast(pc.equal(t["event_type"], "click"),
+                         pa.int64()),
+            "n": pa.array(np.ones(len(t), np.int64)),
+        })
+        return tt.group_by(["user_id"]).aggregate(
+            [("s", "sum"), ("n", "sum")])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": tbl["user_id"].to_numpy(zero_copy_only=False),
+            "s": tbl["s_sum"].to_numpy(zero_copy_only=False),
+            "n": tbl["n_sum"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("user_id", sort=True).sum()
+        s = g["s"].to_numpy(np.float64)
+        n = g["n"].to_numpy(np.float64)
+        z2 = z * z
+        ph = s / n
+        lb = (ph + z2 / (2 * n)
+              - z * np.sqrt((ph * (1 - ph) + z2 / (4 * n)) / n)) \
+            / (1 + z2 / n)
+        return pa.table({
+            "user_id": pa.array(g.index.to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "s": pa.array(g["s"].to_numpy(np.int64)),
+            "wilson_lb": pa.array(np.round(lb, 6), pa.float64()),
+        })
+
+    proj = events_ds.map_batches(pre, batch_format="pyarrow")
+    return grouped_by_bucket(proj, per_bucket, key="user_id",
+                             coalesce=False)

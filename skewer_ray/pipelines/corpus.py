@@ -1463,6 +1463,14 @@ def q_chi2_lang_source(sf_dir: str):
     })
 
 
+
+def q_wilson_ctr(sf_dir: str):
+    """Wilson lower-bound click share per user (z=1.96), one shared
+    IEEE expression with the SQL (functions/windows.wilson_ctr)."""
+    from ..functions.windows import wilson_ctr
+    return wilson_ctr(_events(sf_dir, ["user_id", "event_type"]))
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-word estimate — 64 int registers per
     worker, associative max-merge, exact-integer estimator floats
@@ -1977,6 +1985,7 @@ QUERIES = {
     "psi_drift": q_psi_drift,
     "mad_outliers": q_mad_outliers,
     "chi2_lang_source": q_chi2_lang_source,
+    "wilson_ctr": q_wilson_ctr,
 }
 
 

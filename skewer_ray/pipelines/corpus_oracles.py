@@ -1873,6 +1873,24 @@ SELECT o.lang, o.source, o.o,
                   * 1000000) AS BIGINT) AS term_micro
 FROM o JOIN r USING (lang) JOIN c USING (source), n"""
 
+    # Wilson lower bound of per-user click share — IDENTICAL IEEE
+    # expression order as windows.wilson_ctr
+    q["wilson_ctr"] = """
+WITH t AS (SELECT user_id,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c
+           FROM events WHERE event_type IN ('click', 'view')),
+g AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1)
+SELECT user_id, n, s,
+       round(((CAST(s AS DOUBLE) / n) + (1.96 * 1.96) / (2 * n)
+              - 1.96 * sqrt((((CAST(s AS DOUBLE) / n)
+                              * (1 - CAST(s AS DOUBLE) / n))
+                             + (1.96 * 1.96) / (4 * n)) / n))
+             / (1 + (1.96 * 1.96) / n), 6) AS wilson_lb
+FROM g"""
+
     # edit-distance near-dup pairs: the SAME MinHash band candidates
     # as dedup_minhash (blocking is part of the definition), verified
     # by levenshtein over the normalized text; dist <= floor(0.2 *

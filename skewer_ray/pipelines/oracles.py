@@ -616,4 +616,23 @@ FROM g x JOIN g y ON y.ta = x.tb
 JOIN g z ON z.ta = x.ta AND z.tb = y.tb
 ORDER BY 1, 2, 3"""
 
+    # per-conv tool-usage Shannon entropy, term-wise micro rounding —
+    # mirrors queries.q_tool_entropy
+    q["tool_entropy"] = f"""
+WITH t AS (SELECT conv_id, tool
+           FROM read_parquet('{_tpath(sf_name)}')
+           WHERE tool IS NOT NULL AND tool <> ''),
+g AS (SELECT conv_id, tool, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2),
+tot AS (SELECT conv_id, CAST(sum(c) AS BIGINT) AS tt FROM g
+        GROUP BY 1),
+terms AS (SELECT g.conv_id,
+                 CAST(round(-(CAST(c AS DOUBLE) / tt)
+                            * ln(CAST(c AS DOUBLE) / tt)
+                            * 1000000) AS BIGINT) AS lm
+          FROM g JOIN tot USING (conv_id))
+SELECT tot.conv_id, tot.tt AS n_tool_turns,
+       CAST(sum(terms.lm) AS BIGINT) AS entropy_micro
+FROM terms JOIN tot USING (conv_id) GROUP BY 1, 2"""
+
     return q

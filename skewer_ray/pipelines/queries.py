@@ -1184,3 +1184,58 @@ def q_triangle_count(sf_dir: str):
         "t2": pa.array([t[1] for t in tris], pa.string()),
         "t3": pa.array([t[2] for t in tris], pa.string()),
     })
+
+
+def q_tool_entropy(sf_dir: str):
+    """Shannon entropy of each conversation's tool-usage distribution —
+    the diversity score a curation pass uses to find single-tool loops
+    vs varied agent sessions. Per (conv, tool) term −p·ln p is rounded
+    to int64 micro-units BEFORE the per-conv sum (order-independent,
+    exact equality with the SQL mirror "tool_entropy"). Output:
+    (conv_id, n_tool_turns, entropy_micro).
+
+    Scale: map-side (conv, tool) count partials collapse the exchange,
+    then ONE conv-keyed bucket exchange folds each conversation's
+    bounded ≤|tools| cells."""
+    from ..stages.buckets import grouped_by_bucket
+    ds = read_transcripts(sf_dir)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        m = pc.and_(batch["tool"].combine_chunks().is_valid(),
+                    pc.not_equal(batch["tool"], ""))
+        t = batch.filter(m)
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "tool": t["tool"],
+            "c": pa.array(np.ones(len(t), np.int64)),
+        }).group_by(["conv_id", "tool"]).aggregate([("c", "sum")])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "conv_id": tbl["conv_id"].to_pylist(),
+            "tool": tbl["tool"].to_pylist(),
+            "c": tbl["c_sum"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["conv_id", "tool"], sort=True)["c"].sum() \
+              .reset_index()
+        tot = g.groupby("conv_id")["c"].transform("sum") \
+               .to_numpy(np.float64)
+        c = g["c"].to_numpy(np.float64)
+        p = c / tot
+        g["lm"] = np.rint(-p * np.log(p) * 1_000_000).astype(np.int64)
+        out = g.groupby("conv_id", sort=True).agg(
+            n_tool_turns=("c", "sum"), entropy_micro=("lm", "sum"))
+        return pa.table({
+            "conv_id": pa.array(out.index.to_numpy(dtype=object),
+                                pa.string()),
+            "n_tool_turns": pa.array(
+                out["n_tool_turns"].to_numpy(np.int64)),
+            "entropy_micro": pa.array(
+                out["entropy_micro"].to_numpy(np.int64)),
+        })
+
+    proj = ds.map_batches(
+        lambda b: b.select(["conv_id", "tool"]),
+        batch_format="pyarrow").map_batches(pre, batch_format="pyarrow")
+    return grouped_by_bucket(proj, per_bucket, coalesce=False)

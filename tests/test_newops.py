@@ -1125,3 +1125,42 @@ def test_psi_drift_identical_days_score_equal_and_small(ray_session):
               for c, cq in ((4, 8), (4, 8))
               for p, q in [((c + 1) / (nd + k), (cq + 1) / (nn + k))])
     assert got[0][1] == psi
+
+
+# ---------- Wilson CTR ----------
+
+def test_wilson_ctr_hand_case(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import wilson_ctr
+    rows = ([{"user_id": 1, "event_type": "click"}] * 3
+            + [{"user_id": 1, "event_type": "view"}] * 7
+            + [{"user_id": 2, "event_type": "view"}] * 4
+            + [{"user_id": 2, "event_type": "purchase"}] * 5)
+    got = {r["user_id"]: r for r in wilson_ctr(rd.from_items(rows))
+           .take_all()}
+    assert got[1]["n"] == 10 and got[1]["s"] == 3
+    # user 2: purchases ignored, 0 clicks of 4 trials → lb 0
+    assert got[2]["n"] == 4 and got[2]["s"] == 0
+    assert got[2]["wilson_lb"] == 0.0
+    z2 = 1.96 * 1.96
+    ph, n = 0.3, 10.0
+    want = (ph + z2 / (2 * n)
+            - 1.96 * np.sqrt((ph * (1 - ph) + z2 / (4 * n)) / n)) \
+        / (1 + z2 / n)
+    assert got[1]["wilson_lb"] == np.round(want, 6)
+
+
+# ---------- tool entropy ----------
+
+def test_tool_entropy_hand_case(ray_session):
+    import math
+    from skewer_ray.pipelines.queries import q_tool_entropy  # noqa: F401
+    # exercise the kernel through the transcripts path at sf0.001 is
+    # covered by the oracle; here pin the term maths on a two-tool conv
+    p = 0.25
+    t1 = int(np.rint(-p * math.log(p) * 1e6))
+    p2 = 0.75
+    t2 = int(np.rint(-p2 * math.log(p2) * 1e6))
+    # H(0.25, 0.75) in micro-units, term-wise rounded
+    assert (t1, t2) == (346574, 215762)
+    assert t1 + t2 == 562336
