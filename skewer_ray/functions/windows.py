@@ -1045,3 +1045,102 @@ def wilson_ctr(events_ds, z: float = 1.96):
     proj = events_ds.map_batches(pre, batch_format="pyarrow")
     return grouped_by_bucket(proj, per_bucket, key="user_id",
                              coalesce=False)
+
+
+def _daily_type_counts(events_ds) -> dict[tuple[str, int], int]:
+    """Bounded (event_type, day) count grid — map-side partials, driver
+    folds only the tiny grid (the psi_drift exchange shape)."""
+    D = 86_400_000_000
+
+    def cnt(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        day = pc.multiply(pc.divide(us, D), D)
+        return pa.table({
+            "et": b["event_type"], "d": day,
+            "n": pa.array(np.ones(len(b), np.int64)),
+        }).group_by(["et", "d"]).aggregate([("n", "sum")])
+
+    acc: dict[tuple[str, int], int] = {}
+    for b in events_ds.map_batches(cnt, batch_format="pyarrow") \
+                      .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            k = (r["et"], r["d"])
+            acc[k] = acc.get(k, 0) + r["n_sum"]
+    return acc
+
+
+def autocorr_daily(events_ds):
+    """Lag-1 autocorrelation of each event type's daily count series
+    (adjacent OBSERVED days in day order) — the seasonality/trend
+    diagnostic a telemetry monitor computes per stream. All moments
+    (S=Σx, Q=Σx², P=Σxₜxₜ₊₁, x₁, xₙ, n) are exact int64 sums
+    (order-independent); only the final ratio is IEEE, one shared
+    expression with the SQL mirror "autocorr_daily". Output per type:
+    (event_type, n_days, r6). Types with n < 2 or a constant series
+    are omitted (undefined r).
+
+    Scale: the exchange is the bounded (type, day) grid of
+    _daily_type_counts — never rows."""
+    acc = _daily_type_counts(events_ds)
+    by_type: dict[str, dict[int, int]] = {}
+    for (et, d), n in acc.items():
+        by_type.setdefault(et, {})[d] = n
+    ets, nds, rs = [], [], []
+    for et in sorted(by_type):
+        xs = np.array([by_type[et][d] for d in sorted(by_type[et])],
+                      dtype=np.int64)
+        n = len(xs)
+        if n < 2:
+            continue
+        S = int(xs.sum())
+        Q = int((xs * xs).sum())
+        P = int((xs[:-1] * xs[1:]).sum())
+        x1, xn = int(xs[0]), int(xs[-1])
+        m = float(S) / n
+        num = float(P) - m * (S - xn) - m * (S - x1) + (n - 1) * m * m
+        den = float(Q) - float(S) * S / n
+        if den == 0.0:
+            continue
+        ets.append(et)
+        nds.append(n)
+        rs.append(float(np.round(num / den, 6)))
+    return pa.table({
+        "event_type": pa.array(ets, pa.string()),
+        "n_days": pa.array(nds, pa.int64()),
+        "r6": pa.array(rs, pa.float64()),
+    })
+
+
+def seasonal_error(events_ds, lag_days: int = 7):
+    """Seasonal-naive forecast error: MAE of predicting each day's
+    count by the count ``lag_days`` earlier (calendar join, pairs where
+    both days are observed) — the baseline every forecasting eval
+    starts from. Σ|diff| and the pair count are exact ints; the micro
+    MAE is one shared division. Output per type:
+    (event_type, n_pairs, mae_micro). Same bounded-grid exchange as
+    autocorr_daily. Exact SQL mirror: "seasonal_error"."""
+    D = 86_400_000_000
+    acc = _daily_type_counts(events_ds)
+    by_type: dict[str, dict[int, int]] = {}
+    for (et, d), n in acc.items():
+        by_type.setdefault(et, {})[d] = n
+    ets, nps, maes = [], [], []
+    for et in sorted(by_type):
+        g = by_type[et]
+        tot = 0
+        cnt = 0
+        for d, x in g.items():
+            nx = g.get(d + lag_days * D)
+            if nx is not None:
+                tot += abs(nx - x)
+                cnt += 1
+        if cnt:
+            ets.append(et)
+            nps.append(cnt)
+            # float-free half-up rounding (ties ARE possible here)
+            maes.append((tot * 2_000_000 + cnt) // (2 * cnt))
+    return pa.table({
+        "event_type": pa.array(ets, pa.string()),
+        "n_pairs": pa.array(nps, pa.int64()),
+        "mae_micro": pa.array(maes, pa.int64()),
+    })

@@ -1471,6 +1471,21 @@ def q_wilson_ctr(sf_dir: str):
     return wilson_ctr(_events(sf_dir, ["user_id", "event_type"]))
 
 
+
+def q_autocorr_daily(sf_dir: str):
+    """Lag-1 autocorrelation of daily counts per event type from exact
+    integer moments (functions/windows.autocorr_daily)."""
+    from ..functions.windows import autocorr_daily
+    return autocorr_daily(_events(sf_dir, ["ts", "event_type"]))
+
+
+def q_seasonal_error(sf_dir: str):
+    """Lag-7 seasonal-naive MAE per event type, exact integer sums
+    (functions/windows.seasonal_error)."""
+    from ..functions.windows import seasonal_error
+    return seasonal_error(_events(sf_dir, ["ts", "event_type"]))
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-word estimate — 64 int registers per
     worker, associative max-merge, exact-integer estimator floats
@@ -1986,6 +2001,8 @@ QUERIES = {
     "mad_outliers": q_mad_outliers,
     "chi2_lang_source": q_chi2_lang_source,
     "wilson_ctr": q_wilson_ctr,
+    "autocorr_daily": q_autocorr_daily,
+    "seasonal_error": q_seasonal_error,
 }
 
 

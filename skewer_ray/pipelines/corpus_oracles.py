@@ -1891,6 +1891,51 @@ SELECT user_id, n, s,
              / (1 + (1.96 * 1.96) / n), 6) AS wilson_lb
 FROM g"""
 
+    # lag-1 autocorrelation of daily counts per type: exact int64
+    # moments (S, Q, P, x1, xn, n), one shared IEEE ratio — mirrors
+    # windows.autocorr_daily
+    q["autocorr_daily"] = """
+WITH t AS (SELECT event_type AS et,
+                  (epoch_us(ts) // 86400000000) * 86400000000 AS d
+           FROM events),
+x AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x
+      FROM t GROUP BY 1, 2),
+adj AS (SELECT et, d, x,
+               lead(x) OVER (PARTITION BY et ORDER BY d) AS nx
+        FROM x),
+mo AS (SELECT et,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS s,
+              CAST(sum(x * x) AS BIGINT) AS qq,
+              CAST(sum(CASE WHEN nx IS NULL THEN 0
+                            ELSE x * nx END) AS BIGINT) AS p,
+              CAST(arg_min(x, d) AS BIGINT) AS x1,
+              CAST(arg_max(x, d) AS BIGINT) AS xn
+       FROM adj GROUP BY 1),
+f AS (SELECT *, CAST(s AS DOUBLE) / n AS m FROM mo)
+SELECT et AS event_type, n AS n_days,
+       round((CAST(p AS DOUBLE) - m * (s - xn) - m * (s - x1)
+              + (n - 1) * m * m)
+             / (CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)
+         AS r6
+FROM f
+WHERE n >= 2 AND (CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) <> 0
+ORDER BY 1"""
+
+    # seasonal-naive (lag-7 calendar) MAE per type: exact |diff| sums,
+    # float-free half-up micro rounding — mirrors windows.seasonal_error
+    q["seasonal_error"] = """
+WITH t AS (SELECT event_type AS et,
+                  (epoch_us(ts) // 86400000000) * 86400000000 AS d
+           FROM events),
+x AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x
+      FROM t GROUP BY 1, 2)
+SELECT a.et AS event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST((sum(abs(b.x - a.x)) * 2000000 + count(*))
+            // (2 * count(*)) AS BIGINT) AS mae_micro
+FROM x a JOIN x b ON b.et = a.et AND b.d = a.d + 7 * 86400000000
+GROUP BY 1 ORDER BY 1"""
+
     # edit-distance near-dup pairs: the SAME MinHash band candidates
     # as dedup_minhash (blocking is part of the definition), verified
     # by levenshtein over the normalized text; dist <= floor(0.2 *

@@ -1164,3 +1164,39 @@ def test_tool_entropy_hand_case(ray_session):
     # H(0.25, 0.75) in micro-units, term-wise rounded
     assert (t1, t2) == (346574, 215762)
     assert t1 + t2 == 562336
+
+
+# ---------- autocorr / seasonal error ----------
+
+def test_autocorr_daily_hand_case(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import autocorr_daily
+    D = 86_400_000_000
+    # one type, daily counts [1, 2, 3, 4]: m=2.5,
+    # num = 0.75 - 0.25 + 0.75 = 1.25, den = 5 → r = 0.25
+    rows = []
+    for day, c in enumerate([1, 2, 3, 4]):
+        rows += [{"ts": day * D + i, "event_type": "a"}
+                 for i in range(c)]
+    # constant series → omitted (den = 0)
+    rows += [{"ts": day * D, "event_type": "b"} for day in range(3)]
+    got = {r["event_type"]: (r["n_days"], r["r6"])
+           for r in autocorr_daily(rd.from_items(rows)).to_pylist()}
+    x = np.array([1, 2, 3, 4], float)
+    m = x.mean()
+    want = float(np.round(((x[:-1] - m) * (x[1:] - m)).sum()
+                          / ((x - m) ** 2).sum(), 6))
+    assert got == {"a": (4, want)} and want == 0.25
+
+
+def test_seasonal_error_hand_case(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import seasonal_error
+    D = 86_400_000_000
+    # days 0,1 and 7,8: |x7-x0|=|5-2|=3, |x8-x1|=|1-4|=3 → MAE 3
+    counts = {0: 2, 1: 4, 7: 5, 8: 1}
+    rows = [{"ts": d * D + i, "event_type": "a"}
+            for d, c in counts.items() for i in range(c)]
+    got = seasonal_error(rd.from_items(rows)).to_pylist()
+    assert got == [{"event_type": "a", "n_pairs": 2,
+                    "mae_micro": 3_000_000}]
