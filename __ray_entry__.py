@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": q.q_triangle_count,
         # per-conv tool-usage Shannon entropy (diversity score)
         "tool_entropy": q.q_tool_entropy,
+        # top-1 next-tool prediction accuracy (bigram model eval)
+        "tool_next_accuracy": q.q_tool_next_accuracy,
         # context-window truncation (suffix token budget per conv)
         "trim_context": q.q_trim_context,
         # per-role-transition response-time stats (LAG(ts) OVER shape)

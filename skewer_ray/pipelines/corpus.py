@@ -1486,6 +1486,82 @@ def q_seasonal_error(sf_dir: str):
     return seasonal_error(_events(sf_dir, ["ts", "event_type"]))
 
 
+
+def q_bigram_pmi(sf_dir: str):
+    """Collocation mining: pointwise mutual information of adjacent
+    word pairs, pmi = ln(p_ab / (p_a·p_b)) with p_ab = c_ab/M (bigram
+    share) and p_a = c_a/N (token share), emitted for bigrams seen
+    ≥ LM_MIN_COUNT times — the phrase-detection pass a tokenizer /
+    quality pipeline runs before merging multiword units.
+
+    Scale: bigram counts go through the SAME map-side-combine exchange
+    as bigram_lm (distinct bigrams per batch, never tokens); the
+    unigram marginals are a broadcast dict (vocabulary-bounded — the
+    decontam-benchmark assumption) and M/N are exact int64 folds of the
+    two count tables. Only the final ln is IEEE, one shared expression
+    with the SQL mirror "bigram_pmi"; ties are impossible so the
+    round() modes agree."""
+    import ray
+
+    from ..functions.textstats import norm_words
+    from ..stages.agg import grouped_count
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        w1, w2 = [], []
+        for t in batch["text"].to_pylist():
+            ws = norm_words(t)
+            w1.extend(ws[:-1])
+            w2.extend(ws[1:])
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string())})
+
+    def explode_tokens(batch: pa.Table) -> pa.Table:
+        w = []
+        for t in batch["text"].to_pylist():
+            w.extend(norm_words(t))
+        return pa.table({"w": pa.array(w, pa.string())})
+
+    bi = grouped_count(
+        _docs(sf_dir).map_batches(explode_pairs, batch_format="pyarrow"),
+        ["w1", "w2"], combine="shuffle")
+    uni = grouped_count(
+        _docs(sf_dir).map_batches(explode_tokens,
+                                  batch_format="pyarrow"),
+        ["w"], combine="shuffle")
+    uc: dict[str, int] = {}
+    for b in uni.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            uc[r["w"]] = uc.get(r["w"], 0) + r["n"]
+    n_tok = sum(uc.values())
+    # M = Σ bigram counts: per-block partial sums, tiny driver fold
+    m_tot = 0
+    for b in bi.map_batches(
+            lambda t: pa.table({"m": pa.array(
+                [int(pc.sum(t["n"]).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            m_tot += r["m"]
+    bc = ray.put((uc, n_tok, m_tot))
+
+    def score(b: pa.Table) -> pa.Table:
+        u, nn, mm = ray.get(bc)
+        t = b.filter(pc.greater_equal(b["n"], LM_MIN_COUNT))
+        w1 = t["w1"].to_pylist()
+        w2 = t["w2"].to_pylist()
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = np.array([u[a] for a in w1], np.float64)
+        cb = np.array([u[b2] for b2 in w2], np.float64)
+        pmi = np.log((n / mm) / ((ca / nn) * (cb / nn)))
+        return pa.table({
+            "w1": t["w1"], "w2": t["w2"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "pmi_micro": pa.array(
+                np.rint(pmi * 1_000_000).astype(np.int64)),
+        })
+
+    return bi.map_batches(score, batch_format="pyarrow")
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-word estimate — 64 int registers per
     worker, associative max-merge, exact-integer estimator floats
@@ -2003,6 +2079,7 @@ QUERIES = {
     "wilson_ctr": q_wilson_ctr,
     "autocorr_daily": q_autocorr_daily,
     "seasonal_error": q_seasonal_error,
+    "bigram_pmi": q_bigram_pmi,
 }
 
 

@@ -1936,6 +1936,27 @@ SELECT a.et AS event_type, CAST(count(*) AS BIGINT) AS n_pairs,
 FROM x a JOIN x b ON b.et = a.et AND b.d = a.d + 7 * 86400000000
 GROUP BY 1 ORDER BY 1"""
 
+    # adjacent-word PMI collocations (bigrams seen >= 20), one shared
+    # IEEE ln expression — mirrors corpus.q_bigram_pmi
+    q["bigram_pmi"] = _W + """,
+b AS (
+  SELECT doc_id, words, unnest(range(0, len(words) - 1)) AS i
+  FROM w WHERE len(words) >= 2),
+g AS (SELECT words[i+1] AS w1, words[i+2] AS w2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2),
+u AS (SELECT unnest(words) AS wo FROM w),
+uc AS (SELECT wo, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM u),
+mm AS (SELECT CAST(sum(n) AS BIGINT) AS m FROM g)
+SELECT g.w1, g.w2, g.n,
+       CAST(round(ln((CAST(g.n AS DOUBLE) / mm.m)
+                     / ((CAST(a.c AS DOUBLE) / nn.n_tok)
+                        * (CAST(bb.c AS DOUBLE) / nn.n_tok)))
+                  * 1000000) AS BIGINT) AS pmi_micro
+FROM g JOIN uc a ON a.wo = g.w1 JOIN uc bb ON bb.wo = g.w2, nn, mm
+WHERE g.n >= 20"""
+
     # edit-distance near-dup pairs: the SAME MinHash band candidates
     # as dedup_minhash (blocking is part of the definition), verified
     # by levenshtein over the normalized text; dist <= floor(0.2 *

@@ -635,4 +635,27 @@ SELECT tot.conv_id, tot.tt AS n_tool_turns,
        CAST(sum(terms.lm) AS BIGINT) AS entropy_micro
 FROM terms JOIN tot USING (conv_id) GROUP BY 1, 2"""
 
+    # top-1 next-tool prediction accuracy of the bigram tool model,
+    # ties → lexicographically smallest — mirrors
+    # queries.q_tool_next_accuracy
+    q["tool_next_accuracy"] = f"""
+WITH s AS (
+  SELECT conv_id, tool,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY turn_idx) AS rn
+  FROM read_parquet('{_tpath(sf_name)}')
+  WHERE tool IS NOT NULL AND tool <> ''),
+bg AS (SELECT a.tool AS f, b.tool AS t
+       FROM s a JOIN s b ON b.conv_id = a.conv_id
+                        AND b.rn = a.rn + 1),
+g AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2),
+p AS (SELECT f, t, n,
+             row_number() OVER (PARTITION BY f
+                                ORDER BY n DESC, t ASC) AS rk,
+             CAST(sum(n) OVER (PARTITION BY f) AS BIGINT) AS tot
+      FROM g)
+SELECT f AS from_tool, t AS predicted, tot AS n_total, n AS n_correct,
+       CAST((n * 2000000 + tot) // (2 * tot) AS BIGINT) AS acc_micro
+FROM p WHERE rk = 1 ORDER BY 1"""
+
     return q

@@ -1239,3 +1239,75 @@ def q_tool_entropy(sf_dir: str):
         lambda b: b.select(["conv_id", "tool"]),
         batch_format="pyarrow").map_batches(pre, batch_format="pyarrow")
     return grouped_by_bucket(proj, per_bucket, coalesce=False)
+
+
+def q_tool_next_accuracy(sf_dir: str):
+    """Top-1 next-tool prediction accuracy of the global bigram tool
+    model: for each from-tool, the predicted next tool is the argmax
+    transition count (ties → lexicographically smallest), and the
+    accuracy is how often that prediction matches the actual next tool
+    — the self-evaluation a tool-routing model gets from transcripts.
+    Output: (from_tool, predicted, n_total, n_correct, acc_micro) with
+    float-free half-up micro rounding.
+
+    Scale: consecutive tool-turn bigram counts through ONE conv-keyed
+    bucket exchange (bounded |tools|² domain merged map-side, exactly
+    the frequent_sequences shape); the argmax/accuracy fold touches
+    only the tiny count table. Exact SQL mirror:
+    "tool_next_accuracy"."""
+    from collections import Counter
+
+    from ..stages.buckets import grouped_by_bucket
+    ds = read_transcripts(sf_dir)
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(batch["tool"].combine_chunks().is_valid(),
+                       pc.not_equal(batch["tool"], ""))
+        b = batch.filter(mask)
+        conv = np.asarray(b["conv_id"].to_pylist(), dtype=object)
+        turn = b["turn_idx"].to_numpy(zero_copy_only=False)
+        tools = np.asarray(b["tool"].to_pylist(), dtype=object)
+        order = np.lexsort((turn, conv))
+        conv_s, tools_s = conv[order], tools[order]
+        same = conv_s[1:] == conv_s[:-1]
+        c = Counter(zip(tools_s[:-1][same], tools_s[1:][same]))
+        ks = sorted(c)
+        return pa.table({
+            "f": pa.array([k[0] for k in ks], pa.string()),
+            "t": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64()),
+        })
+
+    cells = grouped_by_bucket(
+        ds.map_batches(lambda b: b.select(["conv_id", "turn_idx",
+                                           "tool"]),
+                       batch_format="pyarrow"), per_bucket)
+    acc: dict[tuple, int] = {}
+    for b in cells.map_batches(
+            lambda t: t.group_by(["f", "t"]).aggregate([("n", "sum")]),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            k = (r["f"], r["t"])
+            acc[k] = acc.get(k, 0) + r["n_sum"]
+    by_f: dict[str, dict[str, int]] = {}
+    for (f, t), n in acc.items():
+        by_f.setdefault(f, {})[t] = n
+    fs, preds, tots, cors, accs = [], [], [], [], []
+    for f in sorted(by_f):
+        d = by_f[f]
+        # argmax count, ties → lexicographically smallest tool
+        pred = min(d, key=lambda t: (-d[t], t))
+        tot = sum(d.values())
+        cor = d[pred]
+        fs.append(f)
+        preds.append(pred)
+        tots.append(tot)
+        cors.append(cor)
+        accs.append((cor * 2_000_000 + tot) // (2 * tot))
+    return pa.table({
+        "from_tool": pa.array(fs, pa.string()),
+        "predicted": pa.array(preds, pa.string()),
+        "n_total": pa.array(tots, pa.int64()),
+        "n_correct": pa.array(cors, pa.int64()),
+        "acc_micro": pa.array(accs, pa.int64()),
+    })

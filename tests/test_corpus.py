@@ -1044,3 +1044,41 @@ def test_chi2_lang_source_terms(ray_session):
         want = int(np.rint((o - e) * (o - e) / e * 1_000_000))
         assert got[(l, s)] == (o, want)
     assert sum(o for o, _t in got.values()) == n
+
+
+def test_bigram_pmi_marginals(ray_session):
+    """PMI values match a direct Counter recomputation at sf0.001."""
+    import math
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from skewer_ray.functions.textstats import norm_words
+    from skewer_ray.pipelines.corpus import LM_MIN_COUNT, q_bigram_pmi
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    bi, un = Counter(), Counter()
+    for t in texts:
+        ws = norm_words(t)
+        un.update(ws)
+        bi.update(zip(ws[:-1], ws[1:]))
+    n_tok, m = sum(un.values()), sum(bi.values())
+    got = {(r["w1"], r["w2"]): (r["n"], r["pmi_micro"])
+           for r in q_bigram_pmi(SF).take_all()}
+    assert set(got) == {k for k, n in bi.items() if n >= LM_MIN_COUNT}
+    for (a, b), (n, pm) in got.items():
+        want = int(np.rint(math.log(
+            (n / m) / ((un[a] / n_tok) * (un[b] / n_tok))) * 1e6))
+        assert pm == want
+
+
+def test_tool_next_accuracy_hand_props(ray_session):
+    """Every from-tool's prediction is its max-count successor and
+    n_correct <= n_total; accuracies are half-up micro ratios."""
+    from skewer_ray.pipelines.queries import (q_frequent_sequences,  # noqa: F401
+                                              q_tool_next_accuracy)
+    rows = q_tool_next_accuracy(SF).to_pylist()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_correct"] <= r["n_total"]
+        assert r["acc_micro"] == (r["n_correct"] * 2_000_000
+                                  + r["n_total"]) // (2 * r["n_total"])
