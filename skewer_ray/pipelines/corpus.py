@@ -1506,46 +1506,43 @@ def q_bigram_pmi(sf_dir: str):
     from ..functions.textstats import norm_words
     from ..stages.agg import grouped_count
 
-    def explode_pairs(batch: pa.Table) -> pa.Table:
+    # ONE scan, ONE shuffle: bigram rows AND unigram marginal rows
+    # share the exchange — unigram rows are tagged w2 = "\x00" (cannot
+    # collide with a real token). The materialized count table then
+    # serves the broadcast marginals, the exact M/N folds, and the
+    # distributed scoring map without re-running the explode.
+    UNI = "\x00"
+
+    def explode_both(batch: pa.Table) -> pa.Table:
         w1, w2 = [], []
         for t in batch["text"].to_pylist():
             ws = norm_words(t)
             w1.extend(ws[:-1])
             w2.extend(ws[1:])
+            w1.extend(ws)
+            w2.extend([UNI] * len(ws))
         return pa.table({"w1": pa.array(w1, pa.string()),
                          "w2": pa.array(w2, pa.string())})
 
-    def explode_tokens(batch: pa.Table) -> pa.Table:
-        w = []
-        for t in batch["text"].to_pylist():
-            w.extend(norm_words(t))
-        return pa.table({"w": pa.array(w, pa.string())})
-
-    bi = grouped_count(
-        _docs(sf_dir).map_batches(explode_pairs, batch_format="pyarrow"),
-        ["w1", "w2"], combine="shuffle")
-    uni = grouped_count(
-        _docs(sf_dir).map_batches(explode_tokens,
-                                  batch_format="pyarrow"),
-        ["w"], combine="shuffle")
+    counts = grouped_count(
+        _docs(sf_dir).map_batches(explode_both, batch_format="pyarrow"),
+        ["w1", "w2"], combine="shuffle").materialize()
     uc: dict[str, int] = {}
-    for b in uni.iter_batches(batch_format="pyarrow"):
-        for r in b.to_pylist():
-            uc[r["w"]] = uc.get(r["w"], 0) + r["n"]
-    n_tok = sum(uc.values())
-    # M = Σ bigram counts: per-block partial sums, tiny driver fold
     m_tot = 0
-    for b in bi.map_batches(
-            lambda t: pa.table({"m": pa.array(
-                [int(pc.sum(t["n"]).as_py() or 0)], pa.int64())}),
-            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
-        for r in b.to_pylist():
-            m_tot += r["m"]
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        um = pc.equal(b["w2"], UNI)
+        ut = b.filter(um)
+        for w, n in zip(ut["w1"].to_pylist(), ut["n"].to_pylist()):
+            uc[w] = uc.get(w, 0) + int(n)
+        m_tot += int(pc.sum(b.filter(pc.invert(um))["n"]).as_py() or 0)
+    n_tok = sum(uc.values())
+    bi = counts
     bc = ray.put((uc, n_tok, m_tot))
 
     def score(b: pa.Table) -> pa.Table:
         u, nn, mm = ray.get(bc)
-        t = b.filter(pc.greater_equal(b["n"], LM_MIN_COUNT))
+        t = b.filter(pc.and_(pc.greater_equal(b["n"], LM_MIN_COUNT),
+                             pc.not_equal(b["w2"], UNI)))
         w1 = t["w1"].to_pylist()
         w2 = t["w2"].to_pylist()
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -2096,4 +2093,5 @@ def bench_subset():
         ("inverted_index", q_inverted_index),
         ("curated_docs", q_curated_docs),
         ("pagerank_tools", q_pagerank_tools),
+        ("bigram_pmi", q_bigram_pmi),
     ]
