@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_entropy": q.q_tool_entropy,
         # top-1 next-tool prediction accuracy (bigram model eval)
         "tool_next_accuracy": q.q_tool_next_accuracy,
+        # assistant/user verbosity ratio per conversation
+        "response_ratio": q.q_response_ratio,
         # context-window truncation (suffix token budget per conv)
         "trim_context": q.q_trim_context,
         # per-role-transition response-time stats (LAG(ts) OVER shape)

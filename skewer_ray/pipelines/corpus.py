@@ -1559,6 +1559,58 @@ def q_bigram_pmi(sf_dir: str):
     return bi.map_batches(score, batch_format="pyarrow")
 
 
+
+def q_hapax_share(sf_dir: str):
+    """Lexical novelty: each document's share of corpus hapax legomena
+    (words occurring exactly once in the whole corpus) among its words,
+    in half-up micro units — the novelty/noise signal a curation pass
+    uses to find OCR junk and genuinely fresh text at the same time.
+
+    Scale: ONE map-side-combined unigram count pass (vocabulary-bounded
+    driver fold, same broadcast assumption as bigram_pmi); the hapax
+    SET broadcast once via ray.put; then a map-only per-doc share pass.
+    Counts are exact ints; the share is float-free half-up integer
+    rounding. Exact SQL mirror: "hapax_share"."""
+    import ray
+
+    from ..functions.textstats import norm_words
+    from ..stages.agg import grouped_count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        w = []
+        for t in batch["text"].to_pylist():
+            w.extend(norm_words(t))
+        return pa.table({"w": pa.array(w, pa.string())})
+
+    uni = grouped_count(
+        _docs(sf_dir).map_batches(explode, batch_format="pyarrow"),
+        ["w"], combine="driver")
+    hapax = {w for w, n in zip(uni["w"].to_pylist(),
+                               uni["n"].to_pylist()) if n == 1}
+    bc = ray.put(hapax)
+
+    def share(b: pa.Table) -> pa.Table:
+        hx = ray.get(bc)
+        ids, nw, nh, sh = [], [], [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            ws = norm_words(t)
+            if not ws:
+                continue
+            h = sum(1 for w in ws if w in hx)
+            ids.append(d)
+            nw.append(len(ws))
+            nh.append(h)
+            sh.append((h * 2_000_000 + len(ws)) // (2 * len(ws)))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(nw, pa.int64()),
+            "n_hapax": pa.array(nh, pa.int64()),
+            "share_micro": pa.array(sh, pa.int64()),
+        })
+
+    return _docs(sf_dir).map_batches(share, batch_format="pyarrow")
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-word estimate — 64 int registers per
     worker, associative max-merge, exact-integer estimator floats
@@ -2077,6 +2129,7 @@ QUERIES = {
     "autocorr_daily": q_autocorr_daily,
     "seasonal_error": q_seasonal_error,
     "bigram_pmi": q_bigram_pmi,
+    "hapax_share": q_hapax_share,
 }
 
 

@@ -1957,6 +1957,21 @@ SELECT g.w1, g.w2, g.n,
 FROM g JOIN uc a ON a.wo = g.w1 JOIN uc bb ON bb.wo = g.w2, nn, mm
 WHERE g.n >= 20"""
 
+    # per-doc share of corpus hapax legomena, half-up micro — mirrors
+    # corpus.q_hapax_share
+    q["hapax_share"] = _W + """,
+u AS (SELECT doc_id, unnest(words) AS wo FROM w),
+uc AS (SELECT wo, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+d AS (SELECT u.doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(CASE WHEN uc.c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM u JOIN uc USING (wo) GROUP BY 1)
+SELECT doc_id, n_words, n_hapax,
+       CAST((n_hapax * 2000000 + n_words) // (2 * n_words) AS BIGINT)
+         AS share_micro
+FROM d"""
+
     # edit-distance near-dup pairs: the SAME MinHash band candidates
     # as dedup_minhash (blocking is part of the definition), verified
     # by levenshtein over the normalized text; dist <= floor(0.2 *

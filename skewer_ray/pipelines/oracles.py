@@ -658,4 +658,23 @@ SELECT f AS from_tool, t AS predicted, tot AS n_total, n AS n_correct,
        CAST((n * 2000000 + tot) // (2 * tot) AS BIGINT) AS acc_micro
 FROM p WHERE rk = 1 ORDER BY 1"""
 
+    # assistant/user verbosity ratio per conv, half-up micro, convs
+    # with both roles and user_chars > 0 — mirrors
+    # queries.q_response_ratio
+    q["response_ratio"] = f"""
+WITH t AS (SELECT conv_id, role, CAST(length(text) AS BIGINT) AS ch
+           FROM read_parquet('{_tpath(sf_name)}')
+           WHERE role IN ('user', 'assistant')),
+g AS (SELECT conv_id,
+             CAST(sum(CASE WHEN role = 'user' THEN ch ELSE 0 END)
+                  AS BIGINT) AS user_chars,
+             CAST(sum(CASE WHEN role = 'assistant' THEN ch ELSE 0 END)
+                  AS BIGINT) AS asst_chars,
+             count(DISTINCT role) AS nr
+      FROM t GROUP BY 1)
+SELECT conv_id, user_chars, asst_chars,
+       CAST((asst_chars * 2000000 + user_chars)
+            // (2 * user_chars) AS BIGINT) AS ratio_micro
+FROM g WHERE nr = 2 AND user_chars > 0"""
+
     return q

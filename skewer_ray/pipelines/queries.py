@@ -1311,3 +1311,60 @@ def q_tool_next_accuracy(sf_dir: str):
         "n_correct": pa.array(cors, pa.int64()),
         "acc_micro": pa.array(accs, pa.int64()),
     })
+
+
+def q_response_ratio(sf_dir: str):
+    """Assistant-to-user verbosity ratio per conversation: total
+    assistant chars over total user chars (half-up micro units) — the
+    imbalance screen a transcript-curation pass runs before packing.
+    Convs lacking either role are omitted (undefined ratio). Output:
+    (conv_id, user_chars, asst_chars, ratio_micro).
+
+    Scale: map-side per-(conv, role) char-sum partials, ONE conv-keyed
+    bucket exchange folding ≤2 cells per conversation. Exact SQL
+    mirror: "response_ratio"."""
+    from ..stages.buckets import grouped_by_bucket
+    ds = read_transcripts(sf_dir)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch["role"],
+                     value_set=pa.array(["user", "assistant"]))
+        t = batch.filter(m)
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "role": t["role"],
+            "ch": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        }).group_by(["conv_id", "role"]).aggregate([("ch", "sum")])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "conv_id": tbl["conv_id"].to_pylist(),
+            "role": tbl["role"].to_pylist(),
+            "ch": tbl["ch_sum"].to_numpy(zero_copy_only=False),
+        })
+        p = df.pivot_table(index="conv_id", columns="role",
+                           values="ch", aggfunc="sum")
+        if "user" not in p or "assistant" not in p:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "user_chars": pa.array([], pa.int64()),
+                "asst_chars": pa.array([], pa.int64()),
+                "ratio_micro": pa.array([], pa.int64()),
+            })
+        p = p.dropna(subset=["user", "assistant"])
+        p = p[p["user"] > 0]
+        u = p["user"].to_numpy(np.int64)
+        a = p["assistant"].to_numpy(np.int64)
+        ratio = (a * 2_000_000 + u) // (2 * u)
+        return pa.table({
+            "conv_id": pa.array(p.index.tolist(), pa.string()),
+            "user_chars": pa.array(u, pa.int64()),
+            "asst_chars": pa.array(a, pa.int64()),
+            "ratio_micro": pa.array(ratio, pa.int64()),
+        })
+
+    proj = ds.map_batches(
+        lambda b: b.select(["conv_id", "role", "text"]),
+        batch_format="pyarrow").map_batches(pre, batch_format="pyarrow")
+    return grouped_by_bucket(proj, per_bucket, coalesce=False)

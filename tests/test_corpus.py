@@ -1082,3 +1082,49 @@ def test_tool_next_accuracy_hand_props(ray_session):
         assert 0 < r["n_correct"] <= r["n_total"]
         assert r["acc_micro"] == (r["n_correct"] * 2_000_000
                                   + r["n_total"]) // (2 * r["n_total"])
+
+
+def test_hapax_share_vs_counter(ray_session):
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from skewer_ray.functions.textstats import norm_words
+    from skewer_ray.pipelines.corpus import q_hapax_share
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    un = Counter()
+    for x in t["text"].to_pylist():
+        un.update(norm_words(x))
+    hapax = {w for w, n in un.items() if n == 1}
+    got = {r["doc_id"]: r for r in q_hapax_share(SF).take_all()}
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        ws = norm_words(x)
+        if not ws:
+            assert d not in got
+            continue
+        h = sum(1 for w in ws if w in hapax)
+        r = got[d]
+        assert (r["n_words"], r["n_hapax"]) == (len(ws), h)
+        assert r["share_micro"] == (h * 2_000_000 + len(ws)) \
+            // (2 * len(ws))
+
+
+def test_response_ratio_hand_case(ray_session):
+    import pyarrow.parquet as pq
+    from skewer_ray.gen import ensure_transcripts
+    from skewer_ray.pipelines.queries import q_response_ratio
+    path = ensure_transcripts(SF)
+    df = pq.ParquetDataset(path).read(
+        columns=["conv_id", "role", "text"]).to_pandas()
+    df = df[df["role"].isin(["user", "assistant"])]
+    df["ch"] = df["text"].str.len()
+    p = df.pivot_table(index="conv_id", columns="role", values="ch",
+                       aggfunc="sum").dropna()
+    p = p[p["user"] > 0]
+    got = {r["conv_id"]: r for r in q_response_ratio(SF).take_all()}
+    assert set(got) == set(p.index)
+    for c, row in p.iterrows():
+        u, a = int(row["user"]), int(row["assistant"])
+        r = got[c]
+        assert (r["user_chars"], r["asst_chars"]) == (u, a)
+        assert r["ratio_micro"] == (a * 2_000_000 + u) // (2 * u)
