@@ -1144,3 +1144,85 @@ def seasonal_error(events_ds, lag_days: int = 7):
         "n_pairs": pa.array(nps, pa.int64()),
         "mae_micro": pa.array(maes, pa.int64()),
     })
+
+
+def fano_factor(events_ds):
+    """Burstiness per event type: Fano factor (population variance /
+    mean) of the daily count series — the over-dispersion flag a
+    telemetry monitor uses to tell Poisson-like streams from bursty
+    ones. Moments are exact int64 (S, Q, n) from the SAME bounded
+    (type, day) grid as autocorr_daily; the final ratio is one shared
+    IEEE expression with the SQL mirror "fano_factor". Output:
+    (event_type, n_days, fano6)."""
+    acc = _daily_type_counts(events_ds)
+    by_type: dict[str, dict[int, int]] = {}
+    for (et, d), n in acc.items():
+        by_type.setdefault(et, {})[d] = n
+    ets, nds, fs = [], [], []
+    for et in sorted(by_type):
+        xs = np.array(list(by_type[et].values()), dtype=np.int64)
+        n = len(xs)
+        S = int(xs.sum())
+        Q = int((xs * xs).sum())
+        fano = (float(Q) - float(S) * S / n) / S
+        ets.append(et)
+        nds.append(n)
+        fs.append(float(np.round(fano, 6)))
+    return pa.table({
+        "event_type": pa.array(ets, pa.string()),
+        "n_days": pa.array(nds, pa.int64()),
+        "fano6": pa.array(fs, pa.float64()),
+    })
+
+
+def first_event_counts(events_ds):
+    """User-acquisition entry points: for every user, the type of their
+    FIRST event (order by ts, ties by event_id), counted per type —
+    the top of every onboarding funnel. Output: (event_type, n).
+
+    Scale: map-side per-(block, user) argmin partials collapse the
+    exchange to ≤1 row per user per block; ONE user-bucket exchange
+    picks the global argmin; the final per-type count is a bounded
+    fold. Exact SQL mirror: "first_event_counts"."""
+    from ..stages.buckets import grouped_by_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": pc.cast(batch["user_id"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "ts": pc.cast(batch["ts"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "event_id": pc.cast(batch["event_id"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"].to_pylist(),
+        })
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="stable")
+        df = df.drop_duplicates("user_id", keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = tbl.to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="stable")
+        df = df.drop_duplicates("user_id", keep="first")
+        c = df.groupby("event_type").size()
+        return pa.table({
+            "event_type": pa.array(c.index.tolist(), pa.string()),
+            "n": pa.array(c.to_numpy(np.int64)),
+        })
+
+    cells = grouped_by_bucket(
+        events_ds.map_batches(pre, batch_format="pyarrow"),
+        per_bucket, key="user_id", coalesce=False)
+    acc: dict[str, int] = {}
+    for b in cells.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            acc[r["event_type"]] = acc.get(r["event_type"], 0) + r["n"]
+    ks = sorted(acc)
+    return pa.table({
+        "event_type": pa.array(ks, pa.string()),
+        "n": pa.array([acc[k] for k in ks], pa.int64()),
+    })

@@ -1611,6 +1611,22 @@ def q_hapax_share(sf_dir: str):
     return _docs(sf_dir).map_batches(share, batch_format="pyarrow")
 
 
+
+def q_fano_factor(sf_dir: str):
+    """Daily-count burstiness (Fano factor) per event type
+    (functions/windows.fano_factor)."""
+    from ..functions.windows import fano_factor
+    return fano_factor(_events(sf_dir, ["ts", "event_type"]))
+
+
+def q_first_event_counts(sf_dir: str):
+    """First-event type per user, counted per type
+    (functions/windows.first_event_counts)."""
+    from ..functions.windows import first_event_counts
+    return first_event_counts(
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-word estimate — 64 int registers per
     worker, associative max-merge, exact-integer estimator floats
@@ -2130,6 +2146,8 @@ QUERIES = {
     "seasonal_error": q_seasonal_error,
     "bigram_pmi": q_bigram_pmi,
     "hapax_share": q_hapax_share,
+    "fano_factor": q_fano_factor,
+    "first_event_counts": q_first_event_counts,
 }
 
 

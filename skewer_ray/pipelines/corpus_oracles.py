@@ -1972,6 +1972,33 @@ SELECT doc_id, n_words, n_hapax,
          AS share_micro
 FROM d"""
 
+    # Fano factor of daily counts per type, exact int64 moments, one
+    # shared IEEE ratio — mirrors windows.fano_factor
+    q["fano_factor"] = """
+WITH t AS (SELECT event_type AS et,
+                  (epoch_us(ts) // 86400000000) * 86400000000 AS d
+           FROM events),
+x AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x
+      FROM t GROUP BY 1, 2),
+mo AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS s,
+              CAST(sum(x * x) AS BIGINT) AS qq
+       FROM x GROUP BY 1)
+SELECT et AS event_type, n AS n_days,
+       round((CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / s, 6)
+         AS fano6
+FROM mo ORDER BY 1"""
+
+    # first event type per user (ts, then event_id), counted per type
+    # — mirrors windows.first_event_counts
+    q["first_event_counts"] = """
+WITH r AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1"""
+
     # edit-distance near-dup pairs: the SAME MinHash band candidates
     # as dedup_minhash (blocking is part of the definition), verified
     # by levenshtein over the normalized text; dist <= floor(0.2 *

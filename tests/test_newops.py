@@ -1200,3 +1200,34 @@ def test_seasonal_error_hand_case(ray_session):
     got = seasonal_error(rd.from_items(rows)).to_pylist()
     assert got == [{"event_type": "a", "n_pairs": 2,
                     "mae_micro": 3_000_000}]
+
+
+# ---------- fano factor / first event ----------
+
+def test_fano_factor_hand_case(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import fano_factor
+    D = 86_400_000_000
+    # counts [2, 4]: mean 3, pop var 1 → fano 1/3
+    rows = [{"ts": d * D + i, "event_type": "a"}
+            for d, c in ((0, 2), (1, 4)) for i in range(c)]
+    got = fano_factor(rd.from_items(rows)).to_pylist()
+    S, Q, n = 6, 20, 2
+    want = float(np.round((float(Q) - float(S) * S / n) / S, 6))
+    assert got == [{"event_type": "a", "n_days": 2, "fano6": want}]
+
+
+def test_first_event_counts_ties(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import first_event_counts
+    rows = [
+        # user 1: tie on ts → event_id 1 wins (type 'b')
+        {"event_id": 2, "ts": 10, "user_id": 1, "event_type": "a"},
+        {"event_id": 1, "ts": 10, "user_id": 1, "event_type": "b"},
+        # user 2: earliest ts wins
+        {"event_id": 9, "ts": 5, "user_id": 2, "event_type": "a"},
+        {"event_id": 3, "ts": 7, "user_id": 2, "event_type": "c"},
+    ]
+    got = {r["event_type"]: r["n"]
+           for r in first_event_counts(rd.from_items(rows)).to_pylist()}
+    assert got == {"a": 1, "b": 1}
