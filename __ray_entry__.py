@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_next_accuracy": q.q_tool_next_accuracy,
         # assistant/user verbosity ratio per conversation
         "response_ratio": q.q_response_ratio,
+        # SFT prompt/response pair extraction (user→assistant turns)
+        "sft_pairs": q.q_sft_pairs,
         # context-window truncation (suffix token budget per conv)
         "trim_context": q.q_trim_context,
         # per-role-transition response-time stats (LAG(ts) OVER shape)

@@ -1226,3 +1226,45 @@ def first_event_counts(events_ds):
         "event_type": pa.array(ks, pa.string()),
         "n": pa.array([acc[k] for k in ks], pa.int64()),
     })
+
+
+def dod_change(events_ds):
+    """Day-over-day change monitor: per (type, day) the count, the
+    previous OBSERVED day's count, and the relative change in half-up
+    micro units ((x − prev)·10⁶ / prev, floor-halved exactly) — the
+    delta feed an alerting dashboard consumes. First observed day per
+    type is omitted (no baseline). Output:
+    (event_type, day, x, prev, change_micro).
+
+    Scale: the bounded (type, day) grid of _daily_type_counts; the
+    adjacency fold touches only grid cells. Exact SQL mirror:
+    "dod_change"."""
+    acc = _daily_type_counts(events_ds)
+    by_type: dict[str, dict[int, int]] = {}
+    for (et, d), n in acc.items():
+        by_type.setdefault(et, {})[d] = n
+    ets, days, xs, prevs, chs = [], [], [], [], []
+    for et in sorted(by_type):
+        g = by_type[et]
+        ds_sorted = sorted(g)
+        for p, d in zip(ds_sorted[:-1], ds_sorted[1:]):
+            x, prev = g[d], g[p]
+            diff = x - prev
+            # half-away-from-zero on the magnitude: all-nonnegative
+            # operands make Python floor ≡ DuckDB truncating // (the
+            # two differ on negatives)
+            ch = (abs(diff) * 2_000_000 + prev) // (2 * prev)
+            if diff < 0:
+                ch = -ch
+            ets.append(et)
+            days.append(d)
+            xs.append(x)
+            prevs.append(prev)
+            chs.append(ch)
+    return pa.table({
+        "event_type": pa.array(ets, pa.string()),
+        "day": pa.array(days, pa.int64()).cast(pa.timestamp("us")),
+        "x": pa.array(xs, pa.int64()),
+        "prev": pa.array(prevs, pa.int64()),
+        "change_micro": pa.array(chs, pa.int64()),
+    })

@@ -1627,6 +1627,14 @@ def q_first_event_counts(sf_dir: str):
         _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
 
 
+
+def q_dod_change(sf_dir: str):
+    """Day-over-day daily-count change per event type
+    (functions/windows.dod_change)."""
+    from ..functions.windows import dod_change
+    return dod_change(_events(sf_dir, ["ts", "event_type"]))
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-word estimate — 64 int registers per
     worker, associative max-merge, exact-integer estimator floats
@@ -2148,6 +2156,7 @@ QUERIES = {
     "hapax_share": q_hapax_share,
     "fano_factor": q_fano_factor,
     "first_event_counts": q_first_event_counts,
+    "dod_change": q_dod_change,
 }
 
 

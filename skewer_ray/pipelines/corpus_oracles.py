@@ -1999,6 +1999,26 @@ WITH r AS (SELECT user_id, event_type,
 SELECT event_type, CAST(count(*) AS BIGINT) AS n
 FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1"""
 
+    # day-over-day relative change per type (previous OBSERVED day),
+    # half-away-from-zero on the magnitude (nonnegative operands only,
+    # so truncating // ≡ floor) — mirrors windows.dod_change
+    q["dod_change"] = """
+WITH t AS (SELECT event_type AS et,
+                  (epoch_us(ts) // 86400000000) * 86400000000 AS d
+           FROM events),
+x AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x
+      FROM t GROUP BY 1, 2),
+adj AS (SELECT et, d, x,
+               lag(x) OVER (PARTITION BY et ORDER BY d) AS prev
+        FROM x)
+SELECT et AS event_type, make_timestamp(d) AS day, x,
+       CAST(prev AS BIGINT) AS prev,
+       CAST(CASE WHEN x >= prev
+                 THEN ((x - prev) * 2000000 + prev) // (2 * prev)
+                 ELSE -(((prev - x) * 2000000 + prev) // (2 * prev))
+            END AS BIGINT) AS change_micro
+FROM adj WHERE prev IS NOT NULL ORDER BY 1, 2"""
+
     # edit-distance near-dup pairs: the SAME MinHash band candidates
     # as dedup_minhash (blocking is part of the definition), verified
     # by levenshtein over the normalized text; dist <= floor(0.2 *

@@ -677,4 +677,17 @@ SELECT conv_id, user_chars, asst_chars,
             // (2 * user_chars) AS BIGINT) AS ratio_micro
 FROM g WHERE nr = 2 AND user_chars > 0"""
 
+    # user→assistant adjacent-turn SFT pairs — mirrors
+    # queries.q_sft_pairs
+    q["sft_pairs"] = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text,
+         lead(role) OVER (PARTITION BY conv_id
+                          ORDER BY turn_idx) AS nrole,
+         lead(text) OVER (PARTITION BY conv_id
+                          ORDER BY turn_idx) AS ntext
+  FROM read_parquet('{_tpath(sf_name)}'))
+SELECT conv_id, turn_idx, text AS prompt, ntext AS response
+FROM t WHERE role = 'user' AND nrole = 'assistant'"""
+
     return q

@@ -1368,3 +1368,43 @@ def q_response_ratio(sf_dir: str):
         lambda b: b.select(["conv_id", "role", "text"]),
         batch_format="pyarrow").map_batches(pre, batch_format="pyarrow")
     return grouped_by_bucket(proj, per_bucket, coalesce=False)
+
+
+def q_sft_pairs(sf_dir: str):
+    """SFT training-pair extraction: every (user turn → immediately
+    following assistant turn) within a conversation becomes a
+    (prompt, response) example — THE conversion step from raw agent
+    transcripts to supervised fine-tuning data. Adjacency is sequence
+    order (next row by turn_idx), matching LEAD() OVER (PARTITION BY
+    conv ORDER BY turn). Output: (conv_id, turn_idx, prompt, response).
+
+    Scale: ONE conv-keyed bucket exchange of the 4-column projection;
+    in-bucket adjacency is a vectorized boundary-masked shift, no
+    per-row Python. Exact SQL mirror: "sft_pairs"."""
+    from ..stages.buckets import grouped_by_bucket
+    ds = read_transcripts(sf_dir)
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        conv = np.asarray(batch["conv_id"].to_pylist(), dtype=object)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        roles = np.asarray(batch["role"].to_pylist(), dtype=object)
+        texts = np.asarray(batch["text"].to_pylist(), dtype=object)
+        order = np.lexsort((turn, conv))
+        conv_s = conv[order]
+        turn_s = turn[order]
+        roles_s = roles[order]
+        texts_s = texts[order]
+        same = conv_s[1:] == conv_s[:-1]
+        m = same & (roles_s[:-1] == "user") \
+            & (roles_s[1:] == "assistant")
+        return pa.table({
+            "conv_id": pa.array(conv_s[:-1][m].tolist(), pa.string()),
+            "turn_idx": pa.array(turn_s[:-1][m], pa.int32()),
+            "prompt": pa.array(texts_s[:-1][m].tolist(), pa.string()),
+            "response": pa.array(texts_s[1:][m].tolist(), pa.string()),
+        })
+
+    proj = ds.map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "role", "text"]),
+        batch_format="pyarrow")
+    return grouped_by_bucket(proj, per_bucket)

@@ -1128,3 +1128,21 @@ def test_response_ratio_hand_case(ray_session):
         r = got[c]
         assert (r["user_chars"], r["asst_chars"]) == (u, a)
         assert r["ratio_micro"] == (a * 2_000_000 + u) // (2 * u)
+
+
+def test_sft_pairs_vs_pandas(ray_session):
+    import pyarrow.parquet as pq
+    from skewer_ray.gen import ensure_transcripts
+    from skewer_ray.pipelines.queries import q_sft_pairs
+    path = ensure_transcripts(SF)
+    df = pq.ParquetDataset(path).read(
+        columns=["conv_id", "turn_idx", "role", "text"]).to_pandas()
+    df = df.sort_values(["conv_id", "turn_idx"])
+    nrole = df.groupby("conv_id")["role"].shift(-1)
+    ntext = df.groupby("conv_id")["text"].shift(-1)
+    m = (df["role"] == "user") & (nrole == "assistant")
+    want = {(c, int(t)): (p, r) for c, t, p, r in zip(
+        df["conv_id"][m], df["turn_idx"][m], df["text"][m], ntext[m])}
+    got = {(r["conv_id"], r["turn_idx"]): (r["prompt"], r["response"])
+           for r in q_sft_pairs(SF).take_all()}
+    assert got == want and got

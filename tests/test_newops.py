@@ -1231,3 +1231,17 @@ def test_first_event_counts_ties(ray_session):
     got = {r["event_type"]: r["n"]
            for r in first_event_counts(rd.from_items(rows)).to_pylist()}
     assert got == {"a": 1, "b": 1}
+
+
+def test_dod_change_negative_rounding(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import dod_change
+    D = 86_400_000_000
+    # counts [68, 47]: diff -21/68 → magnitude half-up 308824, negated
+    rows = [{"ts": d * D + i, "event_type": "a"}
+            for d, c in ((0, 68), (1, 47)) for i in range(c)]
+    got = dod_change(rd.from_items(rows)).to_pylist()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["x"], r["prev"]) == (47, 68)
+    assert r["change_micro"] == -((21 * 2_000_000 + 68) // 136)
