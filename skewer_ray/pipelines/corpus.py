@@ -1635,6 +1635,81 @@ def q_dod_change(sf_dir: str):
     return dod_change(_events(sf_dir, ["ts", "event_type"]))
 
 
+
+def q_corr_words_chars(sf_dir: str):
+    """Pearson correlation between word count and char count per
+    language — the redundancy screen a feature-selection pass runs
+    before training a quality model. The five moments (Σx, Σy, Σxy,
+    Σx², Σy²) are exact int64 map-side partials (order-independent;
+    int64-safe to ~10¹² docs at these magnitudes) grouped by lang; the
+    final r is ONE shared IEEE expression, rounded to 6 dp. Exact SQL
+    mirror: "corr_words_chars". Output: (lang, n, r6)."""
+    from ..functions.textstats import norm_words
+
+    def moments(b: pa.Table) -> pa.Table:
+        langs = b["lang"].to_pylist()
+        xs, ys = [], []
+        for t in b["text"].to_pylist():
+            xs.append(len(norm_words(t)))
+            ys.append(len(t))
+        x = np.array(xs, np.int64)
+        y = np.array(ys, np.int64)
+        t = pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "n": pa.array(np.ones(len(b), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+            "syy": pa.array(y * y),
+        })
+        return t.group_by(["lang"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")])
+
+    acc: dict[str, list[int]] = {}
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    for b in ds.map_batches(
+            moments,
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["lang"], [0, 0, 0, 0, 0, 0])
+            for i, k in enumerate(("n_sum", "sx_sum", "sy_sum",
+                                   "sxy_sum", "sxx_sum", "syy_sum")):
+                a[i] += r[k]
+    langs, ns, rs = [], [], []
+    for lang in sorted(acc):
+        n, sx, sy, sxy, sxx, syy = acc[lang]
+        den = (float(n) * sxx - float(sx) * sx)             * (float(n) * syy - float(sy) * sy)
+        if n < 2 or den <= 0.0:
+            continue
+        r = (float(n) * sxy - float(sx) * sy) / np.sqrt(den)
+        langs.append(lang)
+        ns.append(n)
+        rs.append(float(np.round(r, 6)))
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "r6": pa.array(rs, pa.float64()),
+    })
+
+
+def q_hourly_profile(sf_dir: str):
+    """Hour-of-day activity profile per event type — the periodicity
+    fingerprint behind capacity planning. Bounded (type, hour) grid,
+    map-side combine (functions-free: one grouped_count). Exact SQL
+    mirror: "hourly_profile". Output: (event_type, hour, n)."""
+    from ..stages.agg import grouped_count
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) % 24
+        return pa.table({"event_type": b["event_type"],
+                         "hour": pa.array(hour, pa.int64())})
+
+    return grouped_count(_events(sf_dir, ["ts", "event_type"]),
+                         ["event_type", "hour"], pre=pre)
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-word estimate — 64 int registers per
     worker, associative max-merge, exact-integer estimator floats
@@ -2157,6 +2232,8 @@ QUERIES = {
     "fano_factor": q_fano_factor,
     "first_event_counts": q_first_event_counts,
     "dod_change": q_dod_change,
+    "corr_words_chars": q_corr_words_chars,
+    "hourly_profile": q_hourly_profile,
 }
 
 

@@ -2019,6 +2019,38 @@ SELECT et AS event_type, make_timestamp(d) AS day, x,
             END AS BIGINT) AS change_micro
 FROM adj WHERE prev IS NOT NULL ORDER BY 1, 2"""
 
+    # Pearson corr(word count, char count) per lang from exact int64
+    # moments, one shared IEEE expression — mirrors
+    # corpus.q_corr_words_chars
+    q["corr_words_chars"] = _W + """,
+v AS (SELECT doc_id, len(words) AS x, length(w.text) AS y FROM w),
+mo AS (SELECT d.lang,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(v.x) AS BIGINT) AS sx,
+              CAST(sum(v.y) AS BIGINT) AS sy,
+              CAST(sum(v.x * v.y) AS BIGINT) AS sxy,
+              CAST(sum(v.x * v.x) AS BIGINT) AS sxx,
+              CAST(sum(v.y * v.y) AS BIGINT) AS syy
+       FROM v JOIN documents d USING (doc_id) GROUP BY 1)
+SELECT lang, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy
+                       - CAST(sy AS DOUBLE) * sy)), 6) AS r6
+FROM mo
+WHERE n >= 2
+  AND (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+ORDER BY 1"""
+
+    # hour-of-day activity grid per type — mirrors
+    # corpus.q_hourly_profile
+    q["hourly_profile"] = """
+SELECT event_type,
+       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
     # edit-distance near-dup pairs: the SAME MinHash band candidates
     # as dedup_minhash (blocking is part of the definition), verified
     # by levenshtein over the normalized text; dist <= floor(0.2 *

@@ -1146,3 +1146,45 @@ def test_sft_pairs_vs_pandas(ray_session):
     got = {(r["conv_id"], r["turn_idx"]): (r["prompt"], r["response"])
            for r in q_sft_pairs(SF).take_all()}
     assert got == want and got
+
+
+def test_corr_words_chars_vs_numpy(ray_session):
+    import pyarrow.parquet as pq
+    from skewer_ray.functions.textstats import norm_words
+    from skewer_ray.pipelines.corpus import q_corr_words_chars
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["lang", "text"]).to_pandas()
+    got = {r["lang"]: (r["n"], r["r6"])
+           for r in q_corr_words_chars(SF).to_pylist()}
+    for lang, g in t.groupby("lang"):
+        x = np.array([len(norm_words(s)) for s in g["text"]],
+                     np.int64)
+        y = np.array([len(s) for s in g["text"]], np.int64)
+        n = len(x)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        den = (float(n) * sxx - float(sx) * sx) \
+            * (float(n) * syy - float(sy) * sy)
+        want = float(np.round(
+            (float(n) * sxy - float(sx) * sy) / np.sqrt(den), 6))
+        assert got[lang] == (n, want)
+
+
+def test_hourly_profile_sums(ray_session):
+    import pyarrow.parquet as pq
+    from skewer_ray.pipelines.corpus import q_hourly_profile
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    got = q_hourly_profile(SF)
+    assert int(pa.Table.from_pandas(
+        got.to_pandas() if hasattr(got, "to_pandas") else got)
+        .column("n").combine_chunks().to_pandas().sum()) == len(ev)
+    rows = {(r["event_type"], r["hour"]): r["n"]
+            for r in (got.to_pylist() if hasattr(got, "to_pylist")
+                      else got.to_pandas().to_dict("records"))}
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    hours = (us // 3_600_000_000) % 24
+    sample = ev.assign(h=hours).groupby(["event_type", "h"]).size()
+    for (et, h), n in sample.items():
+        assert rows[(et, int(h))] == n
