@@ -1268,3 +1268,160 @@ def dod_change(events_ds):
         "prev": pa.array(prevs, pa.int64()),
         "change_micro": pa.array(chs, pa.int64()),
     })
+
+
+def dau_mau(events_ds):
+    """Engagement stickiness: per day the distinct active users (DAU),
+    per calendar month the distinct actives (MAU), and the per-day
+    DAU/MAU share in half-up micro units — the canonical product
+    health metric. Output: (day, dau, mau, stickiness_micro).
+
+    Scale: per-batch (day, user) dedupe partials collapse the exchange
+    before ONE hash groupby on the pair; per-day and per-month distinct
+    counts then fold from the deduped pairs (bounded day/month
+    domains on the driver). Months are calendar (UTC). Exact SQL
+    mirror: "dau_mau"."""
+    import datetime
+    D = 86_400_000_000
+
+    def pairs(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = (us // D) * D
+        uid = pc.cast(b["user_id"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        t = pa.table({"day": pa.array(day, pa.int64()),
+                      "user_id": pa.array(uid, pa.int64())})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    def month_of(day_us: int) -> int:
+        dt = datetime.datetime.fromtimestamp(
+            day_us / 1_000_000, tz=datetime.timezone.utc)
+        return dt.year * 100 + dt.month
+
+    # distinct (day, user) pairs stay DISTRIBUTED; the driver folds
+    # only bounded per-day / per-month count cells
+    dedup = events_ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["day", "user_id"]).count()
+
+    def day_cells(b: pa.Table) -> pa.Table:
+        t = pa.table({"day": b["day"],
+                      "n": pa.array(np.ones(len(b), np.int64))})
+        return t.group_by(["day"]).aggregate([("n", "sum")])
+
+    def mu_pairs(b: pa.Table) -> pa.Table:
+        months = [month_of(d) for d in b["day"].to_pylist()]
+        t = pa.table({"month": pa.array(months, pa.int64()),
+                      "user_id": b["user_id"]})
+        return t.group_by(["month", "user_id"]).aggregate([])
+
+    dau_by_day: dict[int, int] = {}
+    for b in dedup.map_batches(day_cells, batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            dau_by_day[r["day"]] = dau_by_day.get(r["day"], 0) \
+                + r["n_sum"]
+    mau_cells = dedup.map_batches(mu_pairs, batch_format="pyarrow") \
+        .groupby(["month", "user_id"]).count()
+
+    def month_cells(b: pa.Table) -> pa.Table:
+        t = pa.table({"month": b["month"],
+                      "n": pa.array(np.ones(len(b), np.int64))})
+        return t.group_by(["month"]).aggregate([("n", "sum")])
+
+    mau_by_month: dict[int, int] = {}
+    for b in mau_cells.map_batches(month_cells, batch_format="pyarrow") \
+                      .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            mau_by_month[r["month"]] = mau_by_month.get(r["month"], 0) \
+                + r["n_sum"]
+    days, daus, maus, st = [], [], [], []
+    for d in sorted(dau_by_day):
+        dau = dau_by_day[d]
+        mau = mau_by_month[month_of(d)]
+        days.append(d)
+        daus.append(dau)
+        maus.append(mau)
+        st.append((dau * 2_000_000 + mau) // (2 * mau))
+    return pa.table({
+        "day": pa.array(days, pa.int64()).cast(pa.timestamp("us")),
+        "dau": pa.array(daus, pa.int64()),
+        "mau": pa.array(maus, pa.int64()),
+        "stickiness_micro": pa.array(st, pa.int64()),
+    })
+
+
+def user_value_deciles(events_ds):
+    """Value-based user segmentation: decile users by lifetime value
+    (exact cents totals) using VALUE thresholds (quantile_disc at
+    p=0.1..0.9), then report each decile's population and total —
+    NTILE would tie-break by row order and diverge across engines, so
+    the decile is defined as the COUNT OF THRESHOLDS STRICTLY BELOW
+    the user's total (deterministic, tie-stable). Output:
+    (decile, n_users, sum_cents).
+
+    Scale: map-side (user, cents) sum partials, ONE user-bucket
+    exchange merged and MATERIALIZED; the threshold histogram folds
+    (distinct totals)-bounded cells; deciles assign in a second map
+    over the materialized totals with broadcast thresholds; the driver
+    folds ≤10 cells. Exact SQL mirror: "user_value_deciles"."""
+    import ray
+
+    from ..functions.curation import _hist_quantile
+    from ..stages.buckets import grouped_by_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(batch["value"], 100)),
+                             pa.int64()),
+        })
+        return t.group_by(["user_id"]).aggregate([("cents", "sum")])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": tbl["user_id"].to_numpy(zero_copy_only=False),
+            "c": tbl["cents_sum"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("user_id", sort=True)["c"].sum()
+        return pa.table({
+            "user_id": pa.array(g.index.to_numpy(np.int64)),
+            "total": pa.array(g.to_numpy(np.int64)),
+        })
+
+    totals = grouped_by_bucket(
+        events_ds.map_batches(pre, batch_format="pyarrow"),
+        per_bucket, key="user_id", coalesce=False).materialize()
+
+    hist: dict[int, int] = {}
+    for b in totals.iter_batches(batch_format="pyarrow"):
+        for v in b["total"].to_pylist():
+            hist[v] = hist.get(v, 0) + 1
+    thr = [_hist_quantile(hist, p / 10) for p in range(1, 10)]
+    bc = ray.put(np.array(thr, np.int64))
+
+    def cells(b: pa.Table) -> pa.Table:
+        t = ray.get(bc)
+        tot = b["total"].to_numpy(zero_copy_only=False)
+        dec = (tot[:, None] > t[None, :]).sum(axis=1).astype(np.int64)
+        tt = pa.table({
+            "decile": pa.array(dec),
+            "n_users": pa.array(np.ones(len(b), np.int64)),
+            "sum_cents": pa.array(tot, pa.int64()),
+        })
+        return tt.group_by(["decile"]).aggregate(
+            [("n_users", "sum"), ("sum_cents", "sum")])
+
+    acc: dict[int, list[int]] = {}
+    for b in totals.map_batches(cells, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["decile"], [0, 0])
+            a[0] += r["n_users_sum"]
+            a[1] += r["sum_cents_sum"]
+    ks = sorted(acc)
+    return pa.table({
+        "decile": pa.array(ks, pa.int64()),
+        "n_users": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "sum_cents": pa.array([acc[k][1] for k in ks], pa.int64()),
+    })

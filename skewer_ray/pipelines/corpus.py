@@ -1710,6 +1710,21 @@ def q_hourly_profile(sf_dir: str):
                          ["event_type", "hour"], pre=pre)
 
 
+
+def q_dau_mau(sf_dir: str):
+    """DAU/MAU stickiness per day, fully distributed distinct folds
+    (functions/windows.dau_mau)."""
+    from ..functions.windows import dau_mau
+    return dau_mau(_events(sf_dir, ["ts", "user_id"]))
+
+
+def q_user_value_deciles(sf_dir: str):
+    """Lifetime-value user deciles by deterministic value thresholds
+    (functions/windows.user_value_deciles)."""
+    from ..functions.windows import user_value_deciles
+    return user_value_deciles(_events(sf_dir, ["user_id", "value"]))
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-word estimate — 64 int registers per
     worker, associative max-merge, exact-integer estimator floats
@@ -2234,6 +2249,8 @@ QUERIES = {
     "dod_change": q_dod_change,
     "corr_words_chars": q_corr_words_chars,
     "hourly_profile": q_hourly_profile,
+    "dau_mau": q_dau_mau,
+    "user_value_deciles": q_user_value_deciles,
 }
 
 

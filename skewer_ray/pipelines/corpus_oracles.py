@@ -2051,6 +2051,62 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+    # DAU / calendar-month MAU / stickiness, half-up micro — mirrors
+    # windows.dau_mau
+    q["dau_mau"] = """
+WITH p AS (SELECT DISTINCT
+             (epoch_us(ts) // 86400000000) * 86400000000 AS d,
+             user_id
+           FROM events),
+dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM p GROUP BY 1),
+mp AS (SELECT DISTINCT
+         CAST(strftime(make_timestamp(d), '%Y') AS BIGINT) * 100
+           + CAST(strftime(make_timestamp(d), '%m') AS BIGINT) AS mo,
+         user_id
+       FROM p),
+mau AS (SELECT mo, CAST(count(*) AS BIGINT) AS mau FROM mp GROUP BY 1)
+SELECT make_timestamp(dau.d) AS day, dau.dau, mau.mau,
+       CAST((dau.dau * 2000000 + mau.mau) // (2 * mau.mau) AS BIGINT)
+         AS stickiness_micro
+FROM dau
+JOIN mau ON mau.mo =
+  CAST(strftime(make_timestamp(dau.d), '%Y') AS BIGINT) * 100
+  + CAST(strftime(make_timestamp(dau.d), '%m') AS BIGINT)
+ORDER BY 1"""
+
+    # lifetime-value deciles by deterministic quantile_disc thresholds
+    # (count of thresholds strictly below) — mirrors
+    # windows.user_value_deciles
+    q["user_value_deciles"] = """
+WITH ut AS (SELECT user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS total
+            FROM events GROUP BY 1),
+t AS (SELECT quantile_disc(total, 0.1) AS t1,
+             quantile_disc(total, 0.2) AS t2,
+             quantile_disc(total, 0.3) AS t3,
+             quantile_disc(total, 0.4) AS t4,
+             quantile_disc(total, 0.5) AS t5,
+             quantile_disc(total, 0.6) AS t6,
+             quantile_disc(total, 0.7) AS t7,
+             quantile_disc(total, 0.8) AS t8,
+             quantile_disc(total, 0.9) AS t9 FROM ut),
+d AS (SELECT total,
+             (CASE WHEN total > t.t1 THEN 1 ELSE 0 END
+              + CASE WHEN total > t.t2 THEN 1 ELSE 0 END
+              + CASE WHEN total > t.t3 THEN 1 ELSE 0 END
+              + CASE WHEN total > t.t4 THEN 1 ELSE 0 END
+              + CASE WHEN total > t.t5 THEN 1 ELSE 0 END
+              + CASE WHEN total > t.t6 THEN 1 ELSE 0 END
+              + CASE WHEN total > t.t7 THEN 1 ELSE 0 END
+              + CASE WHEN total > t.t8 THEN 1 ELSE 0 END
+              + CASE WHEN total > t.t9 THEN 1 ELSE 0 END) AS decile
+      FROM ut, t)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(total) AS BIGINT) AS sum_cents
+FROM d GROUP BY 1 ORDER BY 1"""
+
     # edit-distance near-dup pairs: the SAME MinHash band candidates
     # as dedup_minhash (blocking is part of the definition), verified
     # by levenshtein over the normalized text; dist <= floor(0.2 *

@@ -1245,3 +1245,41 @@ def test_dod_change_negative_rounding(ray_session):
     r = got[0]
     assert (r["x"], r["prev"]) == (47, 68)
     assert r["change_micro"] == -((21 * 2_000_000 + 68) // 136)
+
+
+# ---------- DAU/MAU, value deciles ----------
+
+def test_dau_mau_hand_case(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import dau_mau
+    D = 86_400_000_000
+    rows = [
+        # Jan-1970 month: day 0 users {1,2}, day 1 users {2} → MAU 2
+        {"ts": 0 * D, "user_id": 1}, {"ts": 0 * D + 5, "user_id": 1},
+        {"ts": 0 * D, "user_id": 2}, {"ts": 1 * D, "user_id": 2},
+        # Feb-1970: day 31 user {3} → MAU 1
+        {"ts": 31 * D, "user_id": 3},
+    ]
+    got = {int(r["day"].timestamp() * 1_000_000) // D:
+           (r["dau"], r["mau"], r["stickiness_micro"])
+           for r in dau_mau(rd.from_items(rows)).to_pylist()}
+    assert got == {0: (2, 2, 1_000_000), 1: (1, 2, 500_000),
+                   31: (1, 1, 1_000_000)}
+
+
+def test_user_value_deciles_conservation(ray_session):
+    import pyarrow.parquet as pq
+    from skewer_ray.functions.windows import user_value_deciles
+    import ray.data as rd
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["user_id", "value"]).to_pandas()
+    cents = (ev["value"] * 100).round().astype("int64")
+    totals = cents.groupby(ev["user_id"]).sum()
+    got = user_value_deciles(
+        rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                        columns=["user_id", "value"])).to_pylist()
+    assert sum(r["n_users"] for r in got) == totals.index.nunique()
+    assert sum(r["sum_cents"] for r in got) == int(totals.sum())
+    # deciles ordered, none above 9
+    ds_ = [r["decile"] for r in got]
+    assert ds_ == sorted(ds_) and ds_[-1] <= 9
