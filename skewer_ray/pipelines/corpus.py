@@ -1725,6 +1725,84 @@ def q_user_value_deciles(sf_dir: str):
     return user_value_deciles(_events(sf_dir, ["user_id", "value"]))
 
 
+
+def q_langid_confusion(sf_dir: str):
+    """Confusion matrix of the stopword language-ID heuristic against
+    the corpus lang label — the eval every classifier-in-the-pipeline
+    needs. Reuses langid_batch verbatim for the prediction; per-batch
+    (lang, lang_pred) count partials combine map-side over the bounded
+    (langs+1)² grid. Exact SQL mirror: "langid_confusion". Output:
+    (lang, lang_pred, n)."""
+    from ..functions.textstats import langid_batch
+    from ..stages.agg import grouped_count
+
+    def pre(b: pa.Table) -> pa.Table:
+        pred = langid_batch(b)
+        return pa.table({"lang": b["lang"],
+                         "lang_pred": pred["lang_pred"]})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    return grouped_count(ds, ["lang", "lang_pred"], pre=pre)
+
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: distinct-word count after each
+    doc_id decile checkpoint (first-occurrence doc per word) — the
+    lexical-dynamics curve a corpus grower tracks to spot saturation.
+    Output: (k, doc_max, vocab) for k = 1..10, doc_max = max_doc·k/10.
+
+    Scale: per-batch (word, min doc_id) partials combine map-side; the
+    driver folds only the vocabulary (the hapax/bigram broadcast
+    assumption). Checkpoints derive from max(doc_id) — no doc-scale
+    histogram anywhere. Exact SQL mirror: "vocab_growth"."""
+    from ..functions.textstats import norm_words
+
+    def firsts(b: pa.Table) -> pa.Table:
+        ws, ds_ = [], []
+        for d, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            for w in set(norm_words(t)):
+                ws.append(w)
+                ds_.append(d)
+        t2 = pa.table({"wo": pa.array(ws, pa.string()),
+                       "fd": pa.array(ds_, pa.int64())})
+        return t2.group_by(["wo"]).aggregate([("fd", "min")])
+
+    first: dict[str, int] = {}
+    mx = 0
+    for b in _docs(sf_dir).map_batches(firsts, batch_format="pyarrow")                           .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            w, fd = r["wo"], r["fd_min"]
+            if w not in first or fd < first[w]:
+                first[w] = fd
+            if fd > mx:
+                mx = fd
+    # mx from word firsts misses trailing wordless docs; take the true
+    # max doc_id with a tiny aggregate
+    import pyarrow.parquet  # noqa: F401  (cheap metadata path below)
+    mx = 0
+    for b in rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])                .map_batches(lambda t: pa.table({
+                   "m": pa.array([int(pc.max(t["doc_id"]).as_py())],
+                                 pa.int64())}),
+                   batch_format="pyarrow")                .iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            mx = max(mx, r["m"])
+    fds = np.array(sorted(first.values()), np.int64)
+    ks, dms, vs = [], [], []
+    for k in range(1, 11):
+        dm = (mx * k) // 10
+        ks.append(k)
+        dms.append(dm)
+        vs.append(int(np.searchsorted(fds, dm, side="right")))
+    return pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "doc_max": pa.array(dms, pa.int64()),
+        "vocab": pa.array(vs, pa.int64()),
+    })
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-word estimate — 64 int registers per
     worker, associative max-merge, exact-integer estimator floats
@@ -2251,6 +2329,8 @@ QUERIES = {
     "hourly_profile": q_hourly_profile,
     "dau_mau": q_dau_mau,
     "user_value_deciles": q_user_value_deciles,
+    "langid_confusion": q_langid_confusion,
+    "vocab_growth": q_vocab_growth,
 }
 
 

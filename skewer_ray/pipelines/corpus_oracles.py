@@ -2201,6 +2201,34 @@ terms AS (SELECT d,
 SELECT make_timestamp(d) AS day, CAST(sum(tm) AS BIGINT) AS psi_micro
 FROM terms GROUP BY 1"""
 
+    # langid heuristic confusion matrix vs the lang label — mirrors
+    # corpus.q_langid_confusion (reuses the text_langid prediction SQL)
+    q["langid_confusion"] = _W + f""",
+h AS (SELECT doc_id, {', '.join(hit_cols)} FROM w),
+m AS (SELECT *, {mx} AS mx FROM h),
+pred AS (SELECT doc_id,
+  CASE WHEN mx = 0 THEN 'und'
+       WHEN {nlead} > 1 THEN 'und'
+       {pick}
+  END AS lang_pred
+FROM m)
+SELECT d.lang, pred.lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM pred JOIN documents d USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+    # Heaps-law vocabulary growth at doc_id decile checkpoints —
+    # mirrors corpus.q_vocab_growth
+    q["vocab_growth"] = _W + """,
+u AS (SELECT doc_id, unnest(words) AS wo FROM w),
+f AS (SELECT wo, CAST(min(doc_id) AS BIGINT) AS fd FROM u GROUP BY 1),
+mx2 AS (SELECT CAST(max(doc_id) AS BIGINT) AS m FROM documents),
+t AS (SELECT unnest(range(1, 11)) AS k)
+SELECT CAST(t.k AS BIGINT) AS k,
+       CAST((mx2.m * t.k) // 10 AS BIGINT) AS doc_max,
+       CAST(sum(CASE WHEN f.fd <= (mx2.m * t.k) // 10
+                THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+FROM f, mx2, t GROUP BY 1, 2 ORDER BY 1"""
+
     return q
 
 

@@ -1188,3 +1188,45 @@ def test_hourly_profile_sums(ray_session):
     sample = ev.assign(h=hours).groupby(["event_type", "h"]).size()
     for (et, h), n in sample.items():
         assert rows[(et, int(h))] == n
+
+
+def test_langid_confusion_consistency(ray_session):
+    """Confusion matrix totals match the corpus and its diagonal
+    matches per-doc predictions."""
+    import pyarrow.parquet as pq
+    from skewer_ray.functions.textstats import langid_batch
+    from skewer_ray.pipelines.corpus import q_langid_confusion
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "lang", "text"])
+    pred = langid_batch(t)
+    want: dict[tuple, int] = {}
+    for l, p in zip(t["lang"].to_pylist(),
+                    pred["lang_pred"].to_pylist()):
+        want[(l, p)] = want.get((l, p), 0) + 1
+    got = {(r["lang"], r["lang_pred"]): r["n"]
+           for r in q_langid_confusion(SF).to_pylist()}
+    assert got == want
+
+
+def test_vocab_growth_monotone_and_total(ray_session):
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from skewer_ray.functions.textstats import norm_words
+    from skewer_ray.pipelines.corpus import q_vocab_growth
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    first: dict[str, int] = {}
+    for d, x in sorted(zip(t["doc_id"].to_pylist(),
+                           t["text"].to_pylist())):
+        for w in norm_words(x):
+            first.setdefault(w, d)
+    rows = q_vocab_growth(SF).to_pylist()
+    vs = [r["vocab"] for r in rows]
+    assert vs == sorted(vs) and len(rows) == 10
+    assert vs[-1] == len(first)  # k=10 covers the whole corpus
+    mxd = max(t["doc_id"].to_pylist())
+    for r in rows:
+        assert r["doc_max"] == (mxd * r["k"]) // 10
+        assert r["vocab"] == sum(1 for fd in first.values()
+                                 if fd <= r["doc_max"])
