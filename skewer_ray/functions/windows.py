@@ -1425,3 +1425,48 @@ def user_value_deciles(events_ds):
         "n_users": pa.array([acc[k][0] for k in ks], pa.int64()),
         "sum_cents": pa.array([acc[k][1] for k in ks], pa.int64()),
     })
+
+
+def benford_digits(events_ds):
+    """First-significant-digit distribution (Benford's-law screen) of
+    the integer part of |value| over events with |value| >= 1 — the
+    classic synthetic-data / fraud telemetry check an ingest monitor
+    runs over numeric columns. Counts are exact int64 from a map-only
+    pass (the exchange is <= 9 cells per block); the observed share and
+    the Benford expectation log10(1 + 1/d) are each ONE shared IEEE
+    expression with the SQL mirror "benford_digits". Output:
+    (digit, n, share6, benford6), digits with zero hits omitted."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.abs(pc.cast(batch["value"], pa.float64())
+                   .to_numpy(zero_copy_only=False))
+        x = np.floor(v[v >= 1.0]).astype(np.int64)
+        # strip decades until one digit remains (<= 19 rounds for int64)
+        while x.size and x.max() >= 10:
+            big = x >= 10
+            x[big] //= 10
+        counts = np.bincount(x, minlength=10)[1:10]
+        return pa.table({
+            "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    acc = np.zeros(9, dtype=np.int64)
+    for b in (events_ds.map_batches(partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        # one iter batch may concatenate several partial tables, so the
+        # digit index repeats — np.add.at accumulates duplicates
+        np.add.at(acc, np.asarray(b["digit"], dtype=np.int64) - 1,
+                  np.asarray(b["n"], dtype=np.int64))
+    tot = int(acc.sum())
+    digits = [d for d in range(1, 10) if acc[d - 1] > 0]
+    return pa.table({
+        "digit": pa.array(digits, pa.int64()),
+        "n": pa.array([int(acc[d - 1]) for d in digits], pa.int64()),
+        "share6": pa.array(
+            [float(np.round(int(acc[d - 1]) / tot, 6)) for d in digits],
+            pa.float64()),
+        "benford6": pa.array(
+            [float(np.round(np.log10(1.0 + 1.0 / d), 6)) for d in digits],
+            pa.float64()),
+    })

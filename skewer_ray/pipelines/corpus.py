@@ -654,15 +654,17 @@ def q_source_journald(sf_dir: str):
 
 
 TOPK_TERMS = 20
+ZIPF_K = 100
 
 
-def q_topk_terms(sf_dir: str):
-    """Distributed heavy hitters: top-K most frequent words over the
-    corpus. Shape: per-batch explode+partial-count → term-keyed shuffle
-    combine (term cardinality scales with data) → per-block top-K (each
+def _term_topk(sf_dir: str, k: int) -> list[dict]:
+    """Exact top-k (term, n) rows ordered (n DESC, term ASC).
+
+    Shape: per-batch explode+partial-count → term-keyed shuffle
+    combine (term cardinality scales with data) → per-block top-k (each
     term's TOTAL lives in exactly one block after the keyed combine, so
-    block-local top-K is exact) → tiny driver merge. Tie-break
-    (n DESC, term ASC) is deterministic on both engine and SQL sides."""
+    block-local top-k is exact) → tiny driver merge (≤ k × blocks rows).
+    The deterministic tie-break is shared with the SQL mirrors."""
     import numpy as np
     import pyarrow as pa
     from ..functions.textstats import norm_words
@@ -681,16 +683,55 @@ def q_topk_terms(sf_dir: str):
     def block_topk(batch: pa.Table) -> pa.Table:
         n = np.asarray(batch["n"].to_pylist(), dtype=np.int64)
         terms = np.asarray(batch["term"].to_pylist(), dtype=object)
-        idx = np.lexsort((terms, -n))[:TOPK_TERMS]
+        idx = np.lexsort((terms, -n))[:k]
         return pa.table({"term": pa.array(list(terms[idx]), pa.string()),
                          "n": pa.array(n[idx], pa.int64())})
 
     rows = (counts.map_batches(block_topk, batch_format="pyarrow")
-            .take_all())  # bounded: ≤ K × blocks
+            .take_all())  # bounded: ≤ k × blocks
     rows.sort(key=lambda r: (-r["n"], r["term"]))
-    rows = rows[:TOPK_TERMS]
+    return rows[:k]
+
+
+def q_topk_terms(sf_dir: str):
+    """Distributed heavy hitters: top-K most frequent words over the
+    corpus (see _term_topk for the exchange shape)."""
+    rows = _term_topk(sf_dir, TOPK_TERMS)
     return pa.table({"term": pa.array([r["term"] for r in rows]),
                      "n": pa.array([r["n"] for r in rows], pa.int64())})
+
+
+def zipf_fit(counts) -> tuple[int, float, float]:
+    """OLS fit of ln(freq) on ln(rank) over counts already ordered by
+    rank (1-based): returns (k, slope, intercept). Pure driver math over
+    ≤ ZIPF_K scalars; shared by q_zipf_slope and its tests."""
+    y = np.log(np.asarray(counts, dtype=np.float64))
+    k = len(y)
+    x = np.log(np.arange(1, k + 1, dtype=np.float64))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxy, sxx = float((x * y).sum()), float((x * x).sum())
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    intercept = (sy - slope * sx) / k
+    return k, slope, intercept
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf power-law diagnostic: OLS slope of ln(freq) on ln(rank)
+    over the top-ZIPF_K terms — the corpus-health check that flags
+    template-heavy or boilerplate-dominated crawls (natural text sits
+    near slope ≈ -1). Reuses the exact heavy-hitter shape of
+    q_topk_terms (_term_topk: term-keyed combine, per-block exact
+    top-k, tiny driver merge); the regression itself is driver math
+    over ≤ ZIPF_K scalars. Exact SQL mirror "zipf_slope". Output:
+    (k, slope6, intercept6)."""
+    rows = _term_topk(sf_dir, ZIPF_K)
+    k, slope, intercept = zipf_fit([r["n"] for r in rows])
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "slope6": pa.array([float(np.round(slope, 6))], pa.float64()),
+        "intercept6": pa.array([float(np.round(intercept, 6))],
+                               pa.float64()),
+    })
 
 
 def q_distinct_terms_lang(sf_dir: str):
@@ -1803,6 +1844,13 @@ def q_vocab_growth(sf_dir: str):
     })
 
 
+def q_benford_digits(sf_dir: str):
+    """First-significant-digit (Benford) screen over event values
+    (functions/windows.benford_digits)."""
+    from ..functions.windows import benford_digits
+    return benford_digits(_events(sf_dir, ["value"]))
+
+
 def q_distinct_hll(sf_dir: str):
     """HyperLogLog distinct-word estimate — 64 int registers per
     worker, associative max-merge, exact-integer estimator floats
@@ -2323,6 +2371,8 @@ QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "hapax_share": q_hapax_share,
     "fano_factor": q_fano_factor,
+    "benford_digits": q_benford_digits,
+    "zipf_slope": q_zipf_slope,
     "first_event_counts": q_first_event_counts,
     "dod_change": q_dod_change,
     "corr_words_chars": q_corr_words_chars,

@@ -1974,6 +1974,35 @@ FROM d"""
 
     # Fano factor of daily counts per type, exact int64 moments, one
     # shared IEEE ratio — mirrors windows.fano_factor
+    # Benford first-digit screen: exact integer counts, one shared
+    # IEEE share/expectation expression — mirrors windows.benford_digits
+    q["benford_digits"] = """
+WITH v AS (SELECT CAST(floor(abs(value)) AS BIGINT) AS x
+           FROM events WHERE abs(value) >= 1),
+d AS (SELECT CAST(substr(CAST(x AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM v),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+SELECT digit, n, round(CAST(n AS DOUBLE) / tot, 6) AS share6,
+       round(log10(1 + 1.0 / digit), 6) AS benford6
+FROM c, t ORDER BY digit"""
+
+    # Zipf OLS fit over the exact top-100 terms (same count + tie-break
+    # rule as topk_terms) — mirrors corpus.q_zipf_slope / zipf_fit
+    q["zipf_slope"] = _W + """,
+t AS (SELECT unnest(words) AS term FROM w),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY term),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rank
+      FROM c ORDER BY n DESC, term LIMIT 100),
+s AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(ln(rank)) AS sx,
+             sum(ln(n)) AS sy, sum(ln(rank) * ln(n)) AS sxy,
+             sum(ln(rank) * ln(rank)) AS sxx
+      FROM r)
+SELECT k, round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope6,
+       round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k,
+             6) AS intercept6
+FROM s"""
+
     q["fano_factor"] = """
 WITH t AS (SELECT event_type AS et,
                   (epoch_us(ts) // 86400000000) * 86400000000 AS d

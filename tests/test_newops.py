@@ -1283,3 +1283,46 @@ def test_user_value_deciles_conservation(ray_session):
     # deciles ordered, none above 9
     ds_ = [r["decile"] for r in got]
     assert ds_ == sorted(ds_) and ds_[-1] <= 9
+
+
+# ---------- benford / zipf ----------
+
+def test_benford_digits_hand_case(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import benford_digits
+    # |value| < 1 filtered; 19.x and 1.2 both land on digit 1
+    rows = [{"value": v} for v in (0.5, 1.2, 19.0, -95.5, 2.0, 150.0)]
+    got = {r["digit"]: r["n"]
+           for r in benford_digits(rd.from_items(rows)).to_pylist()}
+    assert got == {1: 3, 2: 1, 9: 1}
+
+
+def test_benford_expectation_column(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import benford_digits
+    rows = [{"value": float(d)} for d in range(1, 10)]
+    out = benford_digits(rd.from_items(rows)).to_pylist()
+    for r in out:
+        assert r["benford6"] == float(
+            np.round(np.log10(1 + 1.0 / r["digit"]), 6))
+        assert r["n"] == 1
+
+
+def test_zipf_fit_matches_polyfit():
+    from skewer_ray.pipelines.corpus import zipf_fit
+    counts = [1000, 520, 333, 260, 199, 170, 144, 130]
+    k, slope, intercept = zipf_fit(counts)
+    x = np.log(np.arange(1, len(counts) + 1, dtype=np.float64))
+    y = np.log(np.asarray(counts, dtype=np.float64))
+    ref = np.polyfit(x, y, 1)
+    assert k == len(counts)
+    assert abs(slope - ref[0]) < 1e-9
+    assert abs(intercept - ref[1]) < 1e-9
+
+
+def test_zipf_fit_perfect_power_law():
+    from skewer_ray.pipelines.corpus import zipf_fit
+    # counts = C / rank  ->  slope exactly -1 in log space
+    counts = [2520 // r for r in range(1, 8)]  # 2520 divisible by 1..7
+    _, slope, _ = zipf_fit(counts)
+    assert abs(slope + 1.0) < 1e-12
