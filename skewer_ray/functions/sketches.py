@@ -317,3 +317,88 @@ def hll_distinct_terms(docs_ds, p: int = HLL_P):
     return pa.table({"m": pa.array([m], pa.int64()),
                      "hll_estimate": pa.array([est], pa.float64()),
                      "zero_registers": pa.array([v], pa.int64())})
+
+
+MG_K = 200
+
+
+def _mg_truncate(counts: dict[str, int], k: int) -> dict[str, int]:
+    """Misra-Gries summary from exact counts: subtract the minimal d so
+    at most k-1 entries stay positive (equivalent to running the k-1
+    counter algorithm over the stream; see Agarwal et al., Mergeable
+    Summaries, PODS'12)."""
+    if len(counts) < k:
+        return dict(counts)
+    vals = sorted(counts.values(), reverse=True)
+    d = vals[k - 1]  # k-th largest: after -d at most k-1 stay positive
+    return {t: v - d for t, v in counts.items() if v - d > 0}
+
+
+def heavy_hitters(docs_ds, k: int = MG_K):
+    """Heavy hitters with a frequency GUARANTEE: every word whose count
+    exceeds N/k (N = total words), found without ever shuffling the
+    full term-count table.
+
+    Pass 1 (map-only): each block emits a Misra-Gries summary (≤ k-1
+    counters) plus its word total — O(blocks × k) rows to the driver,
+    independent of vocabulary size. The driver MG-merges the summaries
+    (sum, then re-truncate: the merged summary provably still contains
+    every global item with count > N/k). Pass 2 (map-only): exact
+    recount of the ≤ k-1 candidates against a broadcast membership set;
+    candidates at or below the threshold are discarded, so the output
+    is EXACT — (term, n) with n * k > N — and the SQL mirror
+    "heavy_hitters" is a plain HAVING filter. Two scans, zero shuffles."""
+    import pyarrow.compute as pc
+    import ray
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter[str] = Counter()
+        total = 0
+        for t in batch["text"].to_pylist():
+            ws = norm_words(t)
+            total += len(ws)
+            c.update(ws)
+        summ = _mg_truncate(c, k)
+        terms = sorted(summ)
+        return pa.table({
+            "term": pa.array(terms + [""], pa.string()),
+            "n": pa.array([summ[t] for t in terms] + [0], pa.int64()),
+            "total": pa.array([0] * len(terms) + [total], pa.int64()),
+        })
+
+    merged: dict[str, int] = {}
+    grand_total = 0
+    for b in (docs_ds.map_batches(mg_partial, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for r in b.to_pylist():
+            grand_total += r["total"]
+            if r["term"]:
+                merged[r["term"]] = merged.get(r["term"], 0) + r["n"]
+        merged = _mg_truncate(merged, k)
+
+    candidates = frozenset(merged)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter[str] = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(w for w in norm_words(t) if w in candidates)
+        terms = sorted(c)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array([c[t] for t in terms], pa.int64()),
+        })
+
+    exact: dict[str, int] = {}
+    for b in (docs_ds.map_batches(recount, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for r in b.to_pylist():
+            exact[r["term"]] = exact.get(r["term"], 0) + r["n"]
+
+    hits = sorted((t, n) for t, n in exact.items()
+                  if n * k > grand_total)
+    return pa.table({
+        "term": pa.array([t for t, _ in hits], pa.string()),
+        "n": pa.array([n for _, n in hits], pa.int64()),
+    })

@@ -1470,3 +1470,60 @@ def benford_digits(events_ds):
             [float(np.round(np.log10(1.0 + 1.0 / d), 6)) for d in digits],
             pa.float64()),
     })
+
+
+def scd2_intervals(events_ds):
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event_type history (ordered by ts, then event_id) into validity
+    intervals — the warehouse pattern that turns a change stream into
+    AS-OF-queryable dimension rows. Output: (user_id, event_type,
+    valid_from, valid_to), valid_to NULL on the open (current) interval.
+
+    Scale: ONE user-bucket exchange (stages/buckets.grouped_by_bucket);
+    inside a bucket the run-length collapse is a vectorized
+    sort + shift over that bucket's users only. Exact SQL mirror
+    "scd2_intervals" (lag-change flag + lead window)."""
+    from ..stages.buckets import grouped_by_bucket
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": pc.cast(tbl["user_id"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "ts": pc.cast(tbl["ts"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "event_id": pc.cast(tbl["event_id"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "event_type": tbl["event_type"].to_pylist(),
+        }).sort_values(["user_id", "ts", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy(dtype=object)
+        ts = df["ts"].to_numpy()
+        if len(df) == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "valid_from": pa.array([], pa.timestamp("us")),
+                "valid_to": pa.array([], pa.timestamp("us")),
+            })
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        s_uid, s_et, s_from = uid[new], et[new], ts[new]
+        # next change's ts within the same user, else open interval
+        nxt = np.empty(len(s_from), dtype=object)
+        nxt[:-1] = [int(v) for v in s_from[1:]]
+        nxt[-1] = None
+        same_user = np.zeros(len(s_from), dtype=bool)
+        same_user[:-1] = s_uid[1:] == s_uid[:-1]
+        valid_to = [nxt[i] if same_user[i] else None
+                    for i in range(len(s_from))]
+        return pa.table({
+            "user_id": pa.array(s_uid, pa.int64()),
+            "event_type": pa.array(list(s_et), pa.string()),
+            "valid_from": pc.cast(pa.array(s_from, pa.int64()),
+                                  pa.timestamp("us")),
+            "valid_to": pc.cast(pa.array(valid_to, pa.int64()),
+                                pa.timestamp("us")),
+        })
+
+    return grouped_by_bucket(events_ds, per_bucket, key="user_id")

@@ -1844,6 +1844,21 @@ def q_vocab_growth(sf_dir: str):
     })
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Guaranteed heavy hitters (count > N/200) via Misra-Gries
+    candidates + exact recount (functions/sketches.heavy_hitters)."""
+    from ..functions.sketches import heavy_hitters
+    return heavy_hitters(_docs(sf_dir))
+
+
+def q_scd2_intervals(sf_dir: str):
+    """SCD type-2 validity intervals per user
+    (functions/windows.scd2_intervals)."""
+    from ..functions.windows import scd2_intervals
+    return scd2_intervals(
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
+
+
 def q_benford_digits(sf_dir: str):
     """First-significant-digit (Benford) screen over event values
     (functions/windows.benford_digits)."""
@@ -2372,6 +2387,8 @@ QUERIES = {
     "hapax_share": q_hapax_share,
     "fano_factor": q_fano_factor,
     "benford_digits": q_benford_digits,
+    "heavy_hitters": q_heavy_hitters,
+    "scd2_intervals": q_scd2_intervals,
     "zipf_slope": q_zipf_slope,
     "first_event_counts": q_first_event_counts,
     "dod_change": q_dod_change,

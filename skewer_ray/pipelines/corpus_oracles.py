@@ -1974,6 +1974,29 @@ FROM d"""
 
     # Fano factor of daily counts per type, exact int64 moments, one
     # shared IEEE ratio — mirrors windows.fano_factor
+    # guaranteed heavy hitters: exact HAVING filter at the same
+    # n * k > N integer threshold as sketches.heavy_hitters (k=200)
+    q["heavy_hitters"] = _W + """,
+t AS (SELECT unnest(words) AS term FROM w),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY term),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+SELECT term, n FROM c, tot WHERE n * 200 > total ORDER BY term"""
+
+    # SCD2 validity intervals: lag-change flag + lead window over the
+    # same (ts, event_id) order as windows.scd2_intervals
+    q["scd2_intervals"] = """
+WITH o AS (SELECT user_id, event_type, ts, event_id,
+                  CASE WHEN lag(event_type) OVER w
+                            IS DISTINCT FROM event_type
+                       THEN 1 ELSE 0 END AS is_new
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT user_id, event_type, ts, event_id FROM o WHERE is_new = 1)
+SELECT user_id, event_type, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS valid_to
+FROM c"""
+
     # Benford first-digit screen: exact integer counts, one shared
     # IEEE share/expectation expression — mirrors windows.benford_digits
     q["benford_digits"] = """

@@ -1,6 +1,7 @@
 """Tests for the graph / bpe / quantize / diff operator family."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -1326,3 +1327,52 @@ def test_zipf_fit_perfect_power_law():
     counts = [2520 // r for r in range(1, 8)]  # 2520 divisible by 1..7
     _, slope, _ = zipf_fit(counts)
     assert abs(slope + 1.0) < 1e-12
+
+
+# ---------- heavy hitters / SCD2 ----------
+
+def test_mg_truncate_guarantee():
+    from skewer_ray.functions.sketches import _mg_truncate
+    counts = {"a": 50, "b": 30, "c": 5, "d": 4, "e": 3}
+    out = _mg_truncate(counts, 3)
+    assert len(out) <= 2
+    # undercount is bounded by the subtracted decrement
+    assert out["a"] <= 50 and out["b"] <= 30
+    assert "a" in out and "b" in out
+    # below-k summaries pass through exactly
+    assert _mg_truncate({"a": 2}, 3) == {"a": 2}
+
+
+def test_heavy_hitters_exact_vs_counter(ray_session):
+    import ray.data as rd
+    from collections import Counter
+    from skewer_ray.functions.sketches import heavy_hitters
+    from skewer_ray.functions.textstats import norm_words
+    texts = (["hot word spam"] * 40 + ["hot other"] * 10
+             + [f"rare{i} filler{i % 7}" for i in range(50)])
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    got = {r["term"]: r["n"]
+           for r in heavy_hitters(rd.from_items(rows), k=20).to_pylist()}
+    c = Counter(w for t in texts for w in norm_words(t))
+    n = sum(c.values())
+    want = {t: v for t, v in c.items() if v * 20 > n}
+    assert got == want and "hot" in got
+
+
+def test_scd2_intervals_hand_case(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import scd2_intervals
+    rows = [
+        {"event_id": 1, "ts": 100, "user_id": 1, "event_type": "a"},
+        {"event_id": 2, "ts": 200, "user_id": 1, "event_type": "a"},
+        {"event_id": 3, "ts": 300, "user_id": 1, "event_type": "b"},
+        {"event_id": 4, "ts": 400, "user_id": 1, "event_type": "a"},
+        {"event_id": 5, "ts": 150, "user_id": 2, "event_type": "c"},
+    ]
+    out = scd2_intervals(rd.from_items(rows)).to_pandas()
+    out = out.sort_values(["user_id", "valid_from"]).reset_index(drop=True)
+    us = lambda v: None if pd.isna(v) else int(v.value // 1000)  # noqa: E731
+    got = [(r.user_id, r.event_type, us(r.valid_from), us(r.valid_to))
+           for r in out.itertuples()]
+    assert got == [(1, "a", 100, 300), (1, "b", 300, 400),
+                   (1, "a", 400, None), (2, "c", 150, None)]
