@@ -1045,3 +1045,51 @@ def mad_outliers(docs_ds, k: int = 2):
 
     return docs_ds.select_columns(["doc_id", "lang", "n_chars"]) \
         .map_batches(flag, batch_format="pyarrow")
+
+
+def quantile_normalize(docs_ds):
+    """Cross-source score calibration: each doc's length percentile
+    WITHIN its source — the normalization a mixture-weighting pass
+    applies before comparing quality scores across heterogeneous feeds.
+    percent_rank = (count of strictly smaller) / (n_source - 1), the
+    SQL PERCENT_RANK definition (min-rank ties; 0 when a source has one
+    doc).
+
+    Scale: the (source, n_chars) grid is a map-side-combined bounded
+    histogram (length domain × sources, never doc count); the
+    value→percentile map is built on the driver from cumulative counts
+    and broadcast once via ray.put; the annotation pass is map-only.
+    Output: (doc_id, source, n_chars, pct6). Exact SQL mirror
+    "quantile_normalize"."""
+    import ray
+
+    from ..stages.agg import grouped_count
+
+    grid = grouped_count(docs_ds, ["source", "n_chars"]).to_pylist()
+    by_src: dict[str, dict[int, int]] = {}
+    for r in grid:
+        by_src.setdefault(r["source"], {})[r["n_chars"]] = r["n"]
+    pct: dict[tuple[str, int], float] = {}
+    for s, hist in by_src.items():
+        ns = sum(hist.values())
+        cum = 0
+        for v in sorted(hist):
+            pct[(s, v)] = (
+                0.0 if ns == 1
+                else float(np.round(cum / (ns - 1), 6)))
+            cum += hist[v]
+    ref = ray.put(pct)
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        src = batch["source"].to_pylist()
+        ncs = pc.cast(batch["n_chars"], pa.int64()).to_pylist()
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "source": batch["source"],
+            "n_chars": pa.array(ncs, pa.int64()),
+            "pct6": pa.array([m[(s, v)] for s, v in zip(src, ncs)],
+                             pa.float64()),
+        })
+
+    return docs_ds.map_batches(annotate, batch_format="pyarrow")

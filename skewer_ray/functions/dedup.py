@@ -1043,3 +1043,59 @@ def edit_distance_pairs(docs_ds, frac: float = EDIT_FRAC,
     return grouped_by_bucket(rows, bucket_pairs,
                              key=["band", "band_key"],
                              n_buckets=n_buckets or N_BUCKETS)
+
+
+def dup_rate_by_source(docs_ds):
+    """Per-source exact-duplicate exposure: the share of each source's
+    docs whose normalized-text hash appears ≥ 2 times ANYWHERE in the
+    corpus — the shard-health metric that tells you which ingest feed
+    is re-crawling content. Reuses exact_dedup's content-hash rule
+    (md5 over the normalized word stream, dedup_exact's oracle
+    contract).
+
+    Scale: every doc lands in exactly ONE hash bucket, so a single
+    hash-keyed exchange (stages/buckets.grouped_by_bucket) yields both
+    the per-source doc totals and the per-source duplicate-involved
+    counts as ≤|sources| partial rows per bucket; the driver folds
+    bounded cells. Output: (source, n_docs, n_dup, rate6). Exact SQL
+    mirror "dup_rate_by_source"."""
+    from ..stages.buckets import grouped_by_bucket
+
+    def digest(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(" ".join(norm_words(t)).encode()).hexdigest()
+              for t in batch["text"].to_pylist()]
+        return pa.table({"text_hash": pa.array(hs, pa.string()),
+                         "source": batch["source"]})
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"th": tbl["text_hash"].to_pylist(),
+                           "source": tbl["source"].to_pylist()})
+        cnt = df.groupby("th")["th"].transform("size")
+        df["is_dup"] = (cnt >= 2).astype(np.int64)
+        g = df.groupby("source").agg(n_docs=("th", "size"),
+                                     n_dup=("is_dup", "sum"))
+        return pa.table({
+            "source": pa.array(g.index.tolist(), pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64)),
+            "n_dup": pa.array(g["n_dup"].to_numpy(np.int64)),
+        })
+
+    cells = grouped_by_bucket(
+        docs_ds.map_batches(digest, batch_format="pyarrow"),
+        per_bucket, key="text_hash")
+    acc: dict[str, list[int]] = {}
+    for b in cells.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["source"], [0, 0])
+            a[0] += r["n_docs"]
+            a[1] += r["n_dup"]
+    ks = sorted(acc)
+    return pa.table({
+        "source": pa.array(ks, pa.string()),
+        "n_docs": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "n_dup": pa.array([acc[k][1] for k in ks], pa.int64()),
+        "rate6": pa.array(
+            [float(np.round(acc[k][1] / acc[k][0], 6)) for k in ks],
+            pa.float64()),
+    })

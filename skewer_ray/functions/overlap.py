@@ -299,3 +299,40 @@ def shingle_novelty(docs_ds, n_buckets: int = OVERLAP_BUCKETS):
 
     return grouped_by_bucket(both, fold, key="doc_id",
                              n_buckets=n_buckets)
+
+
+def js_divergence(docs_ds):
+    """Per-source language-mix drift: Jensen-Shannon divergence between
+    each source's language distribution and the corpus-wide one — the
+    mixture monitor a crawl pipeline runs to flag a shard whose
+    composition drifted from the corpus recipe. Counts are exact int64
+    from ONE map-side-combined (source, lang) grid (bounded cells);
+    each JS term is the same IEEE expression as the SQL mirror
+    "js_divergence" (0 · ln 0 := 0 on the P side; Q > 0 always).
+    Output: (source, js6)."""
+    import numpy as np
+
+    from ..stages.agg import grouped_count
+
+    grid = grouped_count(docs_ds, ["source", "lang"])
+    rows = grid.to_pylist()
+    langs = sorted({r["lang"] for r in rows})
+    sources = sorted({r["source"] for r in rows})
+    n = {(r["source"], r["lang"]): r["n"] for r in rows}
+    nl = {g: sum(n.get((s, g), 0) for s in sources) for g in langs}
+    tot = sum(nl.values())
+    out_s, out_js = [], []
+    for s in sources:
+        ns = sum(n.get((s, g), 0) for g in langs)
+        js = 0.0
+        for g in langs:
+            p = n.get((s, g), 0) / ns
+            q = nl[g] / tot
+            m = (p + q) / 2
+            if p > 0:
+                js += 0.5 * p * np.log(p / m)
+            js += 0.5 * q * np.log(q / m)
+        out_s.append(s)
+        out_js.append(float(np.round(js, 6)))
+    return pa.table({"source": pa.array(out_s, pa.string()),
+                     "js6": pa.array(out_js, pa.float64())})

@@ -1859,6 +1859,24 @@ def q_scd2_intervals(sf_dir: str):
         _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]))
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source exact-duplicate exposure rate
+    (functions/dedup.dup_rate_by_source)."""
+    from ..functions.dedup import dup_rate_by_source
+    return dup_rate_by_source(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["text", "source"]))
+
+
+def q_quantile_normalize(sf_dir: str):
+    """Within-source length percentile (PERCENT_RANK semantics) per doc
+    (functions/curation.quantile_normalize)."""
+    from ..functions.curation import quantile_normalize
+    return quantile_normalize(
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "source", "n_chars"]))
+
+
 def q_benford_digits(sf_dir: str):
     """First-significant-digit (Benford) screen over event values
     (functions/windows.benford_digits)."""
@@ -2274,6 +2292,68 @@ def q_bm25_scores(sf_dir: str):
     return bm25_scores(_docs(sf_dir))
 
 
+
+MW_LANG_A, MW_LANG_B = "en", "zh"
+
+
+def mann_whitney_u(vals, na_v, nb_v) -> tuple[int, int, int, float]:
+    """Exact Mann-Whitney U from per-value group counts (vals ascending):
+    returns (n_a, n_b, u2_a = 2·U_A exact int, z) with midrank ties and
+    the tie-corrected normal approximation. 2× scaling keeps every rank
+    quantity integer; only the final z is IEEE (one shared expression
+    with the SQL mirror). Pure driver math over the bounded value grid."""
+    na_v = np.asarray(na_v, dtype=np.int64)
+    nb_v = np.asarray(nb_v, dtype=np.int64)
+    nv = na_v + nb_v
+    cum = np.concatenate(([0], np.cumsum(nv)[:-1]))
+    r2a = int((na_v * (2 * cum + nv + 1)).sum())
+    na, nb = int(na_v.sum()), int(nb_v.sum())
+    u2a = r2a - na * (na + 1)
+    ties = int((nv ** 3 - nv).sum())
+    n = na + nb
+    var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1.0)))
+    z = (u2a / 2.0 - na * nb / 2.0) / np.sqrt(var)
+    return na, nb, u2a, float(z)
+
+
+def q_mann_whitney(sf_dir: str):
+    """Nonparametric length-drift test: Mann-Whitney U (rank-sum with
+    midrank ties) comparing document char lengths between the two
+    largest languages — the distribution-free alternative to ks_lengths
+    a data-quality monitor runs when lengths are heavy-tailed. ONE
+    map-side-combined (lang, n_chars) grid (bounded by the length
+    domain, never doc count) feeds exact integer rank sums; the z score
+    is one shared IEEE expression. Exact SQL mirror "mann_whitney".
+    Output: (n_a, n_b, u2_a, z6)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+
+    def keep_pair(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(
+            batch["lang"], value_set=pa.array([MW_LANG_A, MW_LANG_B])))
+
+    from ..stages.agg import grouped_count
+    grid = grouped_count(ds, ["lang", "n_chars"], pre=keep_pair).to_pylist()
+    vals = sorted({r["n_chars"] for r in grid})
+    byv = {(r["lang"], r["n_chars"]): r["n"] for r in grid}
+    na_v = [byv.get((MW_LANG_A, v), 0) for v in vals]
+    nb_v = [byv.get((MW_LANG_B, v), 0) for v in vals]
+    na, nb, u2a, z = mann_whitney_u(vals, na_v, nb_v)
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "u2_a": pa.array([u2a], pa.int64()),
+        "z6": pa.array([float(np.round(z, 6))], pa.float64()),
+    })
+
+
+def q_js_divergence(sf_dir: str):
+    """Per-source language-mix JS divergence vs the corpus mixture
+    (functions/overlap.js_divergence)."""
+    from ..functions.overlap import js_divergence
+    return js_divergence(_docs_full(sf_dir))
+
+
 QUERIES = {
     "gopher_rules": q_gopher_rules,
     "mixture_sample": q_mixture_sample,
@@ -2389,6 +2469,10 @@ QUERIES = {
     "benford_digits": q_benford_digits,
     "heavy_hitters": q_heavy_hitters,
     "scd2_intervals": q_scd2_intervals,
+    "js_divergence": q_js_divergence,
+    "mann_whitney": q_mann_whitney,
+    "dup_rate_by_source": q_dup_rate_by_source,
+    "quantile_normalize": q_quantile_normalize,
     "zipf_slope": q_zipf_slope,
     "first_event_counts": q_first_event_counts,
     "dod_change": q_dod_change,
@@ -2416,3 +2500,4 @@ def bench_subset():
         ("pagerank_tools", q_pagerank_tools),
         ("bigram_pmi", q_bigram_pmi),
     ]
+

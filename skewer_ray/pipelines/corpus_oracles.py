@@ -1974,6 +1974,81 @@ FROM d"""
 
     # Fano factor of daily counts per type, exact int64 moments, one
     # shared IEEE ratio — mirrors windows.fano_factor
+    # per-source exact-duplicate exposure (dedup_exact's hash rule)
+    # — mirrors dedup.dup_rate_by_source
+    q["dup_rate_by_source"] = r"""
+WITH w AS (SELECT doc_id, source,
+                  CASE WHEN trim(text) = '' THEN []
+                       ELSE string_split_regex(lower(trim(text)), '\s+')
+                  END AS words
+           FROM documents),
+h AS (SELECT doc_id, source,
+             md5(array_to_string(words, ' ')) AS th
+      FROM w),
+c AS (SELECT th, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY 1)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE c.cnt >= 2) AS BIGINT) AS n_dup,
+       round(CAST(count(*) FILTER (WHERE c.cnt >= 2) AS DOUBLE)
+             / count(*), 6) AS rate6
+FROM h JOIN c USING (th) GROUP BY 1 ORDER BY 1"""
+
+    # within-source PERCENT_RANK of n_chars — mirrors
+    # curation.quantile_normalize (same min-rank/(n-1) definition)
+    q["quantile_normalize"] = """
+SELECT doc_id, source, n_chars,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars),
+             6) AS pct6
+FROM documents"""
+
+    # per-source JS divergence vs the corpus language mixture —
+    # mirrors overlap.js_divergence (same per-lang IEEE terms)
+    q["js_divergence"] = """
+WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+s AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY 1),
+g AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM c GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+grid AS (SELECT s.source, g.lang, s.ns, g.nl, t.tot,
+                COALESCE(c.n, 0) AS n
+         FROM s CROSS JOIN g CROSS JOIN t
+         LEFT JOIN c ON c.source = s.source AND c.lang = g.lang),
+term AS (SELECT source,
+                CAST(n AS DOUBLE) / ns AS p,
+                CAST(nl AS DOUBLE) / tot AS q
+         FROM grid)
+SELECT source,
+       round(sum(CASE WHEN p > 0
+                      THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+                 + 0.5 * q * ln(q / ((p + q) / 2))), 6) AS js6
+FROM term GROUP BY source ORDER BY source"""
+
+    # Mann-Whitney U with midrank ties over the bounded length grid —
+    # mirrors corpus.mann_whitney_u (2x-scaled integer rank sums)
+    q["mann_whitney"] = """
+WITH d AS (SELECT lang, n_chars FROM documents
+           WHERE lang IN ('en', 'zh')),
+v AS (SELECT n_chars AS x, CAST(count(*) AS BIGINT) AS nv,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS na_v
+      FROM d GROUP BY 1),
+r AS (SELECT x, nv, na_v,
+             CAST(COALESCE(sum(nv) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS cum
+      FROM v),
+a AS (SELECT CAST(sum(na_v * (2 * cum + nv + 1)) AS BIGINT) AS r2a,
+             CAST(sum(na_v) AS BIGINT) AS na,
+             CAST(sum(nv - na_v) AS BIGINT) AS nb,
+             CAST(sum(nv * nv * nv - nv) AS BIGINT) AS ties
+      FROM r)
+SELECT na AS n_a, nb AS n_b, r2a - na * (na + 1) AS u2_a,
+       round((CAST(r2a - na * (na + 1) AS DOUBLE) / 2
+              - CAST(na AS DOUBLE) * nb / 2)
+             / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                    * ((na + nb + 1)
+                       - CAST(ties AS DOUBLE)
+                         / ((na + nb) * (na + nb - 1.0)))), 6) AS z6
+FROM a"""
+
     # guaranteed heavy hitters: exact HAVING filter at the same
     # n * k > N integer threshold as sketches.heavy_hitters (k=200)
     q["heavy_hitters"] = _W + """,

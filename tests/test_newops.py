@@ -1376,3 +1376,91 @@ def test_scd2_intervals_hand_case(ray_session):
            for r in out.itertuples()]
     assert got == [(1, "a", 100, 300), (1, "b", 300, 400),
                    (1, "a", 400, None), (2, "c", 150, None)]
+
+
+# ---------- JS divergence / Mann-Whitney ----------
+
+def test_js_divergence_hand_case(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.overlap import js_divergence
+    rows = ([{"doc_id": i, "source": "s1", "lang": "en"} for i in range(6)]
+            + [{"doc_id": 10 + i, "source": "s1", "lang": "fr"}
+               for i in range(2)]
+            + [{"doc_id": 20 + i, "source": "s2", "lang": "fr"}
+               for i in range(8)])
+    got = {r["source"]: r["js6"]
+           for r in js_divergence(rd.from_items(rows)).to_pylist()}
+
+    def js(p_counts, ns, g_counts, tot):
+        out = 0.0
+        for lang in sorted(g_counts):
+            p = p_counts.get(lang, 0) / ns
+            q = g_counts[lang] / tot
+            m = (p + q) / 2
+            if p > 0:
+                out += 0.5 * p * np.log(p / m)
+            out += 0.5 * q * np.log(q / m)
+        return float(np.round(out, 6))
+
+    g = {"en": 6, "fr": 10}
+    assert got == {"s1": js({"en": 6, "fr": 2}, 8, g, 16),
+                   "s2": js({"fr": 8}, 8, g, 16)}
+    # a source matching the corpus mixture exactly has JS 0
+    rows2 = ([{"doc_id": i, "source": a, "lang": l}
+              for a in ("x", "y") for i, l in enumerate(["en"] * 3 + ["fr"])])
+    got2 = {r["source"]: r["js6"]
+            for r in js_divergence(rd.from_items(rows2)).to_pylist()}
+    assert got2 == {"x": 0.0, "y": 0.0}
+
+
+def _mw_brute(a_vals, b_vals):
+    """Definitional U_A: pairwise wins + half-ties."""
+    wins = sum((x > y) + 0.5 * (x == y) for x in a_vals for y in b_vals)
+    return wins
+
+
+def test_mann_whitney_matches_brute_force():
+    from skewer_ray.pipelines.corpus import mann_whitney_u
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 12, size=40)
+    b = rng.randint(2, 14, size=55)
+    vals = sorted(set(a) | set(b))
+    na_v = [int((a == v).sum()) for v in vals]
+    nb_v = [int((b == v).sum()) for v in vals]
+    na, nb, u2a, z = mann_whitney_u(vals, na_v, nb_v)
+    assert (na, nb) == (40, 55)
+    assert u2a == int(2 * _mw_brute(a, b))
+    # symmetric samples give z == 0 exactly
+    _, _, _, z0 = mann_whitney_u([1, 2], [3, 4], [3, 4])
+    assert z0 == 0.0
+
+
+# ---------- dup rate / quantile normalize ----------
+
+def test_dup_rate_by_source_hand_case(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.dedup import dup_rate_by_source
+    rows = [
+        {"text": "same text", "source": "a"},
+        {"text": "Same  TEXT", "source": "a"},   # normalizes equal
+        {"text": "unique one", "source": "a"},
+        {"text": "same text", "source": "b"},    # cross-source dup
+        {"text": "solo", "source": "b"},
+    ]
+    got = {r["source"]: (r["n_docs"], r["n_dup"])
+           for r in dup_rate_by_source(rd.from_items(rows)).to_pylist()}
+    assert got == {"a": (3, 2), "b": (2, 1)}
+
+
+def test_quantile_normalize_percent_rank(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.curation import quantile_normalize
+    rows = [{"doc_id": i, "source": "s", "n_chars": v}
+            for i, v in enumerate([10, 20, 20, 40])]
+    rows.append({"doc_id": 9, "source": "solo", "n_chars": 7})
+    out = {r["doc_id"]: r["pct6"]
+           for r in quantile_normalize(rd.from_items(rows))
+           .take_all()}
+    # ties share the min rank; single-doc source pins to 0
+    assert out == {0: 0.0, 1: float(np.round(1 / 3, 6)),
+                   2: float(np.round(1 / 3, 6)), 3: 1.0, 9: 0.0}
