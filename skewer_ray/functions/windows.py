@@ -1527,3 +1527,146 @@ def scd2_intervals(events_ds):
         })
 
     return grouped_by_bucket(events_ds, per_bucket, key="user_id")
+
+
+WEEK_US = 7 * 86_400_000_000
+
+
+def ab_test_z(events_ds, convert_type: str = "purchase"):
+    """Experiment read-out: two-proportion z-test of the user-level
+    conversion rate (ever fired ``convert_type``) between the even- and
+    odd-user_id cohorts — the A/B significance check run over an event
+    log. Exact integer cohort counts; the pooled-variance z is ONE
+    shared IEEE expression with the SQL mirror "ab_test_z". Output:
+    (n_a, x_a, n_b, x_b, z6).
+
+    Scale: per-batch (user, converted) dedupe partials, ONE user-bucket
+    exchange, per-bucket 4-cell counter partials, driver folds bounded
+    cells — distinct users never land on the driver."""
+    from ..stages.buckets import grouped_by_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": pc.cast(batch["user_id"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "conv": (np.asarray(
+                [t == convert_type
+                 for t in batch["event_type"].to_pylist()])
+                .astype(np.int64)),
+        })
+        g = df.groupby("user_id")["conv"].max()
+        return pa.table({
+            "user_id": pa.array(g.index.to_numpy(np.int64)),
+            "conv": pa.array(g.to_numpy(np.int64)),
+        })
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": pc.cast(tbl["user_id"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "conv": pc.cast(tbl["conv"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("user_id")["conv"].max()
+        uid = g.index.to_numpy(np.int64)
+        conv = g.to_numpy(np.int64)
+        a = uid % 2 == 0
+        return pa.table({
+            "n_a": pa.array([int(a.sum())], pa.int64()),
+            "x_a": pa.array([int(conv[a].sum())], pa.int64()),
+            "n_b": pa.array([int((~a).sum())], pa.int64()),
+            "x_b": pa.array([int(conv[~a].sum())], pa.int64()),
+        })
+
+    deduped = events_ds.map_batches(pre, batch_format="pyarrow")
+    cells = grouped_by_bucket(deduped, per_bucket, key="user_id",
+                              coalesce=False)
+    na = xa = nb = xb = 0
+    for b in cells.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            na += r["n_a"]; xa += r["x_a"]
+            nb += r["n_b"]; xb += r["x_b"]
+    pool = (xa + xb) / (na + nb)
+    z = ((xa / na - xb / nb)
+         / np.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb)))
+    return pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "x_a": pa.array([xa], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "x_b": pa.array([xb], pa.int64()),
+        "z6": pa.array([float(np.round(z, 6))], pa.float64()),
+    })
+
+
+def churn_weekly(events_ds):
+    """Week-over-week churn: for every calendar week (except the last),
+    the count of active users and the share of them NOT seen the next
+    week — the retention monitor behind every growth dashboard.
+    Output: (wk, n_active, n_churned, churn_rate6), wk = floor(epoch_us
+    / week).
+
+    Scale: per-batch distinct (user, week) partials shrink the
+    exchange to user-weeks; ONE user-bucket exchange co-locates each
+    user's history; per-bucket membership lookups emit bounded
+    (week, active, churned) cells; the driver folds cells and drops the
+    open final week. Exact SQL mirror "churn_weekly"."""
+    from ..stages.buckets import grouped_by_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": pc.cast(batch["user_id"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "wk": pc.cast(batch["ts"], pa.int64())
+            .to_numpy(zero_copy_only=False) // WEEK_US,
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": pc.cast(tbl["user_id"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "wk": pc.cast(tbl["wk"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        have = set(zip(df["user_id"].to_numpy(), df["wk"].to_numpy()))
+        churned = np.asarray(
+            [(u, w + 1) not in have
+             for u, w in zip(df["user_id"].to_numpy(),
+                             df["wk"].to_numpy())], dtype=np.int64)
+        df["churned"] = churned
+        g = df.groupby("wk").agg(n_active=("user_id", "size"),
+                                 n_churned=("churned", "sum"))
+        return pa.table({
+            "wk": pa.array(g.index.to_numpy(np.int64)),
+            "n_active": pa.array(g["n_active"].to_numpy(np.int64)),
+            "n_churned": pa.array(g["n_churned"].to_numpy(np.int64)),
+        })
+
+    cells = grouped_by_bucket(
+        events_ds.map_batches(pre, batch_format="pyarrow"),
+        per_bucket, key="user_id", coalesce=False)
+    acc: dict[int, list[int]] = {}
+    for b in cells.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            a = acc.setdefault(r["wk"], [0, 0])
+            a[0] += r["n_active"]
+            a[1] += r["n_churned"]
+    if not acc:
+        return pa.table({"wk": pa.array([], pa.int64()),
+                         "n_active": pa.array([], pa.int64()),
+                         "n_churned": pa.array([], pa.int64()),
+                         "churn_rate6": pa.array([], pa.float64())})
+    mw = max(acc)
+    ks = sorted(k for k in acc if k < mw)
+    return pa.table({
+        "wk": pa.array(ks, pa.int64()),
+        "n_active": pa.array([acc[k][0] for k in ks], pa.int64()),
+        "n_churned": pa.array([acc[k][1] for k in ks], pa.int64()),
+        "churn_rate6": pa.array(
+            [float(np.round(acc[k][1] / acc[k][0], 6)) for k in ks],
+            pa.float64()),
+    })

@@ -1877,6 +1877,19 @@ def q_quantile_normalize(sf_dir: str):
                         columns=["doc_id", "source", "n_chars"]))
 
 
+def q_ab_test_z(sf_dir: str):
+    """Two-proportion conversion z-test between even/odd user cohorts
+    (functions/windows.ab_test_z)."""
+    from ..functions.windows import ab_test_z
+    return ab_test_z(_events(sf_dir, ["user_id", "event_type"]))
+
+
+def q_churn_weekly(sf_dir: str):
+    """Week-over-week user churn (functions/windows.churn_weekly)."""
+    from ..functions.windows import churn_weekly
+    return churn_weekly(_events(sf_dir, ["user_id", "ts"]))
+
+
 def q_benford_digits(sf_dir: str):
     """First-significant-digit (Benford) screen over event values
     (functions/windows.benford_digits)."""
@@ -2473,6 +2486,8 @@ QUERIES = {
     "mann_whitney": q_mann_whitney,
     "dup_rate_by_source": q_dup_rate_by_source,
     "quantile_normalize": q_quantile_normalize,
+    "ab_test_z": q_ab_test_z,
+    "churn_weekly": q_churn_weekly,
     "zipf_slope": q_zipf_slope,
     "first_event_counts": q_first_event_counts,
     "dod_change": q_dod_change,

@@ -1974,6 +1974,46 @@ FROM d"""
 
     # Fano factor of daily counts per type, exact int64 moments, one
     # shared IEEE ratio — mirrors windows.fano_factor
+    # two-proportion z between even/odd user cohorts — mirrors
+    # windows.ab_test_z (same pooled-variance IEEE expression)
+    q["ab_test_z"] = """
+WITH u AS (SELECT user_id,
+                  CAST(max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS conv
+           FROM events GROUP BY 1),
+c AS (SELECT CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+               AS n_a,
+             CAST(sum(conv) FILTER (WHERE user_id % 2 = 0) AS BIGINT)
+               AS x_a,
+             CAST(count(*) FILTER (WHERE user_id % 2 = 1) AS BIGINT)
+               AS n_b,
+             CAST(sum(conv) FILTER (WHERE user_id % 2 = 1) AS BIGINT)
+               AS x_b
+      FROM u)
+SELECT n_a, x_a, n_b, x_b,
+       round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+             / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z6
+FROM c"""
+
+    # week-over-week churn, open final week dropped — mirrors
+    # windows.churn_weekly
+    q["churn_weekly"] = """
+WITH uw AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 604800000000 AS wk
+            FROM events),
+mx AS (SELECT max(wk) AS mw FROM uw),
+j AS (SELECT a.wk,
+             CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
+      FROM uw a LEFT JOIN uw b
+        ON b.user_id = a.user_id AND b.wk = a.wk + 1)
+SELECT wk, CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(churned) AS BIGINT) AS n_churned,
+       round(CAST(sum(churned) AS DOUBLE) / count(*), 6)
+         AS churn_rate6
+FROM j, mx WHERE wk < mw GROUP BY wk ORDER BY wk"""
+
     # per-source exact-duplicate exposure (dedup_exact's hash rule)
     # — mirrors dedup.dup_rate_by_source
     q["dup_rate_by_source"] = r"""

@@ -1464,3 +1464,41 @@ def test_quantile_normalize_percent_rank(ray_session):
     # ties share the min rank; single-doc source pins to 0
     assert out == {0: 0.0, 1: float(np.round(1 / 3, 6)),
                    2: float(np.round(1 / 3, 6)), 3: 1.0, 9: 0.0}
+
+
+# ---------- A/B z-test / weekly churn ----------
+
+def test_ab_test_z_hand_case(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import ab_test_z
+    rows = [
+        {"user_id": 2, "event_type": "purchase"},
+        {"user_id": 2, "event_type": "click"},
+        {"user_id": 4, "event_type": "click"},
+        {"user_id": 1, "event_type": "purchase"},
+        {"user_id": 3, "event_type": "purchase"},
+        {"user_id": 5, "event_type": "click"},
+    ]
+    out = ab_test_z(rd.from_items(rows)).to_pylist()[0]
+    assert (out["n_a"], out["x_a"], out["n_b"], out["x_b"]) == (2, 1, 3, 2)
+    pool = 3 / 5
+    z = (1 / 2 - 2 / 3) / np.sqrt(pool * (1 - pool) * (1 / 2 + 1 / 3))
+    assert out["z6"] == float(np.round(z, 6))
+
+
+def test_churn_weekly_hand_case(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import churn_weekly
+    W = 7 * 86_400_000_000
+    rows = [
+        # user 1 active wk0, wk1 (retained into 1, churns after 1 but
+        # wk1 is NOT last); user 2 active wk0 only (churned at 0)
+        {"user_id": 1, "ts": 0},
+        {"user_id": 1, "ts": W + 5},
+        {"user_id": 2, "ts": 10},
+        # user 3 keeps wk2 alive so wk1 rows are scoreable
+        {"user_id": 3, "ts": 2 * W + 1},
+    ]
+    got = [(r["wk"], r["n_active"], r["n_churned"])
+           for r in churn_weekly(rd.from_items(rows)).to_pylist()]
+    assert got == [(0, 2, 1), (1, 1, 1)]
