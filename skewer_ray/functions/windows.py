@@ -1670,3 +1670,168 @@ def churn_weekly(events_ds):
             [float(np.round(acc[k][1] / acc[k][0], 6)) for k in ks],
             pa.float64()),
     })
+
+
+def event_type_lift(events_ds):
+    """Market-basket lift between event types at USER granularity:
+    lift(a,b) = P(a∧b) / (P(a)·P(b)) over the distinct-user universe —
+    the cross-sell / feature-affinity score. Output: (type_a, type_b,
+    n_both, lift6) for unordered pairs with n_both ≥ 1.
+
+    Scale: per-batch distinct (user, type) partials, ONE user-bucket
+    exchange; per bucket the pair expansion is bounded by |types|² per
+    user set, and the emitted cells by |types|² + |types| + 1; the
+    driver folds bounded cells. Exact SQL mirror "event_type_lift"."""
+    from ..stages.buckets import grouped_by_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": pc.cast(batch["user_id"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"].to_pylist(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": pc.cast(tbl["user_id"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "event_type": tbl["event_type"].to_pylist(),
+        }).drop_duplicates()
+        singles: dict[str, int] = {}
+        pairs: dict[tuple[str, str], int] = {}
+        n_users = 0
+        for _, types in df.groupby("user_id")["event_type"]:
+            ts = sorted(types)
+            n_users += 1
+            for i, a in enumerate(ts):
+                singles[a] = singles.get(a, 0) + 1
+                for b in ts[i + 1:]:
+                    pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        ka = sorted(pairs)
+        ks = sorted(singles)
+        return pa.table({
+            "kind": pa.array(["u"] + ["s"] * len(ks) + ["p"] * len(ka),
+                             pa.string()),
+            "type_a": pa.array([""] + ks + [a for a, _ in ka],
+                               pa.string()),
+            "type_b": pa.array([""] * (1 + len(ks)) + [b for _, b in ka],
+                               pa.string()),
+            "n": pa.array([n_users] + [singles[k] for k in ks]
+                          + [pairs[k] for k in ka], pa.int64()),
+        })
+
+    cells = grouped_by_bucket(
+        events_ds.map_batches(pre, batch_format="pyarrow"),
+        per_bucket, key="user_id", coalesce=False)
+    nu = 0
+    singles: dict[str, int] = {}
+    pairs: dict[tuple[str, str], int] = {}
+    for b in cells.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            if r["kind"] == "u":
+                nu += r["n"]
+            elif r["kind"] == "s":
+                singles[r["type_a"]] = (
+                    singles.get(r["type_a"], 0) + r["n"])
+            else:
+                k = (r["type_a"], r["type_b"])
+                pairs[k] = pairs.get(k, 0) + r["n"]
+    ka = sorted(pairs)
+    return pa.table({
+        "type_a": pa.array([a for a, _ in ka], pa.string()),
+        "type_b": pa.array([b for _, b in ka], pa.string()),
+        "n_both": pa.array([pairs[k] for k in ka], pa.int64()),
+        "lift6": pa.array(
+            [float(np.round(
+                float(pairs[(a, b)]) * nu
+                / (singles[a] * float(singles[b])), 6))
+             for a, b in ka], pa.float64()),
+    })
+
+
+DAY_US = 86_400_000_000
+
+
+def rolling_active_7d(events_ds):
+    """7-day rolling active users per day — the WAU-style trend line.
+    For every day d between the first and last event day, the count of
+    users with ≥1 event in [d-6, d]; days with zero actives are
+    omitted (they have no rows on either engine). Output:
+    (d, n_active_7d).
+
+    Scale: per-batch distinct (user, day) partials, ONE user-bucket
+    exchange; per bucket each user's active-day set collapses into
+    merged [day, day+6] coverage intervals emitted as ±1 DIFF cells
+    (≤2 per interval) — never a row per (user, window). The driver
+    prefix-sums the bounded day domain and clips at the global max
+    event day. Exact SQL mirror "rolling_active_7d"."""
+    from ..stages.buckets import grouped_by_bucket
+
+    def pre(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": pc.cast(batch["user_id"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "d": pc.cast(batch["ts"], pa.int64())
+            .to_numpy(zero_copy_only=False) // DAY_US,
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": pc.cast(tbl["user_id"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "d": pc.cast(tbl["d"], pa.int64())
+            .to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        diffs: dict[int, int] = {}
+        dmax_seen = -1
+        for _, days in df.groupby("user_id")["d"]:
+            ds = sorted(days)
+            dmax_seen = max(dmax_seen, ds[-1])
+            start, end = ds[0], ds[0] + 6
+            for d in ds[1:]:
+                if d <= end:          # window overlaps/extends
+                    end = d + 6
+                else:
+                    diffs[start] = diffs.get(start, 0) + 1
+                    diffs[end + 1] = diffs.get(end + 1, 0) - 1
+                    start, end = d, d + 6
+            diffs[start] = diffs.get(start, 0) + 1
+            diffs[end + 1] = diffs.get(end + 1, 0) - 1
+        ks = sorted(diffs)
+        return pa.table({
+            "d": pa.array(ks + [-1], pa.int64()),
+            "diff": pa.array([diffs[k] for k in ks] + [0], pa.int64()),
+            "dmax": pa.array([0] * len(ks) + [dmax_seen], pa.int64()),
+        })
+
+    cells = grouped_by_bucket(
+        events_ds.map_batches(pre, batch_format="pyarrow"),
+        per_bucket, key="user_id", coalesce=False)
+    diffs: dict[int, int] = {}
+    dmax = -1
+    for b in cells.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            if r["d"] == -1:
+                dmax = max(dmax, r["dmax"])
+            else:
+                diffs[r["d"]] = diffs.get(r["d"], 0) + r["diff"]
+    ks = sorted(k for k in diffs)
+    out_d, out_n = [], []
+    run = 0
+    prev = None
+    for k in ks:
+        if prev is not None and run > 0:
+            for d in range(prev, min(k, dmax + 1)):
+                out_d.append(d)
+                out_n.append(run)
+        run += diffs[k]
+        prev = k
+    # tail after the last diff is always run == 0 (every +1 is closed)
+    return pa.table({"d": pa.array(out_d, pa.int64()),
+                     "n_active_7d": pa.array(out_n, pa.int64())})

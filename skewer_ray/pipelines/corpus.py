@@ -1890,6 +1890,20 @@ def q_churn_weekly(sf_dir: str):
     return churn_weekly(_events(sf_dir, ["user_id", "ts"]))
 
 
+def q_event_type_lift(sf_dir: str):
+    """User-granular market-basket lift between event types
+    (functions/windows.event_type_lift)."""
+    from ..functions.windows import event_type_lift
+    return event_type_lift(_events(sf_dir, ["user_id", "event_type"]))
+
+
+def q_rolling_active_7d(sf_dir: str):
+    """7-day rolling active users per day
+    (functions/windows.rolling_active_7d)."""
+    from ..functions.windows import rolling_active_7d
+    return rolling_active_7d(_events(sf_dir, ["user_id", "ts"]))
+
+
 def q_benford_digits(sf_dir: str):
     """First-significant-digit (Benford) screen over event values
     (functions/windows.benford_digits)."""
@@ -2488,6 +2502,8 @@ QUERIES = {
     "quantile_normalize": q_quantile_normalize,
     "ab_test_z": q_ab_test_z,
     "churn_weekly": q_churn_weekly,
+    "event_type_lift": q_event_type_lift,
+    "rolling_active_7d": q_rolling_active_7d,
     "zipf_slope": q_zipf_slope,
     "first_event_counts": q_first_event_counts,
     "dod_change": q_dod_change,

@@ -1974,6 +1974,39 @@ FROM d"""
 
     # Fano factor of daily counts per type, exact int64 moments, one
     # shared IEEE ratio — mirrors windows.fano_factor
+    # user-granular type-pair lift — mirrors windows.event_type_lift
+    q["event_type_lift"] = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM ut),
+s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n1
+      FROM ut GROUP BY 1),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT type_a, type_b, n_both,
+       round(CAST(n_both AS DOUBLE) * nu
+             / (sa.n1 * CAST(sb.n1 AS DOUBLE)), 6) AS lift6
+FROM p
+JOIN s sa ON sa.event_type = type_a
+JOIN s sb ON sb.event_type = type_b
+CROSS JOIN n
+ORDER BY 1, 2"""
+
+    # 7-day rolling actives — mirrors windows.rolling_active_7d
+    q["rolling_active_7d"] = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS d
+            FROM events),
+bounds AS (SELECT min(d) AS dmin, max(d) AS dmax FROM ud),
+days AS (SELECT unnest(generate_series(dmin, dmax)) AS d
+         FROM bounds)
+SELECT days.d, CAST(count(DISTINCT ud.user_id) AS BIGINT)
+         AS n_active_7d
+FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+GROUP BY 1 ORDER BY 1"""
+
     # two-proportion z between even/odd user cohorts — mirrors
     # windows.ab_test_z (same pooled-variance IEEE expression)
     q["ab_test_z"] = """

@@ -1502,3 +1502,38 @@ def test_churn_weekly_hand_case(ray_session):
     got = [(r["wk"], r["n_active"], r["n_churned"])
            for r in churn_weekly(rd.from_items(rows)).to_pylist()]
     assert got == [(0, 2, 1), (1, 1, 1)]
+
+
+# ---------- type lift / rolling actives ----------
+
+def test_event_type_lift_hand_case(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import event_type_lift
+    rows = [
+        {"user_id": 1, "event_type": "a"},
+        {"user_id": 1, "event_type": "b"},
+        {"user_id": 1, "event_type": "a"},   # dup collapses
+        {"user_id": 2, "event_type": "a"},
+        {"user_id": 3, "event_type": "b"},
+        {"user_id": 4, "event_type": "c"},
+    ]
+    out = {(r["type_a"], r["type_b"]): (r["n_both"], r["lift6"])
+           for r in event_type_lift(rd.from_items(rows)).to_pylist()}
+    # only (a,b) co-occurs; nu=4, na=2, nb=2 -> lift = 1*4/(2*2) = 1.0
+    assert out == {("a", "b"): (1, 1.0)}
+
+
+def test_rolling_active_7d_hand_case(ray_session):
+    import ray.data as rd
+    from skewer_ray.functions.windows import rolling_active_7d
+    D = 86_400_000_000
+    rows = [
+        {"user_id": 1, "ts": 0},            # day 0
+        {"user_id": 1, "ts": 10 * D + 3},   # day 10 (gap: window break)
+        {"user_id": 2, "ts": 2 * D},        # day 2
+    ]
+    got = {r["d"]: r["n_active_7d"]
+           for r in rolling_active_7d(rd.from_items(rows)).to_pylist()}
+    # user1 covers d 0-6 and 10 (clipped at dmax=10); user2 covers 2-8
+    want = {0: 1, 1: 1, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 1, 8: 1, 10: 1}
+    assert got == want
