@@ -17,10 +17,9 @@ from typing import Any
 ORACLE_SF = "sf0.01"  # the driver's correctness scale
 
 # The driver samples the FIRST N queries() entries (dict order) for its
-# correctness artifact. These 100 already have green rows in
-# CORRECTNESS_r01/r02/r03.json (cumulative union); rotate them to the BACK
-# so round 4 witnesses the 30 entries the driver has never checked
-# (VERDICT.md r03 "Next round" #1) — completing 130/130 driver coverage.
+# correctness artifact; queries() rotates never-witnessed entries to the
+# front each round. Witnessed sets by round (cumulative, zero failures):
+# r01-r03 covered these 100; r04 added _WITNESSED_R04's 50 → 150/201.
 _DRIVER_CHECKED_R03 = (
     "dedup_embedding_lsh", "sample_docs", "cap_per_source", "chunk_docs",
     "pack_sequences", "quality_filter", "rank_docs", "rebalance_mix",
@@ -52,27 +51,55 @@ _DRIVER_CHECKED_R03 = (
 )
 
 
-# VERDICT.md r03 "Next round" #1 names these 30 (never driver-checked as of
-# r03) as the coverage-completing priority; they must land inside the
-# driver's 50-entry sample even though 22 newer r04 queries are also
-# unwitnessed — so they come FIRST, new r04 ops second, checked 100 last.
-_PRIORITY_UNCHECKED = (
+# CORRECTNESS_r04.json's 50 rows (30 r03-priority TPC-H/rollup entries +
+# the first 20 r04-new ops) — all green.
+_WITNESSED_R04 = (
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22", "events_rollup",
     "curated_docs", "late_events", "ann_quantized", "dedup_prefix",
     "profile_docs", "events_histogram", "events_quantiles",
+    "conv_loglik", "frequent_sequences", "ks_lengths", "triangle_count",
+    "tool_entropy", "tool_next_accuracy", "response_ratio", "sft_pairs",
+    "weighted_join_sample", "es_bulk_acks", "shingle_novelty",
+    "kmeans_assign", "bm25_scores", "bpe_encode", "gopher_rules",
+    "mixture_sample", "ngram_diversity", "token_budget_select",
+    "unigram_entropy", "upsert_latest",
+)
+
+# VERDICT.md r04 "Next round" #2: these 51 (the r04-new ops the driver has
+# never sampled; all 51 verified green by the judge's independent local run
+# this session) go FIRST so 50 land in CORRECTNESS_r05 — cumulative driver
+# coverage 200/201. r05-new ops follow (locally oracle-checked), witnessed
+# 150 last.
+_PRIORITY_UNCHECKED = (
+    "epoch_shuffle", "source_overlap", "jl_project", "semdedup",
+    "dsir_select", "hard_negatives", "ccnet_buckets", "dedup_spans_removed",
+    "events_cube", "rrf_fusion", "matryoshka_rerank", "mmr_diversify",
+    "feature_hashing", "alert_windows", "rate_limit", "zscore_lengths",
+    "redact_terms", "cusum_changepoints", "winsorize_lengths", "dedup_edit",
+    "distinct_hll", "attribution_linear", "psi_drift", "mad_outliers",
+    "chi2_lang_source", "wilson_ctr", "autocorr_daily", "seasonal_error",
+    "bigram_pmi", "hapax_share", "fano_factor", "benford_digits",
+    "heavy_hitters", "scd2_intervals", "js_divergence", "mann_whitney",
+    "dup_rate_by_source", "quantile_normalize", "ab_test_z", "churn_weekly",
+    "event_type_lift", "rolling_active_7d", "zipf_slope",
+    "first_event_counts", "dod_change", "corr_words_chars",
+    "hourly_profile", "dau_mau", "user_value_deciles", "langid_confusion",
+    "vocab_growth",
 )
 
 
 def _rotate_unwitnessed_first(full: dict) -> dict:
-    """Priority-unchecked first, other unchecked next, checked 100 last."""
-    checked = set(_DRIVER_CHECKED_R03)
+    """Priority-unchecked first, other unchecked (r05-new) next,
+    witnessed 150 last."""
+    checked = set(_DRIVER_CHECKED_R03) | set(_WITNESSED_R04)
     ordered = {k: full[k] for k in _PRIORITY_UNCHECKED if k in full}
     ordered.update(
         {k: v for k, v in full.items()
          if k not in checked and k not in ordered})
+    ordered.update({k: full[k] for k in _WITNESSED_R04 if k in full})
     ordered.update({k: full[k] for k in _DRIVER_CHECKED_R03 if k in full})
     return ordered
 

@@ -107,8 +107,10 @@ def exact_dedup(docs_ds):
 
     partial = hashed.map_batches(combine, batch_format="pyarrow")
 
-    # final combine of the partials in map_groups (min of keep_id, sum
-    # of counts per distinct content hash)
+    # final combine keyed by a crc BUCKET of the hash (stages/buckets):
+    # the digest domain ≈ corpus size, so per-distinct-hash map_groups
+    # would cost one Python dispatch per distinct document — the body
+    # already folds many hashes per call via Arrow group_by
     def final(batch: pa.Table) -> pa.Table:
         g = batch.group_by(["text_hash"]).aggregate(
             [("keep_id", "min"), ("n", "sum")])
@@ -116,8 +118,8 @@ def exact_dedup(docs_ds):
                          "keep_id": g["keep_id_min"],
                          "n_copies": pc.cast(g["n_sum"], pa.int64())})
 
-    return partial.groupby("text_hash").map_groups(final,
-                                                   batch_format="pyarrow")
+    from ..stages.buckets import grouped_by_bucket
+    return grouped_by_bucket(partial, final, key="text_hash")
 
 
 def _shingle_hash64(s: str) -> int:

@@ -339,16 +339,20 @@ def heavy_hitters(docs_ds, k: int = MG_K):
     exceeds N/k (N = total words), found without ever shuffling the
     full term-count table.
 
-    Pass 1 (map-only): each block emits a Misra-Gries summary (≤ k-1
-    counters) plus its word total — O(blocks × k) rows to the driver,
-    independent of vocabulary size. The driver MG-merges the summaries
-    (sum, then re-truncate: the merged summary provably still contains
-    every global item with count > N/k). Pass 2 (map-only): exact
-    recount of the ≤ k-1 candidates against a broadcast membership set;
-    candidates at or below the threshold are discarded, so the output
-    is EXACT — (term, n) with n * k > N — and the SQL mirror
-    "heavy_hitters" is a plain HAVING filter. Two scans, zero shuffles."""
-    import pyarrow.compute as pc
+    Pass 1 (map-only + tree combine): each block emits a Misra-Gries
+    summary (≤ k-1 counters) plus its word total; a coarse repartition
+    then pre-merges the block summaries in ~one task per core (MG merge
+    = counter sum + one re-truncate — associative, Agarwal et al.
+    PODS'12 — so the merged summary provably still contains every
+    global item with count > N/k). The driver folds only the ≤ cores
+    pre-merged summaries: O(cores × k) driver work, not O(blocks × k),
+    and still independent of vocabulary size. Pass 2 (map-only): exact
+    recount of the ≤ k-1 candidates against a closure-captured
+    membership set (≤ k-1 short strings — small enough that per-task
+    pickling beats a ray.put round-trip); candidates at or below the
+    threshold are discarded, so the output is EXACT — (term, n) with
+    n * k > N — and the SQL mirror "heavy_hitters" is a plain HAVING
+    filter. Two scans, zero all-to-all shuffles."""
     import ray
 
     def mg_partial(batch: pa.Table) -> pa.Table:
@@ -367,10 +371,34 @@ def heavy_hitters(docs_ds, k: int = MG_K):
             "total": pa.array([0] * len(terms) + [total], pa.int64()),
         })
 
+    def mg_premerge(batch: pa.Table) -> pa.Table:
+        # batch = several block summaries concatenated (≤ k rows each):
+        # sum per term, keep the total rows intact, truncate ONCE
+        acc: dict[str, int] = {}
+        total = 0
+        terms = batch["term"].to_pylist()
+        ns = batch["n"].to_pylist()
+        for t, n_, tot in zip(terms, ns, batch["total"].to_pylist()):
+            total += tot
+            if t:
+                acc[t] = acc.get(t, 0) + n_
+        summ = _mg_truncate(acc, k)
+        keys = sorted(summ)
+        return pa.table({
+            "term": pa.array(keys + [""], pa.string()),
+            "n": pa.array([summ[t] for t in keys] + [0], pa.int64()),
+            "total": pa.array([0] * len(keys) + [total], pa.int64()),
+        })
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    pre = (docs_ds.map_batches(mg_partial, batch_format="pyarrow")
+           .repartition(max(8, cpus))
+           .map_batches(mg_premerge, batch_format="pyarrow"))
+
     merged: dict[str, int] = {}
     grand_total = 0
-    for b in (docs_ds.map_batches(mg_partial, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
+    for b in pre.iter_batches(batch_format="pyarrow"):
         for r in b.to_pylist():
             grand_total += r["total"]
             if r["term"]:

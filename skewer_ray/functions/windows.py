@@ -15,6 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.agg import grouped_stats
+from ..stages.buckets import run_starts
 
 HOUR_US = 3_600_000_000
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
@@ -197,15 +198,18 @@ def asof_join_events(events_ds, left_type: str = "purchase",
     event_id. Inner semantics: lefts with no prior right are dropped.
 
     Shape: pre-filter both sides to the two types (column- and
-    row-pruned), shuffle ONCE keyed by user_id, then a linear two-
-    pointer sweep inside each user group (sort by (ts, kind, id): at
-    equal ts the right side is processed first, so it is visible to the
-    left row). Partitioning assumption: one user's filtered events fit
-    a group — the same premise as the pre-segmented sessionizer; a
-    whale user would need the gap_sessions-style two-phase split.
+    row-pruned), shuffle ONCE keyed by a crc bucket of user_id
+    (stages/buckets: ~100s of users per vectorized UDF call instead of
+    one Ray dispatch per user), then a segmented forward-fill over the
+    (user, ts, kind, id)-sorted rows: at equal ts the right side sorts
+    first, so it is visible to the left row. Partitioning assumption:
+    one user's filtered events fit a bucket — the same premise as the
+    pre-segmented sessionizer; a whale user would need the
+    gap_sessions-style two-phase split.
 
     Output: (p_event, user_id, p_ts, c_event, c_ts).
     """
+    from ..stages.buckets import grouped_by_bucket, run_starts
 
     def pre(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(batch["event_type"],
@@ -219,34 +223,37 @@ def asof_join_events(events_ds, left_type: str = "purchase",
         })
 
     def sweep(tbl: pa.Table) -> pa.Table:
+        # many users per call: per user segment, the "last right seen"
+        # of the old per-user loop is a segmented running max over
+        # right-row positions (rights encoded sid*n+pos so the fill
+        # can't leak across users; lefts carry -1)
+        user = pc.cast(tbl["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
         ts = pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        eid = pc.cast(tbl["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
         is_l = tbl["is_left"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, is_l, ts))  # ts, then rights first, id
-        uid = tbl["user_id"][0].as_py()
-        p_ev, p_ts, c_ev, c_ts = [], [], [], []
-        last_ev = last_ts = None
-        for i in order:
-            if is_l[i]:
-                if last_ev is not None:
-                    p_ev.append(int(eid[i]))
-                    p_ts.append(int(ts[i]))
-                    c_ev.append(last_ev)
-                    c_ts.append(last_ts)
-            else:
-                last_ev, last_ts = int(eid[i]), int(ts[i])
-        n = len(p_ev)
+        order = np.lexsort((eid, is_l, ts, user))
+        u, t, e, lft = user[order], ts[order], eid[order], is_l[order]
+        n = len(order)
+        sid = np.cumsum(run_starts(u)) - 1
+        pos = np.arange(n, dtype=np.int64)
+        key = np.where(~lft, sid * n + pos, np.int64(-1))
+        acc = np.maximum.accumulate(key)
+        valid = lft & (acc >= 0)
+        valid[valid] &= (acc[valid] // n) == sid[valid]
+        keep = np.flatnonzero(valid)
+        r = acc[keep] % n
         return pa.table({
-            "p_event": pa.array(p_ev, pa.int64()),
-            "user_id": pa.array([uid] * n, pa.int64()),
-            "p_ts": pa.array(p_ts, pa.int64()).cast(pa.timestamp("us")),
-            "c_event": pa.array(c_ev, pa.int64()),
-            "c_ts": pa.array(c_ts, pa.int64()).cast(pa.timestamp("us")),
+            "p_event": pa.array(e[keep], pa.int64()),
+            "user_id": pa.array(u[keep], pa.int64()),
+            "p_ts": pa.array(t[keep], pa.int64()).cast(pa.timestamp("us")),
+            "c_event": pa.array(e[r], pa.int64()),
+            "c_ts": pa.array(t[r], pa.int64()).cast(pa.timestamp("us")),
         })
 
     pruned = events_ds.map_batches(pre, batch_format="pyarrow")
-    return pruned.groupby("user_id").map_groups(sweep,
-                                                batch_format="pyarrow")
+    return grouped_by_bucket(pruned, sweep, key="user_id")
 
 
 def burst_events(events_ds, lookback_us: int = 6 * 3_600_000_000,
@@ -269,10 +276,13 @@ def funnel_conversions(events_ds, first_type: str = "click",
                        within_us: int = 3_600_000_000):
     """Funnel step: per user, how many ``then_type`` events had a
     ``first_type`` event at-or-before them within the window
-    (conversion), plus the total. ONE user-keyed shuffle; inside each
-    group a vectorized searchsorted finds the latest prior first-step
-    event per conversion candidate. Output: (user_id, n_then,
-    n_converted)."""
+    (conversion), plus the total. ONE user-BUCKET-keyed shuffle
+    (stages/buckets — one vectorized call per ~100s of users, not one
+    Ray dispatch per user); inside the call a segmented forward-fill
+    over the (user, ts, kind)-sorted rows finds the latest
+    at-or-before first-step event per conversion candidate, then
+    per-user segmented sums. Output: (user_id, n_then, n_converted)."""
+    from ..stages.buckets import grouped_by_bucket, run_starts
 
     def pre(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(batch["event_type"],
@@ -285,29 +295,38 @@ def funnel_conversions(events_ds, first_type: str = "click",
         })
 
     def sweep(tbl: pa.Table) -> pa.Table:
+        user = pc.cast(tbl["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
         ts = pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         is_t = tbl["is_then"].to_numpy(zero_copy_only=False)
-        first_ts = np.sort(ts[~is_t])
-        then_ts = ts[is_t]
-        n_then = int(len(then_ts))
-        if len(first_ts):
-            # latest first-step event at-or-before each conversion
-            idx = np.searchsorted(first_ts, then_ts, side="right") - 1
-            ok = idx >= 0
-            gap = np.where(ok, then_ts - first_ts[np.clip(idx, 0, None)],
-                           np.int64(1) << 62)
-            n_conv = int((gap <= within_us).sum())
-        else:
-            n_conv = 0
+        order = np.lexsort((is_t, ts, user))  # firsts before thens at ==ts
+        u, t, it = user[order], ts[order], is_t[order]
+        n = len(order)
+        starts = run_starts(u)
+        sid = np.cumsum(starts) - 1
+        pos = np.arange(n, dtype=np.int64)
+        # latest first-step at-or-before: segmented running max over
+        # first-row positions (same encoding as asof_join_events)
+        key = np.where(~it, sid * n + pos, np.int64(-1))
+        acc = np.maximum.accumulate(key)
+        ok = it & (acc >= 0)
+        ok[ok] &= (acc[ok] // n) == sid[ok]
+        conv = np.zeros(n, dtype=np.int64)
+        hit = np.flatnonzero(ok)
+        conv[hit] = (t[hit] - t[acc[hit] % n] <= within_us).astype(np.int64)
+        sidx = np.flatnonzero(starts)
+        eidx = np.append(sidx[1:], n)
+        cum_t = np.concatenate(([0], np.cumsum(it.astype(np.int64))))
+        cum_c = np.concatenate(([0], np.cumsum(conv)))
         return pa.table({
-            "user_id": tbl["user_id"].slice(0, 1),
-            "n_then": pa.array([n_then], pa.int64()),
-            "n_converted": pa.array([n_conv], pa.int64()),
+            "user_id": pc.take(tbl["user_id"],
+                               pa.array(order[sidx], pa.int64())),
+            "n_then": pa.array(cum_t[eidx] - cum_t[sidx], pa.int64()),
+            "n_converted": pa.array(cum_c[eidx] - cum_c[sidx], pa.int64()),
         })
 
     pruned = events_ds.map_batches(pre, batch_format="pyarrow")
-    out = pruned.groupby("user_id").map_groups(sweep,
-                                               batch_format="pyarrow")
+    out = grouped_by_bucket(pruned, sweep, key="user_id")
 
     def nonzero(b: pa.Table) -> pa.Table:
         return b.filter(pc.greater(b["n_then"], 0))
@@ -317,32 +336,46 @@ def funnel_conversions(events_ds, first_type: str = "click",
 
 def running_totals(events_ds):
     """SQL window functions (SUM/LAG OVER (PARTITION BY user ORDER BY
-    ts)) as a Ray Data composition: ONE user-keyed shuffle, then a
-    vectorized in-group cumulative sum over the (ts, event_id)-sorted
-    events. Value sums are integer cents (exact 2-dp readings), so the
-    running total is bit-exact vs any SQL engine — no float-order drift.
+    ts)) as a Ray Data composition: ONE user-BUCKET-keyed shuffle
+    (stages/buckets), then a vectorized SEGMENTED cumulative sum over
+    the (user, ts, event_id)-sorted events — one UDF call covers ~100s
+    of users, with per-user bases subtracted via repeat (sign-safe, no
+    per-user Ray dispatch). Value sums are integer cents (exact 2-dp
+    readings), so the running total is bit-exact vs any SQL engine —
+    no float-order drift.
 
     Output per event: (event_id, user_id, ts, run_sum [cumulative value
     incl. this event], prev_event [-1 for the first], prev_gap_us [-1
     for the first]). Whale-user caveat as asof_join_events.
     """
+    from ..stages.buckets import grouped_by_bucket, run_starts
 
     def sweep(tbl: pa.Table) -> pa.Table:
+        user = pc.cast(tbl["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
         ts = pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        eid = pc.cast(tbl["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
         cents = pc.cast(pc.round(pc.multiply(tbl["value"], 100)),
                         pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts_s, eid_s = ts[order], eid[order]
-        run = np.cumsum(cents[order])
+        order = np.lexsort((eid, ts, user))
+        u, ts_s, eid_s = user[order], ts[order], eid[order]
+        n = len(order)
+        starts = run_starts(u)
+        sidx = np.flatnonzero(starts)
+        counts = np.diff(np.append(sidx, n))
+        cs = np.cumsum(cents[order])
+        base = np.repeat(cs[sidx] - cents[order][sidx], counts)
+        run = cs - base
         prev_ev = np.empty_like(eid_s)
         prev_ev[0], prev_ev[1:] = -1, eid_s[:-1]
+        prev_ev[sidx] = -1
         gap = np.empty_like(ts_s)
         gap[0], gap[1:] = -1, ts_s[1:] - ts_s[:-1]
-        uid = tbl["user_id"][0].as_py()
+        gap[sidx] = -1
         return pa.table({
             "event_id": pa.array(eid_s, pa.int64()),
-            "user_id": pa.array([uid] * len(eid_s), pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
             "ts": pa.array(ts_s, pa.int64()).cast(pa.timestamp("us")),
             "run_sum": pa.array(np.round(run / 100.0, 6), pa.float64()),
             "prev_event": pa.array(prev_ev, pa.int64()),
@@ -352,8 +385,7 @@ def running_totals(events_ds):
     pruned = events_ds.map_batches(
         lambda b: b.select(["event_id", "ts", "user_id", "value"]),
         batch_format="pyarrow")
-    return pruned.groupby("user_id").map_groups(sweep,
-                                                batch_format="pyarrow")
+    return grouped_by_bucket(pruned, sweep, key="user_id")
 
 
 def topn_per_group(events_ds, n: int = 3):
@@ -459,44 +491,72 @@ def users_without(events_ds, event_type: str = "purchase",
     return out.map_batches(keep, batch_format="pyarrow")
 
 
+def _seg_searchsorted(sorted_vals: np.ndarray, sid: np.ndarray,
+                      queries: np.ndarray, side: str) -> np.ndarray:
+    """searchsorted WITHIN each contiguous segment of a (sid, val)-
+    sorted array, for one query per row (query i belongs to segment
+    sid[i]). Returns GLOBAL indices. Fast path: one composite-key
+    searchsorted (sid*span + offset); when the composite would overflow
+    int64 (astronomical segment count × value range) it falls back to a
+    per-segment loop of vectorized searchsorteds."""
+    n = len(sorted_vals)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    base = min(int(sorted_vals.min()), int(queries.min()))
+    span = max(int(sorted_vals.max()), int(queries.max())) - base + 1
+    n_seg = int(sid[-1]) + 1
+    if n_seg * span < (1 << 62):
+        zt = sid * span + (sorted_vals - base)
+        zq = sid * span + (queries - base)
+        return np.searchsorted(zt, zq, side=side)
+    out = np.empty(n, dtype=np.int64)
+    starts = np.flatnonzero(run_starts(sid))
+    for s, e in zip(starts, np.append(starts[1:], n)):
+        out[s:e] = s + np.searchsorted(sorted_vals[s:e], queries[s:e],
+                                       side=side)
+    return out
+
+
 def range_join_counts(events_ds, lookback_us: int = 30 * 60 * 1_000_000):
     """Range self-join (the second temporal operator Ray Data lacks):
     for every event, how many events of the SAME user fall in the
     half-open window [ts - lookback, ts) — the per-event velocity /
     burst feature of fraud and abuse pipelines.
 
-    Shape: ONE user-keyed shuffle, then a linear two-pointer sweep per
-    group over the (ts, event_id)-sorted events — O(n log n) per user
-    vs the O(n²) naive range join. Same whale-user caveat as
+    Shape: ONE user-BUCKET-keyed shuffle (stages/buckets — hundreds of
+    users per UDF call, no per-user Ray dispatch), then a segmented
+    searchsorted over the (user, ts, event_id)-sorted rows — O(n log n)
+    per bucket vs the O(n²) naive range join. Same whale-user caveat as
     asof_join_events.
 
     Output: (event_id, user_id, n_prior) — n_prior counts STRICTLY
     earlier events in the window; simultaneous-ts events (and the event
     itself) are excluded.
     """
+    from ..stages.buckets import grouped_by_bucket
 
     def sweep(tbl: pa.Table) -> pa.Table:
+        user = pc.cast(tbl["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
         ts = pc.cast(tbl["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        ts_s, eid_s = ts[order], eid[order]
-        n = len(ts_s)
-        # left edge of the window per event (two-pointer)
-        lo = np.searchsorted(ts_s, ts_s - lookback_us, side="left")
-        # strictly-earlier bound: first index with the same ts
-        hi = np.searchsorted(ts_s, ts_s, side="left")
-        uid = tbl["user_id"][0].as_py()
+        eid = pc.cast(tbl["event_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((eid, ts, user))
+        u, ts_s, eid_s = user[order], ts[order], eid[order]
+        sid = np.cumsum(run_starts(u)) - 1
+        # left edge of the window / strictly-earlier bound, per segment
+        lo = _seg_searchsorted(ts_s, sid, ts_s - lookback_us, "left")
+        hi = _seg_searchsorted(ts_s, sid, ts_s, "left")
         return pa.table({
             "event_id": pa.array(eid_s, pa.int64()),
-            "user_id": pa.array([uid] * n, pa.int64()),
+            "user_id": pa.array(u, pa.int64()),
             "n_prior": pa.array(hi - lo, pa.int64()),
         })
 
     pruned = events_ds.map_batches(
         lambda b: b.select(["event_id", "ts", "user_id"]),
         batch_format="pyarrow")
-    return pruned.groupby("user_id").map_groups(sweep,
-                                                batch_format="pyarrow")
+    return grouped_by_bucket(pruned, sweep, key="user_id")
 
 
 WEEK_US = 7 * 86_400 * 1_000_000
@@ -508,30 +568,50 @@ def retention_cohorts(events_ds):
     active week counts them at offset (week − cohort).
 
     Distributed form: per-batch (user, week) dedup (map-side), ONE
-    user-keyed shuffle of the deduped pairs (≤ users × active-weeks
-    rows — never raw events), in-group cohort/offset derivation, then
-    map-side (cohort, offset) partial counts merged on the driver (the
-    matrix is weeks² cells, independent of row count)."""
+    user-BUCKET-keyed shuffle of the deduped pairs (≤ users ×
+    active-weeks rows — never raw events; stages/buckets, so one
+    vectorized UDF call covers hundreds of users), in-call segmented
+    cohort/offset derivation pre-summed to (cohort, offset) cells, then
+    map-side partial counts merged on the driver (the matrix is weeks²
+    cells, independent of row count)."""
+    from ..stages.buckets import grouped_by_bucket
+
     def pairs(batch: pa.Table) -> pa.Table:
         week = pc.cast(pc.divide(pc.cast(batch["ts"], pa.int64()),
                                  WEEK_US), pa.int64())
         t = pa.table({"user_id": batch["user_id"], "week": week})
         return t.group_by(["user_id", "week"]).aggregate([])
 
-    def per_user(tbl: pa.Table) -> pa.Table:
-        weeks = np.unique(np.asarray(tbl["week"].to_pylist(),
-                                     dtype=np.int64))
-        cohort = int(weeks[0])
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        u = pc.cast(tbl["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        w = pc.cast(tbl["week"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        us, ws = u[order], w[order]
+        # cross-batch (user, week) dedup (pairs deduped per batch only)
+        first = np.ones(len(us), dtype=bool)
+        if len(us) > 1:
+            first[1:] = (us[1:] != us[:-1]) | (ws[1:] != ws[:-1])
+        us, ws = us[first], ws[first]
+        starts = run_starts(us)
+        sidx = np.flatnonzero(starts)
+        counts = np.diff(np.append(sidx, len(us)))
+        cohort = np.repeat(ws[sidx], counts)
+        t = pa.table({
+            "cohort_week": pa.array(cohort, pa.int64()),
+            "week_offset": pa.array(ws - cohort, pa.int64()),
+        })
+        g = t.group_by(["cohort_week", "week_offset"]).aggregate(
+            [("week_offset", "count")])
         return pa.table({
-            "cohort_week": pa.array([cohort] * len(weeks), pa.int64()),
-            "week_offset": pa.array(weeks - cohort),
-            "n": pa.array(np.ones(len(weeks), np.int64)),
+            "cohort_week": g["cohort_week"],
+            "week_offset": g["week_offset"],
+            "n": pc.cast(g["week_offset_count"], pa.int64()),
         })
 
-    cells = (events_ds
-             .map_batches(pairs, batch_format="pyarrow")
-             .groupby("user_id")
-             .map_groups(per_user, batch_format="pyarrow"))
+    cells = grouped_by_bucket(
+        events_ds.map_batches(pairs, batch_format="pyarrow"),
+        per_bucket, key="user_id")
 
     def partial(b: pa.Table) -> pa.Table:
         return b.group_by(["cohort_week", "week_offset"]).aggregate(
@@ -1440,7 +1520,16 @@ def benford_digits(events_ds):
     def partial(batch: pa.Table) -> pa.Table:
         v = np.abs(pc.cast(batch["value"], pa.float64())
                    .to_numpy(zero_copy_only=False))
-        x = np.floor(v[v >= 1.0]).astype(np.int64)
+        v = v[v >= 1.0]
+        # values past int64 range would wrap negative under astype and
+        # crash bincount; reduce them by float decades first (the first
+        # significant digit is unchanged by exact /10 steps, and any
+        # float this large is already decades beyond 2-dp exactness)
+        huge = v >= 9.2e18
+        while huge.any():
+            v[huge] /= 10.0
+            huge = v >= 9.2e18
+        x = np.floor(v).astype(np.int64)
         # strip decades until one digit remains (<= 19 rounds for int64)
         while x.size and x.max() >= 10:
             big = x >= 10
@@ -1588,15 +1677,22 @@ def ab_test_z(events_ds, convert_type: str = "purchase"):
         for r in b.to_pylist():
             na += r["n_a"]; xa += r["x_a"]
             nb += r["n_b"]; xb += r["x_b"]
-    pool = (xa + xb) / (na + nb)
-    z = ((xa / na - xb / nb)
-         / np.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb)))
+    # degenerate inputs (empty cohort, or pooled rate exactly 0/1 → zero
+    # variance) yield a NULL z, matching the SQL oracle's NULL instead
+    # of raising ZeroDivisionError / emitting inf
+    if na == 0 or nb == 0 or (xa + xb) in (0, na + nb):
+        z6 = None
+    else:
+        pool = (xa + xb) / (na + nb)
+        z = ((xa / na - xb / nb)
+             / np.sqrt(pool * (1 - pool) * (1.0 / na + 1.0 / nb)))
+        z6 = float(np.round(z, 6))
     return pa.table({
         "n_a": pa.array([na], pa.int64()),
         "x_a": pa.array([xa], pa.int64()),
         "n_b": pa.array([nb], pa.int64()),
         "x_b": pa.array([xb], pa.int64()),
-        "z6": pa.array([float(np.round(z, 6))], pa.float64()),
+        "z6": pa.array([z6], pa.float64()),
     })
 
 

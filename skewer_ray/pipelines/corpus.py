@@ -2323,8 +2323,10 @@ def q_bm25_scores(sf_dir: str):
 MW_LANG_A, MW_LANG_B = "en", "zh"
 
 
-def mann_whitney_u(vals, na_v, nb_v) -> tuple[int, int, int, float]:
-    """Exact Mann-Whitney U from per-value group counts (vals ascending):
+def mann_whitney_u(na_v, nb_v) -> tuple[int, int, int, float]:
+    """Exact Mann-Whitney U from per-value group counts, where na_v/nb_v
+    are aligned count arrays in ASCENDING-value order (the values
+    themselves never enter the math — only their order defines ranks):
     returns (n_a, n_b, u2_a = 2·U_A exact int, z) with midrank ties and
     the tie-corrected normal approximation. 2× scaling keeps every rank
     quantity integer; only the final z is IEEE (one shared expression
@@ -2365,7 +2367,7 @@ def q_mann_whitney(sf_dir: str):
     byv = {(r["lang"], r["n_chars"]): r["n"] for r in grid}
     na_v = [byv.get((MW_LANG_A, v), 0) for v in vals]
     nb_v = [byv.get((MW_LANG_B, v), 0) for v in vals]
-    na, nb, u2a, z = mann_whitney_u(vals, na_v, nb_v)
+    na, nb, u2a, z = mann_whitney_u(na_v, nb_v)
     return pa.table({
         "n_a": pa.array([na], pa.int64()),
         "n_b": pa.array([nb], pa.int64()),

@@ -894,16 +894,24 @@ def q_conv_pattern_dedup(sf_dir: str):
                        batch_format="pyarrow"), hash_bucket)
 
     def canon(batch: pa.Table) -> pa.Table:
-        ids = sorted(batch["conv_id"].to_pylist())
+        # many pattern groups per call (the hash domain ≈ #convs, so
+        # per-group map_groups would dispatch once per distinct
+        # pattern): sort by (hash, conv), segment, repeat the run head
+        ph = np.asarray(batch["pattern_hash"].to_pylist())
+        cid = np.asarray(batch["conv_id"].to_pylist())
+        order = np.lexsort((cid, ph))
+        ph_s, cid_s = ph[order], cid[order]
+        sidx = np.flatnonzero(run_starts(ph_s))
+        counts = np.diff(np.append(sidx, len(ph_s)))
         return pa.table({
-            "conv_id": pa.array(ids, pa.string()),
-            "pattern_hash": batch["pattern_hash"].slice(0, 1)
-                .take(pa.array([0] * len(ids))),
-            "canonical_conv": pa.array([ids[0]] * len(ids), pa.string()),
-            "group_size": pa.array([len(ids)] * len(ids), pa.int64())})
+            "conv_id": pa.array(cid_s, pa.string()),
+            "pattern_hash": pa.array(ph_s, pa.string()),
+            "canonical_conv": pa.array(np.repeat(cid_s[sidx], counts),
+                                       pa.string()),
+            "group_size": pa.array(np.repeat(counts, counts), pa.int64())})
 
-    return hashes.groupby("pattern_hash").map_groups(
-        canon, batch_format="pyarrow")
+    return grouped_by_bucket(hashes, canon, key="pattern_hash",
+                             coalesce=False)
 
 
 def q_merge_multiline(sf_dir: str):

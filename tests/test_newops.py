@@ -1427,11 +1427,11 @@ def test_mann_whitney_matches_brute_force():
     vals = sorted(set(a) | set(b))
     na_v = [int((a == v).sum()) for v in vals]
     nb_v = [int((b == v).sum()) for v in vals]
-    na, nb, u2a, z = mann_whitney_u(vals, na_v, nb_v)
+    na, nb, u2a, z = mann_whitney_u(na_v, nb_v)
     assert (na, nb) == (40, 55)
     assert u2a == int(2 * _mw_brute(a, b))
     # symmetric samples give z == 0 exactly
-    _, _, _, z0 = mann_whitney_u([1, 2], [3, 4], [3, 4])
+    _, _, _, z0 = mann_whitney_u([3, 4], [3, 4])
     assert z0 == 0.0
 
 
@@ -1484,6 +1484,39 @@ def test_ab_test_z_hand_case(ray_session):
     pool = 3 / 5
     z = (1 / 2 - 2 / 3) / np.sqrt(pool * (1 - pool) * (1 / 2 + 1 / 3))
     assert out["z6"] == float(np.round(z, 6))
+
+
+def test_ab_test_z_degenerate_inputs(ray_session):
+    """Empty cohort or zero-variance pool → NULL z (oracle NULL
+    parity), never ZeroDivisionError / inf (ADVICE r04)."""
+    import ray.data as rd
+    from skewer_ray.functions.windows import ab_test_z
+    # only odd user ids → cohort A (even ids) empty
+    out = ab_test_z(rd.from_items(
+        [{"user_id": 1, "event_type": "click"},
+         {"user_id": 3, "event_type": "purchase"}])).to_pylist()[0]
+    assert out["n_a"] == 0 and out["z6"] is None
+    # nobody converts → pooled rate 0 → zero variance
+    out = ab_test_z(rd.from_items(
+        [{"user_id": 1, "event_type": "click"},
+         {"user_id": 2, "event_type": "click"}])).to_pylist()[0]
+    assert (out["x_a"], out["x_b"]) == (0, 0) and out["z6"] is None
+    # everybody converts → pooled rate 1 → zero variance
+    out = ab_test_z(rd.from_items(
+        [{"user_id": 1, "event_type": "purchase"},
+         {"user_id": 2, "event_type": "purchase"}])).to_pylist()[0]
+    assert out["z6"] is None
+
+
+def test_benford_huge_values_no_overflow(ray_session):
+    """|value| past int64 must not wrap negative and crash bincount
+    (ADVICE r04): the float-decade reduction keeps the leading digit."""
+    import ray.data as rd
+    from skewer_ray.functions.windows import benford_digits
+    rows = [{"value": 7.3e25}, {"value": -2.1e19}, {"value": 91.0}]
+    out = {r["digit"]: r["n"] for r in benford_digits(
+        rd.from_items(rows)).to_pylist()}
+    assert out == {2: 1, 7: 1, 9: 1}
 
 
 def test_churn_weekly_hand_case(ray_session):
