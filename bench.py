@@ -142,6 +142,46 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+GROUPED_EVENT_OPS = ("events_asof", "events_range_counts",
+                     "events_funnel", "events_running",
+                     "retention_cohorts")
+
+
+def run_grouped_events(num_cpus: int, factor: int = 5) -> dict:
+    """The five bucketed event operators over a factor×-scaled events
+    table (sf0.1 tiled with disjoint user ranges ≈ sf0.5) — the
+    VERDICT r04 #10 scale row for the ops migrated off per-user
+    map_groups this round."""
+    import pyarrow.parquet as pq
+    from skewer_ray.gen import ensure_scaled_events
+    from skewer_ray.pipelines import corpus as cq
+    _init_ray(num_cpus)
+    _warmup(num_cpus)
+    d = ensure_scaled_events(factor)
+    n = pq.ParquetFile(os.path.join(d, "events.parquet")) \
+        .metadata.num_rows
+    fns = {"events_asof": cq.q_events_asof,
+           "events_range_counts": cq.q_events_range_counts,
+           "events_funnel": cq.q_events_funnel,
+           "events_running": cq.q_events_running,
+           "retention_cohorts": cq.q_retention_cohorts}
+    out = {}
+    for name in GROUPED_EVENT_OPS:
+        warm = fns[name](d)     # warm pass (worker spin-up)
+        if hasattr(warm, "iter_batches"):
+            _consume(warm)      # Datasets are lazy — drain to execute
+        t0 = time.perf_counter()
+        res = fns[name](d)
+        if hasattr(res, "iter_batches"):
+            _consume(res)
+        out[name] = round(time.perf_counter() - t0, 3)
+    import ray
+    ray.shutdown()
+    return {"metric": "grouped event ops at 5x sf0.1 events",
+            "unit": "sec", "sf": f"sf0.1x{factor}", "n_events": n,
+            "num_cpus": num_cpus, "queries": out}
+
+
 def run_once(sf_dir: str, num_cpus: int, flagship_only: bool,
              passes: int = 3) -> dict:
     _init_ray(num_cpus)
@@ -182,6 +222,18 @@ def run_once(sf_dir: str, num_cpus: int, flagship_only: bool,
             result["flagship_sf1_sec"] = sf1["queries"]["flagship"]
             result["n_turns_sf1"] = sf1["n_turns"]
             result["turns_per_sec_sf1"] = sf1["turns_per_sec"]
+        # sf0.5-scale row for the bucketed event ops (fresh session for
+        # the same steady-state reason as the sf1 flagship row)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--events-run",
+             "--cpus", str(num_cpus)],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            ev = json.loads(lines[-1])
+            result["grouped_events_sf0.5"] = {
+                "n_events": ev["n_events"], "queries": ev["queries"]}
     return result
 
 
@@ -350,6 +402,8 @@ def main():
                     help="per-operator ds.stats() breakdown")
     ap.add_argument("--mp-control", action="store_true",
                     help="plain-process scaling control (no Ray)")
+    ap.add_argument("--events-run", action="store_true",
+                    help="five bucketed event ops over 5x-scaled events")
     ap.add_argument("--scaling-base", type=int, default=4,
                     help="N for the N vs 4N scaling pair (default 4)")
     ap.add_argument("--single-run", action="store_true",
@@ -366,6 +420,8 @@ def main():
         result = run_stats(args.sf_dir, args.cpus)
     elif args.mp_control:
         result = run_mp_control()
+    elif args.events_run:
+        result = run_grouped_events(args.cpus)
     else:
         result = run_once(args.sf_dir, args.cpus, args.single_run,
                           args.passes)

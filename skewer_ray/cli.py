@@ -38,34 +38,69 @@ def _config_fingerprint(path: str) -> str:
         return hashlib.md5(fh.read()).hexdigest()
 
 
-def watch_run(input_dir: str, out_dir: str, config_path: str,
+def file_watcher(path: str):
+    """Default config watcher: re-hash the TOML file's bytes; the
+    config source handed to the loader is the path itself."""
+    def poll() -> tuple[str, str]:
+        return _config_fingerprint(path), path
+    return poll
+
+
+def http_kv_watcher(url: str, timeout: float = 10.0):
+    """Consul-style dynamic-config watch (consul/dynamicconf.go: a
+    blocking KV query whose ModifyIndex advances on change), reduced
+    to its batch-loop form: poll ``url`` between passes; the version
+    header (Consul's ``X-Consul-Index``) is the fingerprint when the
+    server sends one, else the body hash; the body IS the TOML text.
+    Works against any HTTP KV/config endpoint — no consul dependency."""
+    import hashlib
+    import urllib.request
+
+    def poll() -> tuple[str, str]:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            body = resp.read()
+            idx = resp.headers.get("X-Consul-Index")
+        fp = idx if idx else hashlib.md5(body).hexdigest()
+        return str(fp), body.decode("utf-8")
+    return poll
+
+
+def watch_run(input_dir: str, out_dir: str, config_path: str = None,
               use_actors: bool = False, interval: float = 5.0,
-              max_passes: int = 0):
+              max_passes: int = 0, watcher=None):
     """Hot config reload, batch form (cmd/serve.go:700-733,788-827 +
     consul/dynamicconf.go): loop resumable partitioned passes over the
-    input; between passes re-hash the TOML — a change rebuilds the
-    ENTIRE pipeline plan (hooks, decoders, sinks; the reference's
-    Reload() stops and restarts every controller), while the lineage
-    manifests carry completed partitions across plans (the role the
-    badger store plays across restarts). Returns the final per-
-    (sink,status) counts. Stops on SIGINT or after ``max_passes``."""
+    input; between passes poll the WATCHER — a fingerprint change
+    rebuilds the ENTIRE pipeline plan (hooks, decoders, sinks; the
+    reference's Reload() stops and restarts every controller), while
+    the lineage manifests carry completed partitions across plans (the
+    role the badger store plays across restarts).
+
+    ``watcher`` is any callable returning (fingerprint, toml_source)
+    — ``file_watcher`` (the SIGHUP-style default over ``config_path``)
+    or ``http_kv_watcher`` (the Consul key-watch form); toml_source is
+    a path or TOML text (config_from_toml accepts both). Returns the
+    final per-(sink,status) counts. Stops on SIGINT or after
+    ``max_passes``."""
     import time
 
     from .state import run_partitioned
     from .toml_config import config_from_toml
 
+    if watcher is None:
+        watcher = file_watcher(config_path)
     fp = None
     config = None
     n_pass = 0
     metrics = None
     while True:
-        new_fp = _config_fingerprint(config_path)
+        new_fp, source = watcher()
         if new_fp != fp:
             if fp is not None:
                 print(f"config changed ({fp[:8]} -> {new_fp[:8]}): "
                       "rebuilding pipeline plan")
             fp = new_fp
-            config = config_from_toml(config_path)
+            config = config_from_toml(source)
         metrics = run_partitioned(input_dir, out_dir, config=config,
                                   use_actors=use_actors)
         n_pass += 1

@@ -28,6 +28,7 @@ md5 is the hash everywhere so the DuckDB oracles replicate bit-for-bit
 from __future__ import annotations
 
 import hashlib
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
@@ -38,6 +39,12 @@ from .textstats import norm_words
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
+
+# worker-process-level shingle→(component hex digests, int64 id) memo
+# (Ray reuses workers across map tasks, so this persists between
+# batches); bounded so a worker's heap stays flat on huge corpora
+_SHINGLE_LRU_MAX = 1 << 15
+_SHINGLE_LRU: OrderedDict = OrderedDict()
 SHINGLE_K = 3
 
 
@@ -149,21 +156,35 @@ def _doc_shingle_rows(batch: pa.Table) -> pa.Table:
     groupby(doc_a, doc_b) dedup barrier disappears.
 
     The md5(f"{i}:{shingle}") component hashes are computed once per
-    DISTINCT shingle in the batch (near-dup docs share almost all their
-    shingles, so this cuts the dominant hashing cost proportionally to
-    the duplication rate; identical values to the per-doc form)."""
+    DISTINCT shingle per WORKER, not per batch: Ray reuses worker
+    processes across map tasks, so ``_SHINGLE_LRU`` (a module-global
+    bounded LRU — ~45 MB at the 32k cap with 16 hex digests per entry)
+    persists between batches and the hashing cost becomes ∝ distinct
+    shingles per worker (near-dup docs share almost all their
+    shingles; VERDICT r04 #8 measured the per-batch form as the
+    remaining constant factor). Values are identical to the per-doc
+    form — the cache only memoizes."""
     ids = pc.cast(batch["doc_id"], pa.int64()).to_pylist()
     texts = batch["text"].to_pylist()
     doc_sh = [shingles_of(t) for t in texts]
     hcache: dict[str, list[str]] = {}
     idcache: dict[str, int] = {}
+    lru = _SHINGLE_LRU
     for sh in doc_sh:
         for s in sh:
-            if s not in hcache:
+            if s in hcache:
+                continue
+            hit = lru.get(s)
+            if hit is None:
                 b = s.encode()
-                hcache[s] = [hashlib.md5(f"{i}:".encode() + b).hexdigest()
-                             for i in range(N_HASHES)]
-                idcache[s] = _shingle_hash64(s)
+                hit = ([hashlib.md5(f"{i}:".encode() + b).hexdigest()
+                        for i in range(N_HASHES)], _shingle_hash64(s))
+                lru[s] = hit
+                if len(lru) > _SHINGLE_LRU_MAX:
+                    lru.popitem(last=False)      # evict least-recent
+            else:
+                lru.move_to_end(s)
+            hcache[s], idcache[s] = hit
     o_band, o_key, o_id, o_sh, o_keys = [], [], [], [], []
     for d, sh in zip(ids, doc_sh):
         if not sh:

@@ -271,3 +271,47 @@ def ensure_transcripts(sf_dir: str, rows_per_file: int = 50_000) -> str:
         return path
     os.rename(tmp, path)
     return path
+
+
+def ensure_scaled_events(factor: int = 5,
+                         base: str = "/root/testdata/sf0.1") -> str:
+    """Deterministic larger-scale events table for benchmarks: the base
+    sf0.1 stream tiled ``factor``× with DISJOINT user_id / event_id
+    ranges (ts untouched). Per-user history shapes are preserved
+    exactly while the user count — the axis the bucketed event
+    operators shuffle and segment on — grows ``factor``×, which is the
+    honest scaling test for them (bigger per-user groups would instead
+    test the whale-user caveat). factor=5 over sf0.1 ≈ sf0.5.
+
+    Returns a directory containing events.parquet, matching the
+    ``{sf_dir}/events.parquet`` layout the event queries read."""
+    name = f"sf0.1x{factor}"
+    out_dir = os.path.join(DATA_ROOT, name)
+    done = os.path.join(out_dir, "_EVENTS_DONE")
+    if os.path.exists(done):
+        return out_dir
+    import pyarrow.compute as pc_
+    t = pq.read_table(os.path.join(base, "events.parquet"))
+    uid_span = int(pc_.max(t["user_id"]).as_py()) + 1
+    eid_span = int(pc_.max(t["event_id"]).as_py()) + 1
+    tiles = []
+    for k in range(factor):
+        tiles.append(t.set_column(
+            t.schema.get_field_index("user_id"), "user_id",
+            pc_.add(pc_.cast(t["user_id"], pa.int64()), k * uid_span)
+        ).set_column(
+            t.schema.get_field_index("event_id"), "event_id",
+            pc_.add(pc_.cast(t["event_id"], pa.int64()), k * eid_span)))
+    big = pa.concat_tables(tiles)
+    tmp = out_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(big, os.path.join(tmp, "events.parquet"),
+                   row_group_size=100_000)
+    with open(os.path.join(tmp, "_EVENTS_DONE"), "w") as fh:
+        fh.write("ok\n")
+    if os.path.isdir(out_dir):
+        import shutil
+        shutil.rmtree(tmp)
+        return out_dir
+    os.rename(tmp, out_dir)
+    return out_dir

@@ -2532,5 +2532,12 @@ def bench_subset():
         ("curated_docs", q_curated_docs),
         ("pagerank_tools", q_pagerank_tools),
         ("bigram_pmi", q_bigram_pmi),
+        # the five r05-bucketed event ops (VERDICT r04 #1: track their
+        # cost in the bench suite now that they're segmented kernels)
+        ("events_asof", q_events_asof),
+        ("events_range_counts", q_events_range_counts),
+        ("events_funnel", q_events_funnel),
+        ("events_running", q_events_running),
+        ("retention_cohorts", q_retention_cohorts),
     ]
 

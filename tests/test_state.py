@@ -225,3 +225,114 @@ def test_watch_run_hot_config_reload(tmp_path, monkeypatch, capsys):
     assert len(loads) == 2
     assert "rebuilding pipeline plan" in capsys.readouterr().out
     assert list(agg.columns) == ["sink", "status", "n"]
+
+
+def test_watch_run_pluggable_http_kv_watcher(monkeypatch, capsys):
+    """Consul-style key watch (consul/dynamicconf.go) through the
+    pluggable watcher: a local HTTP KV endpoint serves the TOML with a
+    version header; bumping the key mid-run rebuilds the plan exactly
+    once, same as the SIGHUP/file path."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    import pandas as pd
+
+    import skewer_ray.cli as cli
+
+    state = {"index": 1,
+             "body": b'[[syslog]]\n  port = 1514\n  format = "rfc5424"\n'}
+
+    class KV(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("X-Consul-Index", str(state["index"]))
+            self.end_headers()
+            self.wfile.write(state["body"])
+
+    srv = HTTPServer(("127.0.0.1", 0), KV)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+
+    loads, runs = [], []
+    monkeypatch.setattr(
+        "skewer_ray.toml_config.config_from_toml",
+        lambda src: loads.append(src) or {"marker": len(loads)})
+
+    def fake_run(input_dir, out_dir, config=None, use_actors=False):
+        runs.append(config["marker"])
+        if len(runs) == 1:           # bump the KV key after pass 1
+            state["index"] = 2
+            state["body"] = \
+                b'[[syslog]]\n  port = 9999\n  format = "rfc3164"\n'
+        return pd.DataFrame({"sink": ["kafka"], "status": ["passing"],
+                             "n": [1]})
+
+    monkeypatch.setattr("skewer_ray.state.run_partitioned", fake_run)
+    url = f"http://127.0.0.1:{srv.server_address[1]}/v1/kv/skewer/conf"
+    agg = cli.watch_run("in", "out", interval=0.01, max_passes=3,
+                        watcher=cli.http_kv_watcher(url))
+    srv.shutdown()
+    srv.server_close()
+    # pass 1 loads plan 1; pass 2 sees index 2 → plan 2; pass 3 reuses
+    assert runs == [1, 2, 2]
+    assert len(loads) == 2
+    # the TOML reached the loader as TEXT fetched from the endpoint
+    assert loads[1].startswith("[[syslog]]") and "9999" in loads[1]
+    assert "rebuilding pipeline plan" in capsys.readouterr().out
+    assert list(agg.columns) == ["sink", "status", "n"]
+
+
+def test_sigkill_mid_run_then_resume_matches_clean_run(
+        small_input, tmp_path, ray_session):
+    """Chaos drill (store/store.go:887-941 recovery): SIGKILL the
+    process the instant the FIRST partition manifest lands — partition
+    0 is durably acked, partitions 1/2 are written-but-unmanifested
+    orphans. A resume must skip part 0 untouched, drop + redo the
+    orphans, and end with counts identical to a clean run."""
+    import signal
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "out")
+    child = tmp_path / "die_after_first_manifest.py"
+    child.write_text(f"""
+import os, signal, sys
+sys.path.insert(0, {repr(os.getcwd())})
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+import skewer_ray.state.manifest as M
+_orig = M._write_manifest
+def dying(out_dir, m):
+    _orig(out_dir, m)
+    os.kill(os.getpid(), signal.SIGKILL)   # no cleanup, no atexit
+M._write_manifest = dying
+from skewer_ray.state import run_partitioned
+run_partitioned({repr(small_input)}, {repr(out)})
+""")
+    proc = subprocess.run([sys.executable, str(child)],
+                          capture_output=True, timeout=300)
+    assert proc.returncode == -signal.SIGKILL
+
+    # exactly one durable manifest; the other partitions left orphan
+    # data dirs (sent, never acked)
+    ms = load_manifests(out)
+    assert sorted(ms) == [0]
+    lineage0 = os.path.join(out, "_lineage", "part-00000.json")
+    before = open(lineage0).read()
+    assert os.path.isdir(os.path.join(out, "data", "part_id=1"))
+
+    # resume: part 0 skipped byte-identical, orphans redone
+    metrics = run_partitioned(small_input, out)
+    ms = load_manifests(out)
+    assert sorted(ms) == [0, 1, 2]
+    assert open(lineage0).read() == before
+    agg = metrics.groupby(["sink", "status"])["n"].sum().to_dict()
+    assert agg[("kafka", "passing")] == 5417
+    assert agg[("file", "dropped")] == 500
+    assert agg[("stderr", "rejected")] == 78
+    assert agg[("_parse", "error")] == 11
+    assert sum(m.n_in for m in ms.values()) == 6006
