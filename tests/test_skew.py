@@ -233,3 +233,38 @@ def test_dedup_filtered_docs_high_duplication(ray_session, tmp_path):
     got = sorted(r["doc_id"]
                  for r in q_dedup_filtered_docs(str(tmp_path)).take_all())
     assert got == [g * 100 for g in range(n_groups)]
+
+
+def test_seg_searchsorted_composite_and_fallback_agree():
+    """The composite-key fast path and the per-segment fallback loop
+    must agree index-for-index; the fallback engages when
+    n_segments×span would overflow int64."""
+    import numpy as np
+
+    from skewer_ray.functions.windows import _seg_searchsorted
+
+    rng = np.random.RandomState(11)
+    segs = np.repeat(np.arange(6), rng.randint(1, 40, size=6))
+    t = np.sort(rng.randint(0, 10_000, size=len(segs)).astype(np.int64))
+    # re-sort within segments (global sort above breaks segment order)
+    order = np.lexsort((t, segs))
+    t, segs = t[order], segs[order]
+    q = t - 500
+
+    got = _seg_searchsorted(t, segs, q, "left")
+    # brute force per segment
+    exp = np.empty_like(got)
+    for s in np.unique(segs):
+        m = segs == s
+        base = np.flatnonzero(m)[0]
+        exp[m] = base + np.searchsorted(t[m], q[m], side="left")
+    assert (got == exp).all()
+
+    # force the overflow fallback with astronomically wide values:
+    # max value ~4.6e18 → span ~9.2e18, 2 segments → composite > 2^62
+    t2 = np.array([-(1 << 62), 0, (1 << 62), -(1 << 62), (1 << 62)],
+                  dtype=np.int64)
+    s2 = np.array([0, 0, 0, 1, 1], dtype=np.int64)
+    q2 = t2.copy()
+    got2 = _seg_searchsorted(t2, s2, q2, "left")
+    assert got2.tolist() == [0, 1, 2, 3, 4]

@@ -28,7 +28,7 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ARTIFACT = os.path.join(ROOT, "BENCH_scaling_r04.jsonl")
+ARTIFACT = os.path.join(ROOT, "BENCH_scaling_r05.jsonl")
 STATE = "/tmp/skewer_ray_probe_best.json"
 QUIET_FACTOR = 1.15
 
