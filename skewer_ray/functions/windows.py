@@ -492,28 +492,39 @@ def users_without(events_ds, event_type: str = "purchase",
 
 
 def _seg_searchsorted(sorted_vals: np.ndarray, sid: np.ndarray,
-                      queries: np.ndarray, side: str) -> np.ndarray:
+                      queries: np.ndarray, side: str,
+                      query_sid: np.ndarray | None = None) -> np.ndarray:
     """searchsorted WITHIN each contiguous segment of a (sid, val)-
     sorted array, for one query per row (query i belongs to segment
-    sid[i]). Returns GLOBAL indices. Fast path: one composite-key
-    searchsorted (sid*span + offset); when the composite would overflow
-    int64 (astronomical segment count × value range) it falls back to a
-    per-segment loop of vectorized searchsorteds."""
+    sid[i]). Pass ``query_sid`` to search a SEPARATE query array
+    (query j belongs to segment query_sid[j]; segments with no vals
+    rows resolve to an empty range). Returns GLOBAL indices into
+    sorted_vals. Fast path: one composite-key searchsorted (sid*span +
+    offset); when the composite would overflow int64 (astronomical
+    segment count × value range) it falls back to a per-segment loop
+    of vectorized searchsorteds."""
+    qsid = sid if query_sid is None else query_sid
     n = len(sorted_vals)
-    if n == 0:
+    if len(queries) == 0:
         return np.zeros(0, dtype=np.int64)
+    if n == 0:
+        return np.zeros(len(queries), dtype=np.int64)
     base = min(int(sorted_vals.min()), int(queries.min()))
     span = max(int(sorted_vals.max()), int(queries.max())) - base + 1
-    n_seg = int(sid[-1]) + 1
+    n_seg = int(max(int(sid[-1]), int(qsid.max()))) + 1
     if n_seg * span < (1 << 62):
         zt = sid * span + (sorted_vals - base)
-        zq = sid * span + (queries - base)
+        zq = qsid * span + (queries - base)
         return np.searchsorted(zt, zq, side=side)
-    out = np.empty(n, dtype=np.int64)
+    out = np.empty(len(queries), dtype=np.int64)
     starts = np.flatnonzero(run_starts(sid))
-    for s, e in zip(starts, np.append(starts[1:], n)):
-        out[s:e] = s + np.searchsorted(sorted_vals[s:e], queries[s:e],
-                                       side=side)
+    ends = np.append(starts[1:], n)
+    seg_range = {int(sid[s]): (s, e) for s, e in zip(starts, ends)}
+    q_starts = np.flatnonzero(run_starts(qsid))
+    for qs, qe in zip(q_starts, np.append(q_starts[1:], len(queries))):
+        s, e = seg_range.get(int(qsid[qs]), (0, 0))
+        out[qs:qe] = s + np.searchsorted(sorted_vals[s:e],
+                                         queries[qs:qe], side=side)
     return out
 
 
@@ -1931,3 +1942,143 @@ def rolling_active_7d(events_ds):
     # tail after the last diff is always run == 0 (every +1 is closed)
     return pa.table({"d": pa.array(out_d, pa.int64()),
                      "n_active_7d": pa.array(out_n, pa.int64())})
+
+
+def interval_join_counts(events_ds, quarter: int = 4):
+    """Broadcast interval join (the third temporal join Ray Data
+    lacks, after as-of and range self-join): count ALL events whose ts
+    falls inside each event-type's opening window — the interval table
+    is derived per type as [min_ts, min_ts + (max_ts − min_ts)//q]
+    (its first 1/q of activity), kept deliberately data-derived so the
+    op is deterministic with a pure-SQL mirror.
+
+    Shape for 100 TB: the interval side is BOUNDED (one row per event
+    type) — min/max come from one map-side-combined stats pass, the
+    intervals broadcast into a map-only counting pass whose exchange
+    carries ≤ types rows per block. No shuffle of the event stream at
+    all; this is the broadcast-small-side pattern every interval join
+    against a dimension table (maintenance windows, campaign flights,
+    incident spans) should take. Output: (event_type, n_overlap) — the
+    interval's OWNER type, counting events of every type inside it."""
+    from ..stages.agg import grouped_stats
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "us": pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                          pa.int64()),
+        })
+
+    stats = grouped_stats(events_ds, "event_type",
+                          [("us", "min"), ("us", "max")], pre=pre,
+                          combine="driver")
+    types = stats["event_type"].to_pylist()
+    lo = np.asarray(stats["min_us"].to_pylist(), dtype=np.int64)
+    hi = lo + (np.asarray(stats["max_us"].to_pylist(),
+                          dtype=np.int64) - lo) // quarter
+
+    def count_in(batch: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        # types is tiny (≤ dozens): a types×N broadcast compare is the
+        # vectorized form; per-type counts per block
+        n = ((us[None, :] >= lo[:, None])
+             & (us[None, :] <= hi[:, None])).sum(axis=1)
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array(n.astype(np.int64)),
+        })
+
+    acc = np.zeros(len(types), dtype=np.int64)
+    for b in (events_ds.map_batches(count_in, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        # an iter batch may concatenate several block partials
+        tmap = {t: i for i, t in enumerate(types)}
+        for r in b.to_pylist():
+            acc[tmap[r["event_type"]]] += r["n"]
+    order = np.argsort(np.asarray(types, dtype=object))
+    return pa.table({
+        "event_type": pa.array([types[i] for i in order], pa.string()),
+        "n_overlap": pa.array(acc[order], pa.int64()),
+    })
+
+
+FUNNEL3_W_US = 86_400_000_000     # 1 day per consecutive step
+
+
+def funnel_stages(events_ds, steps=("view", "click", "purchase"),
+                  window_us: int = FUNNEL3_W_US):
+    """Ordered k-step windowed funnel (the CEP pattern the 2-step
+    ``funnel_conversions`` doesn't cover): per user, the deepest stage
+    s such that events of types steps[0..s-1] occur in order with each
+    consecutive gap ≤ ``window_us`` (inclusive bounds; equal
+    timestamps satisfy the order). Greedy-earliest is WRONG here — an
+    early step-2 event can strand a late step-3 — so each stage
+    validates against the FULL set of prior-stage-valid events: event
+    e of step k is valid iff any step-(k−1)-valid event lies in
+    [ts(e) − window, ts(e)].
+
+    Shape: ONE user-bucket exchange (stages/buckets); inside a call,
+    per-stage validity is a segmented searchsorted of stage-k rows
+    against the stage-(k−1)-valid rows (``_seg_searchsorted`` with
+    separate query segments — no per-user Python dispatch). Output:
+    (user_id, stage), stage ≥ 1, one row per user that reached step 1.
+    """
+    from ..stages.buckets import grouped_by_bucket
+
+    step_list = list(steps)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(step_list))
+        b = batch.filter(keep)
+        step = pc.index_in(b["event_type"],
+                           value_set=pa.array(step_list))
+        return pa.table({
+            "user_id": b["user_id"],
+            "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                          pa.int64()),
+            "step": pc.cast(step, pa.int8()),
+        })
+
+    def sweep(tbl: pa.Table) -> pa.Table:
+        user = pc.cast(tbl["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        us = tbl["us"].to_numpy(zero_copy_only=False)
+        step = tbl["step"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, user))
+        u, t, st = user[order], us[order], step[order]
+        sid = np.cumsum(run_starts(u)) - 1
+        n_seg = int(sid[-1]) + 1 if len(sid) else 0
+        # stage 1 seeds: every step-0 row is valid
+        valid_t, valid_sid = t[st == 0], sid[st == 0]
+        reached = np.zeros(n_seg, dtype=np.int64)
+        reached[np.unique(valid_sid)] = 1
+        for k in range(1, len(step_list)):
+            mask = st == k
+            qt, qsid = t[mask], sid[mask]
+            if not len(qt) or not len(valid_t):
+                break
+            # any prior-stage-valid event in [qt - window, qt]?
+            lo_i = _seg_searchsorted(valid_t, valid_sid, qt - window_us,
+                                     "left", query_sid=qsid)
+            hi_i = _seg_searchsorted(valid_t, valid_sid, qt, "right",
+                                     query_sid=qsid)
+            # guard cross-segment bleed: the hit range must hold a row
+            # of the SAME segment — check the first candidate's sid
+            ok = hi_i > lo_i
+            ok &= np.where(ok, valid_sid[np.clip(lo_i, 0,
+                                                 len(valid_sid) - 1)]
+                           == qsid, False)
+            valid_t, valid_sid = qt[ok], qsid[ok]
+            if len(valid_sid):
+                reached[np.unique(valid_sid)] = k + 1
+        users = u[np.flatnonzero(run_starts(u))]
+        hit = reached > 0
+        return pa.table({
+            "user_id": pa.array(users[hit], pa.int64()),
+            "stage": pa.array(reached[hit], pa.int64()),
+        })
+
+    pruned = events_ds.map_batches(pre, batch_format="pyarrow")
+    return grouped_by_bucket(pruned, sweep, key="user_id")

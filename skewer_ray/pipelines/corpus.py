@@ -435,6 +435,22 @@ def q_events_funnel(sf_dir: str):
         _events(sf_dir, ["ts", "user_id", "event_type"]))
 
 
+def q_events_interval_join(sf_dir: str):
+    """Broadcast interval join: events counted inside each type's
+    opening window (functions/windows.interval_join_counts — bounded
+    interval side broadcast, map-only count, zero event shuffle)."""
+    from ..functions.windows import interval_join_counts
+    return interval_join_counts(_events(sf_dir, ["ts", "event_type"]))
+
+
+def q_events_funnel3(sf_dir: str):
+    """Ordered 3-step windowed funnel view→click→purchase, 1-day step
+    windows (functions/windows.funnel_stages — per-stage validity via
+    segmented searchsorted against the prior stage's valid set)."""
+    from ..functions.windows import funnel_stages
+    return funnel_stages(_events(sf_dir, ["user_id", "ts", "event_type"]))
+
+
 def q_lang_embedding_stats(sf_dir: str):
     """Cross-table hash join documents⋈embeddings (doc_id = vec_id)
     then per-lang vector-norm stats — the join surface over the corpus
@@ -2456,6 +2472,8 @@ QUERIES = {
     "users_no_big_purchase": q_users_no_big_purchase,
     "events_bursts": q_events_bursts,
     "events_funnel": q_events_funnel,
+    "events_interval_join": q_events_interval_join,
+    "events_funnel3": q_events_funnel3,
     "lang_embedding_stats": q_lang_embedding_stats,
     "source_accounting": q_source_accounting,
     "source_journald": q_source_journald,

@@ -390,6 +390,43 @@ QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY votes DESC, label) = 1
 ORDER BY query_id"""
 
+    # broadcast interval join: events of every type counted inside each
+    # type's opening window [min, min + (max-min)//4] — mirrors
+    # windows.interval_join_counts (integer-µs bounds on both engines)
+    q["events_interval_join"] = """
+WITH b AS (SELECT event_type,
+                  CAST(min(epoch_us(ts)) AS BIGINT) AS lo,
+                  CAST(min(epoch_us(ts))
+                       + (max(epoch_us(ts)) - min(epoch_us(ts))) // 4
+                       AS BIGINT) AS hi
+           FROM events GROUP BY 1)
+SELECT b.event_type, CAST(count(*) AS BIGINT) AS n_overlap
+FROM events e JOIN b ON epoch_us(e.ts) BETWEEN b.lo AND b.hi
+GROUP BY 1 ORDER BY 1"""
+
+    # ordered 3-step windowed funnel: stage-k events valid iff a
+    # stage-(k-1)-valid event lies within the preceding day (inclusive)
+    # — mirrors windows.funnel_stages
+    q["events_funnel3"] = """
+WITH s0 AS (SELECT user_id, epoch_us(ts) AS t FROM events
+            WHERE event_type = 'view'),
+s1 AS (SELECT e.user_id, epoch_us(e.ts) AS t FROM events e
+       WHERE e.event_type = 'click' AND EXISTS (
+         SELECT 1 FROM s0 WHERE s0.user_id = e.user_id
+           AND s0.t BETWEEN epoch_us(e.ts) - 86400000000
+                        AND epoch_us(e.ts))),
+s2 AS (SELECT e.user_id, epoch_us(e.ts) AS t FROM events e
+       WHERE e.event_type = 'purchase' AND EXISTS (
+         SELECT 1 FROM s1 WHERE s1.user_id = e.user_id
+           AND s1.t BETWEEN epoch_us(e.ts) - 86400000000
+                        AND epoch_us(e.ts)))
+SELECT u.user_id,
+       CAST(CASE WHEN u.user_id IN (SELECT user_id FROM s2) THEN 3
+                 WHEN u.user_id IN (SELECT user_id FROM s1) THEN 2
+                 ELSE 1 END AS BIGINT) AS stage
+FROM (SELECT DISTINCT user_id FROM s0) u
+ORDER BY u.user_id"""
+
     # weekly cohort retention: users cohorted by first active week,
     # counted at each later active week's offset
     q["retention_cohorts"] = """

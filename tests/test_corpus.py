@@ -1230,3 +1230,54 @@ def test_vocab_growth_monotone_and_total(ray_session):
         assert r["doc_max"] == (mxd * r["k"]) // 10
         assert r["vocab"] == sum(1 for fd in first.values()
                                  if fd <= r["doc_max"])
+
+
+def test_funnel_stages_validates_against_all_prior_valid(ray_session):
+    """The case greedy-earliest gets wrong: the EARLIEST click is too
+    old to reach the purchase, but a later click (still within a day
+    of a view) bridges it — stage 3 must be reached. Plus: a user who
+    clicks with no prior view stays at stage 1, and equal timestamps
+    satisfy the order."""
+    import ray.data as rd
+    from skewer_ray.functions.windows import funnel_stages
+    D = 86_400_000_000
+    rows = [
+        # user 1: view@0, click@D (in window), purchase@2.5D — the
+        # early click can't reach it, but view@1.6D + click@2D can
+        {"user_id": 1, "event_type": "view", "ts": 0},
+        {"user_id": 1, "event_type": "click", "ts": D},
+        {"user_id": 1, "event_type": "view", "ts": int(1.6 * D)},
+        {"user_id": 1, "event_type": "click", "ts": 2 * D},
+        {"user_id": 1, "event_type": "purchase", "ts": int(2.5 * D)},
+        # user 2: click before any view → never valid; view later only
+        {"user_id": 2, "event_type": "click", "ts": 0},
+        {"user_id": 2, "event_type": "view", "ts": D},
+        # user 3: all three at the SAME instant — inclusive bounds
+        {"user_id": 3, "event_type": "view", "ts": 5},
+        {"user_id": 3, "event_type": "click", "ts": 5},
+        {"user_id": 3, "event_type": "purchase", "ts": 5},
+        # user 4: view then click 2 days later — window exceeded
+        {"user_id": 4, "event_type": "view", "ts": 0},
+        {"user_id": 4, "event_type": "click", "ts": 2 * D + 1},
+    ]
+    out = {r["user_id"]: r["stage"]
+           for r in funnel_stages(rd.from_items(rows)).to_pandas()
+           .to_dict("records")}
+    assert out == {1: 3, 2: 1, 3: 3, 4: 1}
+
+
+def test_interval_join_counts_hand_case(ray_session):
+    """Two types: A spans [0, 40] (window [0,10]), B spans [4, 8]
+    (window [4,5]); events of BOTH types inside each window count."""
+    import ray.data as rd
+    from skewer_ray.functions.windows import interval_join_counts
+    rows = [
+        {"event_type": "A", "ts": 0}, {"event_type": "A", "ts": 40},
+        {"event_type": "A", "ts": 7},
+        {"event_type": "B", "ts": 4}, {"event_type": "B", "ts": 8},
+    ]
+    out = {r["event_type"]: r["n_overlap"]
+           for r in interval_join_counts(rd.from_items(rows))
+           .to_pylist()}
+    # A window [0,10]: A@0, A@7, B@4, B@8 → 4;  B window [4,5]: B@4 → 1
+    assert out == {"A": 4, "B": 1}
