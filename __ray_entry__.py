@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_templates": q.q_log_templates,
         # multiline record reassembly (framing-layer continuation glue)
         "merge_multiline": q.q_merge_multiline,
+        # syslogd "last message repeated N times" suppression
+        "repeat_reduce": q.q_repeat_reduce,
         # role-transition bigrams (LAG OVER conv/turn shape)
         "role_transitions": q.q_role_transitions,
         # Markov anomaly scoring per conversation (smoothed loglik)

@@ -85,3 +85,48 @@ SELECT conv_id, CAST(island AS BIGINT) AS rec_idx,
        CAST(count(*) AS BIGINT) AS n_lines,
        string_agg(text, chr(10) ORDER BY turn_idx) AS record
 FROM i GROUP BY conv_id, island"""
+
+
+def repeat_reduce(ds, stream_col: str = "conv_id",
+                  order_col: str = "turn_idx", text_col: str = "text"):
+    """Repeated-message reduction — syslogd's "last message repeated N
+    times" suppression, the dedup every log pipeline applies BEFORE
+    storage (the reference inherits it from the syslog ecosystem its
+    sources speak): consecutive identical messages within a stream
+    collapse to one row carrying the repeat count.
+
+    Distributed shape: gaps-and-islands like ``merge_multiline`` — ONE
+    stream-bucket exchange (stages/buckets), then a vectorized pass
+    per call: dictionary-encode the text so run breaks are integer
+    compares, island ids via within-stream segmented cumsum, one row
+    per island. Output: (conv_id, first_idx, n_repeats, text) in
+    stream order; n_repeats = run length (1 = not repeated)."""
+    from ..stages.buckets import grouped_by_bucket, run_starts
+
+    def collapse(batch: pa.Table) -> pa.Table:
+        conv = np.asarray(batch[stream_col].to_pylist(), dtype=object)
+        order_v = batch[order_col].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((order_v, conv))
+        conv_s = conv[idx]
+        take = pa.array(idx, pa.int64())
+        texts_s = pc.take(batch[text_col], take)
+        order_s = order_v[idx]
+        d = pc.dictionary_encode(texts_s)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        sstarts = run_starts(conv_s)
+        brk = sstarts.copy()
+        if len(codes) > 1:
+            brk[1:] |= codes[1:] != codes[:-1]
+        rs = np.flatnonzero(brk)
+        re_ = np.append(rs[1:], len(conv_s))
+        return pa.table({
+            stream_col: pa.array([conv_s[s] for s in rs], pa.string()),
+            "first_idx": pa.array(order_s[rs].astype(np.int64),
+                                  pa.int64()),
+            "n_repeats": pa.array(re_ - rs, pa.int64()),
+            text_col: pc.take(texts_s, pa.array(rs, pa.int64())),
+        })
+
+    return grouped_by_bucket(ds, collapse, key=stream_col)

@@ -322,6 +322,25 @@ GROUP BY conv_id"""
     from ..functions.multiline import multiline_oracle_sql
     q["merge_multiline"] = multiline_oracle_sql(_tpath(sf_name))
 
+    # syslogd repeated-message suppression: consecutive identical texts
+    # per stream → one row with the run length (gaps-and-islands) —
+    # mirrors functions/multiline.repeat_reduce
+    q["repeat_reduce"] = f"""
+WITH o AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN lag(text) OVER (PARTITION BY conv_id
+                                   ORDER BY turn_idx)
+                   IS DISTINCT FROM text THEN 1 ELSE 0 END AS brk
+  FROM read_parquet('{_tpath(sf_name)}')),
+i AS (SELECT conv_id, turn_idx, text,
+             sum(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM o)
+SELECT conv_id, CAST(min(turn_idx) AS BIGINT) AS first_idx,
+       CAST(count(*) AS BIGINT) AS n_repeats, text
+FROM i GROUP BY conv_id, isl, text
+ORDER BY conv_id, first_idx"""
+
     q["role_transitions"] = f"""
 WITH b AS (
   SELECT role AS to_role,

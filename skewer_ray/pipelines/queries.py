@@ -914,6 +914,18 @@ def q_conv_pattern_dedup(sf_dir: str):
                              coalesce=False)
 
 
+def q_repeat_reduce(sf_dir: str):
+    """syslogd "last message repeated N times" suppression: consecutive
+    identical messages per stream collapse to (first_idx, n_repeats)
+    rows — gaps-and-islands under ONE stream-bucket exchange
+    (functions/multiline.repeat_reduce)."""
+    from ..functions.multiline import repeat_reduce
+    ds = read_transcripts(sf_dir).map_batches(
+        lambda b: b.select(["conv_id", "turn_idx", "text"]),
+        batch_format="pyarrow")
+    return repeat_reduce(ds)
+
+
 def q_merge_multiline(sf_dir: str):
     """Multiline log-record reassembly (stack-trace gluing): lines not
     opening with a syslog PRI are continuations of the record above

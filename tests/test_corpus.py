@@ -1281,3 +1281,25 @@ def test_interval_join_counts_hand_case(ray_session):
            .to_pylist()}
     # A window [0,10]: A@0, A@7, B@4, B@8 → 4;  B window [4,5]: B@4 → 1
     assert out == {"A": 4, "B": 1}
+
+
+def test_repeat_reduce_collapses_consecutive_runs(ray_session):
+    """"last message repeated N times": runs collapse with the FIRST
+    index and the run length; same text NON-consecutive does not merge;
+    streams never bleed into each other."""
+    import ray.data as rd
+    from skewer_ray.functions.multiline import repeat_reduce
+    rows = [
+        {"conv_id": "a", "turn_idx": 0, "text": "up"},
+        {"conv_id": "a", "turn_idx": 1, "text": "up"},
+        {"conv_id": "a", "turn_idx": 2, "text": "up"},
+        {"conv_id": "a", "turn_idx": 3, "text": "down"},
+        {"conv_id": "a", "turn_idx": 4, "text": "up"},     # new island
+        {"conv_id": "b", "turn_idx": 0, "text": "up"},     # new stream
+    ]
+    out = sorted(repeat_reduce(rd.from_items(rows)).take_all(),
+                 key=lambda r: (r["conv_id"], r["first_idx"]))
+    assert [(r["conv_id"], r["first_idx"], r["n_repeats"], r["text"])
+            for r in out] == [
+        ("a", 0, 3, "up"), ("a", 3, 1, "down"), ("a", 4, 1, "up"),
+        ("b", 0, 1, "up")]
