@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_text": q.q_conv_text,
         # Drain-style template mining over raw log text
         "log_templates": q.q_log_templates,
+        # per-day first-seen-template drift monitor
+        "template_novelty": q.q_template_novelty,
         # multiline record reassembly (framing-layer continuation glue)
         "merge_multiline": q.q_merge_multiline,
         # syslogd "last message repeated N times" suppression

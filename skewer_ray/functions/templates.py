@@ -75,3 +75,54 @@ def log_templates(ds):
 def mask_rules_sql(col_expr: str) -> str:
     """The identical mask chain as a DuckDB expression over col_expr."""
     return chain_sql(col_expr, MASK_RULES)
+
+
+DAY_US = 86_400_000_000
+
+
+def template_novelty(ds):
+    """New-template alarm: per calendar day, how many DISTINCT
+    templates appear, and how many of them are appearing for the FIRST
+    time ever — the drift monitor ops teams run on template-mined logs
+    (a burst of first-seen templates = new code path / new failure
+    mode / format regression upstream).
+
+    Scale shape: mask per batch (vectorized RE2), reduce to DISTINCT
+    (template, day) pairs map-side, then ONE bounded exchange — the
+    pair domain is templates × days, bounded by the mining premise —
+    to fold min-day per template and per-day distinct counts on the
+    driver. Output: (d, n_templates, n_new) sorted by day, where
+    d = epoch_us // 86_400_000_000 (calendar day index)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.agg import grouped_count
+
+    def pre(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "template": mask_templates(batch["text"]),
+            "d": pc.cast(pc.divide(pc.cast(
+                pc.cast(batch["ts"], pa.timestamp("us")), pa.int64()),
+                DAY_US), pa.int64()),
+        })
+
+    pairs = grouped_count(ds, ["template", "d"], pre=pre)
+    tpl = np.asarray(pairs["template"].to_pylist(), dtype=object)
+    day = np.asarray(pairs["d"].to_pylist(), dtype=np.int64)
+    first_day: dict = {}
+    for t, d in zip(tpl, day):
+        if t not in first_day or d < first_day[t]:
+            first_day[t] = d
+    days = np.unique(day)
+    n_tpl = {int(d): 0 for d in days}
+    n_new = {int(d): 0 for d in days}
+    for t, d in zip(tpl, day):
+        n_tpl[int(d)] += 1
+        if first_day[t] == d:
+            n_new[int(d)] += 1
+    return pa.table({
+        "d": pa.array([int(d) for d in days], pa.int64()),
+        "n_templates": pa.array([n_tpl[int(d)] for d in days],
+                                pa.int64()),
+        "n_new": pa.array([n_new[int(d)] for d in days], pa.int64()),
+    })

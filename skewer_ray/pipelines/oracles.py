@@ -481,6 +481,20 @@ SELECT {mask_rules_sql('text')} AS template, count(*) AS n
 FROM read_parquet('{_tpath(sf_name)}')
 GROUP BY 1"""
 
+    # new-template alarm: per day, distinct templates + first-ever-seen
+    # templates — mirrors functions/templates.template_novelty
+    q["template_novelty"] = f"""
+WITH p AS (
+  SELECT DISTINCT {mask_rules_sql('text')} AS template,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+  FROM read_parquet('{_tpath(sf_name)}')),
+f AS (SELECT template, min(d) AS fd FROM p GROUP BY 1)
+SELECT p.d, CAST(count(*) AS BIGINT) AS n_templates,
+       CAST(sum(CASE WHEN f.fd = p.d THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new
+FROM p JOIN f ON p.template = f.template
+GROUP BY p.d ORDER BY p.d"""
+
     # log₂-bucketed gap histogram: bin = #powers-of-two ≤ gap (exact
     # integer bit length — mirrors the engine's frexp exponent)
     q["gap_hist"] = f"""

@@ -939,6 +939,16 @@ def q_merge_multiline(sf_dir: str):
     return merge_multiline(ds)
 
 
+def q_template_novelty(sf_dir: str):
+    """New-template alarm: per day, distinct templates and first-seen
+    templates (functions/templates.template_novelty — one bounded
+    (template, day) exchange; the drift monitor over mined templates)."""
+    from ..functions.templates import template_novelty
+    ds = read_transcripts(sf_dir).map_batches(
+        lambda b: b.select(["text", "ts"]), batch_format="pyarrow")
+    return template_novelty(ds)
+
+
 def q_log_templates(sf_dir: str):
     """Drain-style log template mining over the raw transcript text:
     vectorized RE2 mask chain → (template, n) with map-side combine

@@ -1570,3 +1570,20 @@ def test_rolling_active_7d_hand_case(ray_session):
     # user1 covers d 0-6 and 10 (clipped at dmax=10); user2 covers 2-8
     want = {0: 1, 1: 1, 2: 2, 3: 2, 4: 2, 5: 2, 6: 2, 7: 1, 8: 1, 10: 1}
     assert got == want
+
+
+def test_template_novelty_first_seen_per_day(ray_session):
+    """Day 0 introduces two templates; day 1 repeats one and adds one
+    new — n_templates counts distinct per day, n_new only first-ever."""
+    import ray.data as rd
+    from skewer_ray.functions.templates import DAY_US, template_novelty
+    rows = [
+        {"text": "user 1 logged in", "ts": 0},
+        {"text": "user 2 logged in", "ts": 5},          # same template
+        {"text": "disk sda1 full", "ts": 10},
+        {"text": "user 9 logged in", "ts": DAY_US + 1},  # old template
+        {"text": "oom killed pid 4", "ts": DAY_US + 2},  # new template
+    ]
+    out = {r["d"]: (r["n_templates"], r["n_new"])
+           for r in template_novelty(rd.from_items(rows)).to_pylist()}
+    assert out == {0: (2, 2), 1: (2, 1)}
