@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_templates": q.q_log_templates,
         # per-day first-seen-template drift monitor
         "template_novelty": q.q_template_novelty,
+        # per-day top-5 trending terms
+        "trending_terms": q.q_trending_terms,
         # multiline record reassembly (framing-layer continuation glue)
         "merge_multiline": q.q_merge_multiline,
         # syslogd "last message repeated N times" suppression

@@ -97,10 +97,19 @@ def exact_dedup(docs_ds):
     with the kept (minimum) doc_id and the copy count. Hash-partitioned
     groupby on the digest — the classic first-per-group pattern."""
     def digest(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        hs = [hashlib.md5(" ".join(norm_words(t)).encode()).hexdigest()
-              for t in texts]
-        return pa.table({"text_hash": pa.array(hs, pa.string()),
+        # md5 once per DISTINCT raw text (dictionary-encode + take —
+        # the anonymize.py idiom): on a dup-heavy corpus the hashing
+        # cost tracks distinct docs, not rows
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        d = pc.dictionary_encode(col)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        uniq = pa.array(
+            [hashlib.md5(" ".join(norm_words(t)).encode()).hexdigest()
+             for t in d.dictionary.to_pylist()], pa.string())
+        return pa.table({"text_hash": uniq.take(d.indices),
                          "doc_id": pc.cast(batch["doc_id"], pa.int64())})
 
     hashed = docs_ds.map_batches(digest, batch_format="pyarrow")

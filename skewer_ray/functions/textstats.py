@@ -455,3 +455,74 @@ def redact_batch(batch: pa.Table) -> pa.Table:
             [hashlib.md5(s.encode()).hexdigest() for s in scrubbed],
             pa.string()),
     })
+
+
+TREND_DAY_US = 86_400_000_000
+
+
+def trending_terms(ds, k: int = 5):
+    """Per-day top-k terms — the "trending" board every log/telemetry
+    console renders (and the per-window heavy-hitter view behind
+    burst-topic detection in training-data curation).
+
+    Exact, bounded shape: per-batch (day, term) partial counts →
+    (day, term)-keyed shuffle combine (each pair's TOTAL lives in one
+    block after the combine, so per-block per-day top-k partials are
+    exact) → driver merge of ≤ days × blocks × k partial rows (days
+    are bounded by the time range, never by corpus size). Tie-break
+    (n DESC, term ASC) is shared with the SQL mirror.
+
+    Output: (d, rank, term, n) with rank 1..k per day."""
+    import numpy as np
+
+    from ..stages.agg import grouped_count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        days_out: list[int] = []
+        terms: list[str] = []
+        us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        for d, t in zip(us // TREND_DAY_US, batch["text"].to_pylist()):
+            ws = norm_words(t)
+            terms.extend(ws)
+            days_out.extend([int(d)] * len(ws))
+        return pa.table({"d": pa.array(days_out, pa.int64()),
+                         "term": pa.array(terms, pa.string())})
+
+    counts = grouped_count(ds.map_batches(explode, batch_format="pyarrow"),
+                           ["d", "term"], combine="shuffle")
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["d"].to_pylist(), dtype=np.int64)
+        n = np.asarray(batch["n"].to_pylist(), dtype=np.int64)
+        terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+        order = np.lexsort((terms, -n, d))
+        d_s, n_s, t_s = d[order], n[order], terms[order]
+        # first k rows of each day run
+        starts = np.ones(len(d_s), dtype=bool)
+        if len(d_s) > 1:
+            starts[1:] = d_s[1:] != d_s[:-1]
+        pos = np.arange(len(d_s)) - \
+            np.repeat(np.flatnonzero(starts),
+                      np.diff(np.append(np.flatnonzero(starts), len(d_s))))
+        keep = pos < k
+        return pa.table({"d": pa.array(d_s[keep], pa.int64()),
+                         "term": pa.array(list(t_s[keep]), pa.string()),
+                         "n": pa.array(n_s[keep], pa.int64())})
+
+    best: dict[int, list[tuple[int, str]]] = {}
+    for b in (counts.map_batches(block_topk, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for r in b.to_pylist():
+            best.setdefault(r["d"], []).append((-r["n"], r["term"]))
+    out_d, out_r, out_t, out_n = [], [], [], []
+    for d in sorted(best):
+        for i, (neg_n, t) in enumerate(sorted(best[d])[:k]):
+            out_d.append(d)
+            out_r.append(i + 1)
+            out_t.append(t)
+            out_n.append(-neg_n)
+    return pa.table({"d": pa.array(out_d, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "term": pa.array(out_t, pa.string()),
+                     "n": pa.array(out_n, pa.int64())})

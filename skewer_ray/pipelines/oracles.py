@@ -481,6 +481,25 @@ SELECT {mask_rules_sql('text')} AS template, count(*) AS n
 FROM read_parquet('{_tpath(sf_name)}')
 GROUP BY 1"""
 
+    # per-day top-5 terms, tie-break (n DESC, term ASC) — mirrors
+    # functions/textstats.trending_terms
+    q["trending_terms"] = f"""
+WITH w AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(lower(trim(text)), '\\s+') END
+           AS words
+  FROM read_parquet('{_tpath(sf_name)}')),
+t AS (SELECT d, unnest(words) AS term FROM w),
+c AS (SELECT d, term, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2),
+r AS (SELECT d, term, n,
+             row_number() OVER (PARTITION BY d
+                                ORDER BY n DESC, term) AS rank
+      FROM c)
+SELECT d, CAST(rank AS BIGINT) AS rank, term, n
+FROM r WHERE rank <= 5 ORDER BY d, rank"""
+
     # new-template alarm: per day, distinct templates + first-ever-seen
     # templates — mirrors functions/templates.template_novelty
     q["template_novelty"] = f"""

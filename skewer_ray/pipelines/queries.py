@@ -939,6 +939,16 @@ def q_merge_multiline(sf_dir: str):
     return merge_multiline(ds)
 
 
+def q_trending_terms(sf_dir: str):
+    """Per-day top-5 terms over the transcript text (the trending
+    board; functions/textstats.trending_terms — (day, term)-keyed
+    combine, per-block exact top-k partials, bounded driver merge)."""
+    from ..functions.textstats import trending_terms
+    ds = read_transcripts(sf_dir).map_batches(
+        lambda b: b.select(["text", "ts"]), batch_format="pyarrow")
+    return trending_terms(ds)
+
+
 def q_template_novelty(sf_dir: str):
     """New-template alarm: per day, distinct templates and first-seen
     templates (functions/templates.template_novelty — one bounded

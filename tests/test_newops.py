@@ -1587,3 +1587,19 @@ def test_template_novelty_first_seen_per_day(ray_session):
     out = {r["d"]: (r["n_templates"], r["n_new"])
            for r in template_novelty(rd.from_items(rows)).to_pylist()}
     assert out == {0: (2, 2), 1: (2, 1)}
+
+
+def test_trending_terms_rank_and_tiebreak(ray_session):
+    """Top-k per day with (count DESC, term ASC) tie-break; days are
+    independent boards."""
+    import ray.data as rd
+    from skewer_ray.functions.textstats import TREND_DAY_US, trending_terms
+    rows = [
+        {"text": "b b a a c", "ts": 0},
+        {"text": "a", "ts": 5},
+        {"text": "z z z", "ts": TREND_DAY_US + 1},
+    ]
+    out = [(r["d"], r["rank"], r["term"], r["n"])
+           for r in trending_terms(rd.from_items(rows), k=2).to_pylist()]
+    # day 0: a×3, b×2, c×1 → top2 = a, b;  day 1: z×3
+    assert out == [(0, 1, "a", 3), (0, 2, "b", 2), (1, 1, "z", 3)]
