@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "template_novelty": q.q_template_novelty,
         # per-day top-5 trending terms
         "trending_terms": q.q_trending_terms,
+        # footer-only parquet storage-layout audit
+        "storage_profile": q.q_storage_profile,
         # multiline record reassembly (framing-layer continuation glue)
         "merge_multiline": q.q_merge_multiline,
         # syslogd "last message repeated N times" suppression

@@ -481,6 +481,23 @@ SELECT {mask_rules_sql('text')} AS template, count(*) AS n
 FROM read_parquet('{_tpath(sf_name)}')
 GROUP BY 1"""
 
+    # footer-only storage audit: per-file rows / row groups / column
+    # chunks / byte totals from DuckDB's parquet metadata functions —
+    # mirrors functions/storage.storage_profile (pyarrow footers)
+    q["storage_profile"] = f"""
+WITH f AS (SELECT file_name, CAST(num_rows AS BIGINT) AS n_rows,
+                  CAST(num_row_groups AS BIGINT) AS n_row_groups
+           FROM parquet_file_metadata('{_tpath(sf_name)}')),
+c AS (SELECT file_name, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(total_compressed_size) AS BIGINT)
+               AS compressed_bytes,
+             CAST(sum(total_uncompressed_size) AS BIGINT)
+               AS uncompressed_bytes
+      FROM parquet_metadata('{_tpath(sf_name)}') GROUP BY 1)
+SELECT regexp_extract(f.file_name, '[^/]+$') AS fname, n_rows,
+       n_row_groups, n_chunks, compressed_bytes, uncompressed_bytes
+FROM f JOIN c USING (file_name) ORDER BY fname"""
+
     # per-day top-5 terms, tie-break (n DESC, term ASC) — mirrors
     # functions/textstats.trending_terms
     q["trending_terms"] = f"""

@@ -939,6 +939,18 @@ def q_merge_multiline(sf_dir: str):
     return merge_multiline(ds)
 
 
+def q_storage_profile(sf_dir: str):
+    """Footer-only storage-layout audit of the transcript files
+    (functions/storage.storage_profile — the small-file/compression
+    health scan; no data pages read)."""
+    import glob as _glob
+
+    from ..functions.storage import storage_profile
+    from ..gen import ensure_transcripts
+    path = ensure_transcripts(sf_dir)
+    return storage_profile(sorted(_glob.glob(f"{path}/*.parquet")))
+
+
 def q_trending_terms(sf_dir: str):
     """Per-day top-5 terms over the transcript text (the trending
     board; functions/textstats.trending_terms — (day, term)-keyed

@@ -1603,3 +1603,23 @@ def test_trending_terms_rank_and_tiebreak(ray_session):
            for r in trending_terms(rd.from_items(rows), k=2).to_pylist()]
     # day 0: a×3, b×2, c×1 → top2 = a, b;  day 1: z×3
     assert out == [(0, 1, "a", 3), (0, 2, "b", 2), (1, 1, "z", 3)]
+
+
+def test_storage_profile_footer_counts(ray_session, tmp_path):
+    """Known layout in, exact counts out — and byte totals equal the
+    sum over every column chunk's footer entry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from skewer_ray.functions.storage import storage_profile
+    t = pa.table({"a": list(range(100)), "b": ["x"] * 100})
+    p = tmp_path / "f.parquet"
+    pq.write_table(t, p, row_group_size=30)          # 4 row groups
+    out = storage_profile([str(p)]).to_pylist()[0]
+    assert out["fname"] == "f.parquet"
+    assert out["n_rows"] == 100
+    assert out["n_row_groups"] == 4
+    assert out["n_chunks"] == 8                      # 4 rgs x 2 cols
+    md = pq.ParquetFile(p).metadata
+    comp = sum(md.row_group(r).column(c).total_compressed_size
+               for r in range(4) for c in range(2))
+    assert out["compressed_bytes"] == comp
