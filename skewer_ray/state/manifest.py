@@ -132,7 +132,15 @@ def _count_written(part_dir: str) -> dict[str, int]:
 def run_partitioned(input_path: str, out_dir: str, config=None,
                     use_actors: bool = False) -> "pd.DataFrame":
     """Resumable flagship run. Returns the per-(part,sink,status) counts
-    (small pandas frame); partitions already recorded done are skipped."""
+    (small pandas frame); partitions already recorded done are skipped.
+
+    Done-ness is keyed on the input FILE identity (the manifest's
+    ``input_file``), never on its position in the sorted listing: under
+    incremental ingestion a new file may sort BEFORE already-processed
+    ones, and an index-keyed skip would then mark the new file done and
+    redo an old one under a shifted id. Known files keep their
+    manifested part_id; unseen files get fresh ids past the current
+    max (first run: ids 0..n-1 in sorted order, as before)."""
     import pandas as pd
     from ..config import default_config
     from ..pipelines.flagship import build_fanout
@@ -140,11 +148,37 @@ def run_partitioned(input_path: str, out_dir: str, config=None,
     config = config or default_config()
     files = _list_input_files(input_path)
     done = load_manifests(out_dir)
-    todo = [(i, f) for i, f in enumerate(files) if i not in done]
+    done_by_file = {m.input_file: m for m in done.values()}
+    # unseen files fill the smallest unmanifested ids in sorted-file
+    # order (so a crash-lost partition reclaims its old id and a truly
+    # new file extends past the max) — deterministic and collision-free
+    id_for_file: dict[str, int] = {}
+    next_free = 0
+    for f in files:
+        if f in done_by_file:
+            id_for_file[f] = done_by_file[f].part_id
+        else:
+            while next_free in done:
+                next_free += 1
+            id_for_file[f] = next_free
+            next_free += 1
+    todo = [(id_for_file[f], f) for f in files if f not in done_by_file]
 
     data_dir = os.path.join(out_dir, "data")
     # crash recovery: output dirs without a manifest are "sent, never
-    # acked" — drop and redo them (store/store.go:887-941 analogue)
+    # acked" — drop and redo them (store/store.go:887-941 analogue);
+    # dirs backed by neither a manifest nor this run's plan are stale
+    # (an id reassigned across crashes) and are dropped too
+    valid = set(done) | {i for i, _f in todo}
+    if os.path.isdir(data_dir):
+        for d in os.listdir(data_dir):
+            if d.startswith("part_id="):
+                try:
+                    pid = int(d.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if pid not in valid:
+                    shutil.rmtree(os.path.join(data_dir, d))
     for i, _f in todo:
         orphan = os.path.join(data_dir, f"part_id={i}")
         if os.path.isdir(orphan):

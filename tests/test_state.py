@@ -336,3 +336,44 @@ run_partitioned({repr(small_input)}, {repr(out)})
     assert agg[("stderr", "rejected")] == 78
     assert agg[("_parse", "error")] == 11
     assert sum(m.n_in for m in ms.values()) == 6006
+
+
+def test_incremental_ingest_new_file_sorting_first(
+        small_input, tmp_path, ray_session):
+    """Incremental ingestion (the batch tail -f): a file that arrives
+    AFTER the first run — and sorts BEFORE every existing input — must
+    be processed as a NEW partition while the three manifested
+    partitions are skipped untouched. An index-keyed resume gets this
+    wrong (the new file would inherit part 0's done-ness)."""
+    out = str(tmp_path / "out")
+    m1 = run_partitioned(small_input, out)
+    assert sorted(load_manifests(out)) == [0, 1, 2]
+
+    # new arrival, name chosen to sort FIRST in the listing
+    first = sorted(os.listdir(small_input))[0]
+    t = pq.read_table(os.path.join(small_input, first))
+    newfile = os.path.join(small_input, "aaa-new-arrival.parquet")
+    pq.write_table(t.slice(0, 500), newfile)
+
+    done_dir = os.path.join(out, "data", "part_id=0")
+    mtime_before = max(os.path.getmtime(os.path.join(r, f))
+                       for r, _d, fs in os.walk(done_dir) for f in fs)
+    m2 = run_partitioned(small_input, out)
+    ms = load_manifests(out)
+    # old parts untouched, the new file landed as part 3
+    assert sorted(ms) == [0, 1, 2, 3]
+    assert ms[3].input_file == newfile and ms[3].n_in == 500
+    assert {os.path.basename(ms[i].input_file) for i in (0, 1, 2)} \
+        == {os.path.basename(f) for f in sorted(os.listdir(small_input))
+            if f != "aaa-new-arrival.parquet"}
+    mtime_after = max(os.path.getmtime(os.path.join(r, f))
+                      for r, _d, fs in os.walk(done_dir) for f in fs)
+    assert mtime_after == mtime_before
+    # totals = first-run totals + the new partition's own counts
+    a1 = m1.groupby(["sink", "status"])["n"].sum().to_dict()
+    a2 = m2.groupby(["sink", "status"])["n"].sum().to_dict()
+    new_only = m2[m2["part_id"] == 3] \
+        .groupby(["sink", "status"])["n"].sum().to_dict()
+    assert sum(new_only.values()) > 0
+    for k, v in a2.items():
+        assert v == a1.get(k, 0) + new_only.get(k, 0)
