@@ -157,6 +157,12 @@ def main(argv=None):
                      help="seconds between watch passes")
     run.add_argument("--watch-passes", type=int, default=0,
                      help="stop after N passes (0 = until SIGINT)")
+    run.add_argument("--watch-url", default=None,
+                     help="watch an HTTP KV endpoint instead of the "
+                          "--config file (Consul key-watch form, "
+                          "consul/dynamicconf.go): the body is the "
+                          "TOML, X-Consul-Index or the body hash is "
+                          "the change fingerprint. Implies --watch")
 
     retry = sub.add_parser("retry", help="re-dispatch rejected rows")
     retry.add_argument("--out", required=True)
@@ -222,13 +228,16 @@ def main(argv=None):
                 print(rows[[c for c in cols if c in rows.columns]]
                       .to_string(index=False))
                 return 0
-            if args.watch:
-                if not args.config:
-                    ap.error("--watch requires --config")
+            if args.watch or args.watch_url:
+                if not args.config and not args.watch_url:
+                    ap.error("--watch requires --config or --watch-url")
+                watcher = http_kv_watcher(args.watch_url) \
+                    if args.watch_url else None
                 agg = watch_run(args.input, args.out, args.config,
                                 use_actors=args.use_actors,
                                 interval=args.watch_interval,
-                                max_passes=args.watch_passes)
+                                max_passes=args.watch_passes,
+                                watcher=watcher)
                 print(agg.to_string(index=False))
                 return 0
             if args.resume:

@@ -377,3 +377,46 @@ def test_incremental_ingest_new_file_sorting_first(
     assert sum(new_only.values()) > 0
     for k, v in a2.items():
         assert v == a1.get(k, 0) + new_only.get(k, 0)
+
+
+def test_cli_watch_url_flag(monkeypatch, capsys):
+    """`run --watch-url` drives watch_run through the HTTP KV watcher
+    end-to-end from the CLI surface (no --config file needed)."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    import pandas as pd
+
+    import skewer_ray.cli as cli
+
+    class KV(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("X-Consul-Index", "7")
+            self.end_headers()
+            self.wfile.write(b'[[syslog]]\n  format = "rfc5424"\n')
+
+    srv = HTTPServer(("127.0.0.1", 0), KV)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+
+    loads = []
+    monkeypatch.setattr("skewer_ray.toml_config.config_from_toml",
+                        lambda src: loads.append(src) or {"m": 1})
+    monkeypatch.setattr(
+        "skewer_ray.state.run_partitioned",
+        lambda *a, **k: pd.DataFrame(
+            {"sink": ["kafka"], "status": ["passing"], "n": [1]}))
+    monkeypatch.setattr(cli, "_ensure_ray", lambda n: None)
+    url = f"http://127.0.0.1:{srv.server_address[1]}/kv/conf"
+    rc = cli.main(["run", "--input", "in", "--out", "/tmp/wout",
+                   "--watch-url", url, "--watch-interval", "0.01",
+                   "--watch-passes", "2"])
+    srv.shutdown()
+    srv.server_close()
+    assert rc == 0
+    assert len(loads) == 1 and loads[0].startswith("[[syslog]]")
+    assert "kafka" in capsys.readouterr().out
