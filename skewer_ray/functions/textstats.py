@@ -526,3 +526,29 @@ def trending_terms(ds, k: int = 5):
                      "rank": pa.array(out_r, pa.int64()),
                      "term": pa.array(out_t, pa.string()),
                      "n": pa.array(out_n, pa.int64())})
+
+
+MELT_METRICS = ("n_chars", "n_tokens", "n_words", "punct_ratio",
+                "stop_ratio", "quality")
+
+
+def melt_stats(ds):
+    """UNPIVOT / melt — the wide→long reshape every feature store and
+    metrics warehouse applies before storage: the per-doc quality stats
+    become (doc_id, metric, value) rows, one per metric. Map-only
+    (the reshape is per-row; no exchange at all), so it streams at any
+    scale; integer metrics are cast to float64 so one value column
+    carries all six."""
+
+    def melt(batch: pa.Table) -> pa.Table:
+        s = text_stats_batch(batch)
+        parts = []
+        for m in MELT_METRICS:
+            parts.append(pa.table({
+                "doc_id": s["doc_id"],
+                "metric": pa.array([m] * s.num_rows, pa.string()),
+                "value": pc.cast(s[m], pa.float64()),
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

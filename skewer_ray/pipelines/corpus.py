@@ -45,6 +45,14 @@ def q_text_quality(sf_dir: str):
                                      batch_format="pyarrow")
 
 
+def q_melt_stats(sf_dir: str):
+    """UNPIVOT/melt: the wide per-doc quality stats reshaped to
+    (doc_id, metric, value) long form — map-only, zero exchange
+    (functions/textstats.melt_stats)."""
+    from ..functions.textstats import melt_stats
+    return melt_stats(_docs(sf_dir))
+
+
 def q_text_langid(sf_dir: str):
     return _docs(sf_dir).map_batches(langid_batch, batch_format="pyarrow")
 
@@ -2419,6 +2427,7 @@ QUERIES = {
     "topk_terms": q_topk_terms,
     "events_hopping": q_events_hopping,
     "text_quality": q_text_quality,
+    "melt_stats": q_melt_stats,
     "text_langid": q_text_langid,
     "doc_fingerprints": q_doc_fingerprints,
     "dedup_exact": q_dedup_exact,

@@ -76,6 +76,16 @@ SELECT doc_id,
     + 0.3 * least(1.0, 5.0 * stop_ratio) AS quality
 FROM w"""
 
+    # UNPIVOT/melt of the same wide stats into (doc_id, metric, value)
+    # long form — mirrors functions/textstats.melt_stats (the nested
+    # WITH is the text_quality oracle verbatim)
+    melt_arms = " UNION ALL ".join(
+        f"SELECT doc_id, '{m}' AS metric, CAST({m} AS DOUBLE) AS value "
+        "FROM s"
+        for m in ("n_chars", "n_tokens", "n_words", "punct_ratio",
+                  "stop_ratio", "quality"))
+    q["melt_stats"] = f"WITH s AS ({q['text_quality']}) {melt_arms}"
+
     hit_cols = []
     for lang, ws in LANG_WORDLISTS:
         hit_cols.append(
