@@ -2082,3 +2082,69 @@ def funnel_stages(events_ds, steps=("view", "click", "purchase"),
 
     pruned = events_ds.map_batches(pre, batch_format="pyarrow")
     return grouped_by_bucket(pruned, sweep, key="user_id")
+
+
+SYMBOL_OF = {"view": "v", "click": "c", "purchase": "p",
+             "signup": "s", "error": "e"}
+
+
+def match_recognize_counts(events_ds, pattern: str = "vc*p"):
+    """Sequence pattern matching over event streams — the
+    MATCH_RECOGNIZE / CEP surface (SQL:2016 row-pattern recognition,
+    Flink CEP), reduced to its regex core: each user's events become a
+    symbol string in (ts, event_id) order (one char per type) and the
+    pattern counts its NON-OVERLAPPING left-to-right matches — both
+    engines use RE2-style leftmost semantics, so counts agree exactly.
+    Default 'vc*p' = view, any clicks, then purchase.
+
+    Shape: ONE user-bucket exchange (stages/buckets); inside a call the
+    symbol string per user is one slice of a single bytes buffer built
+    from the sorted codes (O(events) total), and the compiled regex
+    runs once per user string — matching is inherently per-sequence,
+    but the per-call loop is over ~100s of users, not a Ray dispatch
+    per user. Output: (user_id, n_matches), users with ≥1 match."""
+    import re as _re
+
+    from ..stages.buckets import grouped_by_bucket
+
+    types = list(SYMBOL_OF)
+    syms = np.frombuffer("".join(SYMBOL_OF[t] for t in types).encode(),
+                         dtype=np.uint8)
+    rx = _re.compile(pattern)
+
+    def pre(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"], value_set=pa.array(types))
+        b = batch.filter(keep)
+        code = pc.index_in(b["event_type"], value_set=pa.array(types))
+        return pa.table({
+            "user_id": b["user_id"],
+            "us": pc.cast(pc.cast(b["ts"], pa.timestamp("us")),
+                          pa.int64()),
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "code": pc.cast(code, pa.int8()),
+        })
+
+    def sweep(tbl: pa.Table) -> pa.Table:
+        user = pc.cast(tbl["user_id"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        us = tbl["us"].to_numpy(zero_copy_only=False)
+        eid = tbl["event_id"].to_numpy(zero_copy_only=False)
+        code = tbl["code"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, user))
+        u = user[order]
+        buf = syms[code[order].astype(np.int64)].tobytes().decode()
+        sidx = np.flatnonzero(run_starts(u))
+        eidx = np.append(sidx[1:], len(u))
+        out_u, out_n = [], []
+        for s, e in zip(sidx, eidx):
+            n = len(rx.findall(buf[s:e]))
+            if n:
+                out_u.append(int(u[s]))
+                out_n.append(n)
+        return pa.table({
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_matches": pa.array(out_n, pa.int64()),
+        })
+
+    pruned = events_ds.map_batches(pre, batch_format="pyarrow")
+    return grouped_by_bucket(pruned, sweep, key="user_id")

@@ -459,6 +459,15 @@ def q_events_funnel3(sf_dir: str):
     return funnel_stages(_events(sf_dir, ["user_id", "ts", "event_type"]))
 
 
+def q_events_match_pattern(sf_dir: str):
+    """MATCH_RECOGNIZE-lite: per user, count of non-overlapping 'vc*p'
+    (view, clicks, purchase) matches over the (ts, event_id)-ordered
+    symbol sequence (functions/windows.match_recognize_counts)."""
+    from ..functions.windows import match_recognize_counts
+    return match_recognize_counts(
+        _events(sf_dir, ["user_id", "ts", "event_id", "event_type"]))
+
+
 def q_lang_embedding_stats(sf_dir: str):
     """Cross-table hash join documents⋈embeddings (doc_id = vec_id)
     then per-lang vector-norm stats — the join surface over the corpus
@@ -2483,6 +2492,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_interval_join": q_events_interval_join,
     "events_funnel3": q_events_funnel3,
+    "events_match_pattern": q_events_match_pattern,
     "lang_embedding_stats": q_lang_embedding_stats,
     "source_accounting": q_source_accounting,
     "source_journald": q_source_journald,

@@ -437,6 +437,26 @@ SELECT u.user_id,
 FROM (SELECT DISTINCT user_id FROM s0) u
 ORDER BY u.user_id"""
 
+    # MATCH_RECOGNIZE-lite: per-user symbol string in (ts, event_id)
+    # order, RE2 non-overlapping match count — mirrors
+    # windows.match_recognize_counts
+    q["events_match_pattern"] = """
+WITH o AS (SELECT user_id,
+                  CASE event_type WHEN 'view' THEN 'v'
+                                  WHEN 'click' THEN 'c'
+                                  WHEN 'purchase' THEN 'p'
+                                  WHEN 'signup' THEN 's'
+                                  WHEN 'error' THEN 'e' END AS sym,
+                  ts, event_id
+           FROM events),
+s AS (SELECT user_id,
+             string_agg(sym, '' ORDER BY ts, event_id) AS seq
+      FROM o GROUP BY 1)
+SELECT user_id,
+       CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_matches
+FROM s WHERE len(regexp_extract_all(seq, 'vc*p')) > 0
+ORDER BY user_id"""
+
     # weekly cohort retention: users cohorted by first active week,
     # counted at each later active week's offset
     q["retention_cohorts"] = """

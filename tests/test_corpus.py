@@ -1303,3 +1303,24 @@ def test_repeat_reduce_collapses_consecutive_runs(ray_session):
             for r in out] == [
         ("a", 0, 3, "up"), ("a", 3, 1, "down"), ("a", 4, 1, "up"),
         ("b", 0, 1, "up")]
+
+
+def test_match_recognize_counts_nonoverlapping(ray_session):
+    """'vc*p' counts non-overlapping leftmost matches per user; a
+    second v..p run after the first counts again; users never bleed."""
+    import ray.data as rd
+    from skewer_ray.functions.windows import match_recognize_counts
+    rows = []
+    # user 1: v c c p v p  → 2 matches
+    for i, et in enumerate(["view", "click", "click", "purchase",
+                            "view", "purchase"]):
+        rows.append({"user_id": 1, "event_id": i, "ts": i * 10,
+                     "event_type": et})
+    # user 2: p v c (no completed pattern) → 0 matches → omitted
+    for i, et in enumerate(["purchase", "view", "click"]):
+        rows.append({"user_id": 2, "event_id": i, "ts": i * 10,
+                     "event_type": et})
+    out = {r["user_id"]: r["n_matches"]
+           for r in match_recognize_counts(rd.from_items(rows))
+           .take_all()}
+    assert out == {1: 2}
