@@ -170,6 +170,14 @@ def main(argv=None):
     counts = sub.add_parser("counts", help="print per-sink counts")
     counts.add_argument("--out", required=True)
 
+    enc = sub.add_parser("encrypt",
+                         help="encrypt finished output partitions at "
+                              "rest (Parquet modular AES-GCM; data "
+                              "keys wrapped under $SKEWER_MASTER_KEY "
+                              "— the encrypted-store analogue, "
+                              "utils/db/encrypted.go)")
+    enc.add_argument("--out", required=True)
+
     comp = sub.add_parser("compact",
                           help="merge small parquet fragments per hive "
                                "leaf (content-preserving, atomic swap)")
@@ -200,6 +208,16 @@ def main(argv=None):
             print(write_prometheus(args.out))
         else:
             print(render_prometheus(args.out), end="")
+        return 0
+
+    if args.cmd == "encrypt":
+        secret = os.environ.get("SKEWER_MASTER_KEY", "")
+        if not secret:
+            ap.error("encrypt requires $SKEWER_MASTER_KEY")
+        from .state.encrypt import encrypt_output
+        rep = encrypt_output(args.out, secret.encode())
+        print(f"encrypted {rep['encrypted']} files "
+              f"({rep['skipped']} already encrypted)")
         return 0
 
     if args.cmd == "compact":

@@ -420,3 +420,42 @@ def test_cli_watch_url_flag(monkeypatch, capsys):
     assert rc == 0
     assert len(loads) == 1 and loads[0].startswith("[[syslog]]")
     assert "kafka" in capsys.readouterr().out
+
+
+def test_encrypt_output_roundtrip_and_refusal(
+        small_input, tmp_path, ray_session):
+    """At-rest encryption (the encrypted-store analogue): after
+    encrypt_output, every data file refuses a plain read, decrypts
+    byte-identically under the right secret, rejects a wrong secret,
+    and a second pass is an idempotent no-op."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from skewer_ray.state.encrypt import (encrypt_output, is_encrypted,
+                                          read_encrypted)
+
+    out = str(tmp_path / "out")
+    run_partitioned(small_input, out)
+    files = sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(os.path.join(out, "data"))
+        for f in fs if f.endswith(".parquet"))
+    assert files
+    plain = {p: pq.read_table(p) for p in files}
+
+    secret = b"skewer-master-secret"
+    rep = encrypt_output(out, secret)
+    assert rep == {"encrypted": len(files), "skipped": 0}
+
+    for p in files:
+        assert is_encrypted(p)
+        with _pytest.raises(OSError):
+            pq.read_table(p)                      # no key → refused
+        got = read_encrypted(p, secret)
+        assert got.equals(plain[p])               # exact roundtrip
+        with _pytest.raises((ValueError, OSError)):
+            read_encrypted(p, b"wrong-secret")
+
+    # idempotent resume: nothing re-encrypted
+    rep2 = encrypt_output(out, secret)
+    assert rep2 == {"encrypted": 0, "skipped": len(files)}
