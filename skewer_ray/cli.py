@@ -94,7 +94,17 @@ def watch_run(input_dir: str, out_dir: str, config_path: str = None,
     n_pass = 0
     metrics = None
     while True:
-        new_fp, source = watcher()
+        try:
+            new_fp, source = watcher()
+        except Exception as exc:
+            # a transient poll failure (KV endpoint restarting,
+            # connection refused) must not kill a long-running watch:
+            # keep the last-good plan and retry next pass. Before any
+            # config ever loaded there is nothing to run with — fatal.
+            if config is None:
+                raise
+            print(f"config watch failed ({exc}); keeping current plan")
+            new_fp, source = fp, None
         if new_fp != fp:
             if fp is not None:
                 print(f"config changed ({fp[:8]} -> {new_fp[:8]}): "

@@ -1531,7 +1531,9 @@ def benford_digits(events_ds):
     def partial(batch: pa.Table) -> pa.Table:
         v = np.abs(pc.cast(batch["value"], pa.float64())
                    .to_numpy(zero_copy_only=False))
-        v = v[v >= 1.0]
+        # ±inf has no first digit and would spin the decade loop
+        # forever (inf/10 == inf); NaN self-excludes via v >= 1.0
+        v = v[np.isfinite(v) & (v >= 1.0)]
         # values past int64 range would wrap negative under astype and
         # crash bincount; reduce them by float decades first (the first
         # significant digit is unchanged by exact /10 steps, and any

@@ -303,7 +303,9 @@ def ensure_scaled_events(factor: int = 5,
             t.schema.get_field_index("event_id"), "event_id",
             pc_.add(pc_.cast(t["event_id"], pa.int64()), k * eid_span)))
     big = pa.concat_tables(tiles)
-    tmp = out_dir + ".tmp"
+    # per-process tmp dir: two concurrent callers must never interleave
+    # writes into one tmp (the loser's rename below is a no-op)
+    tmp = f"{out_dir}.tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     pq.write_table(big, os.path.join(tmp, "events.parquet"),
                    row_group_size=100_000)

@@ -262,12 +262,16 @@ class HttpClientSink:
             body = payload.encode("latin-1" if self._binary else "utf-8")
             headers = dict(self._headers)
             headers["Content-Type"] = self._content_type
+            import http.client as _hc
             try:
                 self._conn.request(self._method, url, body=body,
                                    headers=headers)
                 resp = self._conn.getresponse()
                 resp.read()                  # drain; keep-alive reuse
-            except OSError:
+            except (OSError, _hc.HTTPException):
+                # HTTPException (BadStatusLine, IncompleteRead, …) is a
+                # dest error exactly like a socket failure: NACK and
+                # stop the batch for redelivery
                 status[uid] = NACK
                 return _nack_rest(status, rows, i + 1)
             status[uid] = ACK if 200 <= resp.status < 300 else NACK
@@ -380,7 +384,9 @@ class NatsClientSink:
         self._encode = get_encoder(encoder)
         self._binary = encoder in BINARY_ENCODERS
         self._default_topic = default_topic
-        self._sock = _socket.create_connection(tuple(address))
+        # bounded like HttpClientSink's timeout=10: a hung peer must
+        # surface as OSError (→ NACK/redelivery), never a wedged worker
+        self._sock = _socket.create_connection(tuple(address), timeout=10)
         self._rd = _CrlfReader(self._sock)
         info = self._rd.line()
         if not info.startswith(b"INFO "):
@@ -435,7 +441,9 @@ class RedisClientSink:
         self._encode = get_encoder(encoder)
         self._binary = encoder in BINARY_ENCODERS
         self._default_topic = default_topic
-        self._sock = _socket.create_connection(tuple(address))
+        # bounded like HttpClientSink's timeout=10: a hung peer must
+        # surface as OSError (→ NACK/redelivery), never a wedged worker
+        self._sock = _socket.create_connection(tuple(address), timeout=10)
         self._rd = _CrlfReader(self._sock)
         self._sock.sendall(b"*1\r\n$4\r\nPING\r\n")
         if self._rd.line() != b"+PONG":

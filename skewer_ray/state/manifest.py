@@ -85,6 +85,11 @@ def _list_input_files(input_path: str) -> list[str]:
     from ..gen import ensure_transcripts
     base = os.path.basename(os.path.normpath(input_path))
     path = ensure_transcripts(input_path) if base.startswith("sf") else input_path
+    # manifests match inputs by PATH IDENTITY across runs, so the
+    # listing must be spelling-independent: a resume invoked with a
+    # relative path (or from another cwd) would otherwise miss every
+    # done file and re-ingest the whole input as "new" partitions
+    path = os.path.abspath(path)
     if os.path.isfile(path):
         return [path]
     return sorted(os.path.join(path, f) for f in os.listdir(path)
